@@ -1,0 +1,186 @@
+"""Pure-Python crawl oracle — the executable reference semantics.
+
+The sandbox has no Erlang runtime, so this single-threaded loop IS the
+"reference" the Spark engine must match (SURVEY §7.0): each per-step rule is
+individually pinned to the cited Erlang lines, and the scheduling rule is
+the one pinned for both engines:
+
+  * rounds; each round checks out, per host, the first ``host_budget``
+    unvisited URLs by (depth, seq); the round's visit order is global
+    (depth, seq); hosts respect ``min_gap_rounds`` between fetches;
+  * URL-seen is first-enqueue-wins (see_db_storage_ets.erl:84-92) with seq
+    = global insertion order, links queued in document order within a page
+    (see_crawler_worker.erl:73) and pages in visit order within a round;
+  * fetch routing = see_http.erl:26-53; redirect target re-queued after
+    absolutization (see_crawler_worker.erl:78-83);
+  * canonicalize/filter on queue (see_db_srv.erl:83-96);
+  * robots prefixes block before fetch (north-rule addition, same rule as
+    the engine);
+  * leases: a pending URL not reported within ``lease_rounds`` re-enters the
+    frontier (see_db_srv.erl:98-105) — exercised only in fault tests.
+
+No pyspark imports; shares the exact kernels from see_spark.core.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set
+
+from see_spark.core import htmlx
+from see_spark.core.fetch import route_response
+from see_spark.core.text import extract_words
+from see_spark.core.urls import absolute_link, host_matches, host_of, try_canonicalize
+
+
+@dataclass
+class OracleEntry:
+    url: str
+    host: str
+    depth: int
+    seq: int
+    state: str = "unvisited"
+    detail: Optional[str] = None
+    discovered_in_round: int = -1
+    fetched_in_round: Optional[int] = None
+    fetch_order: Optional[int] = None
+
+
+@dataclass
+class OracleResult:
+    frontier: Dict[str, OracleEntry]
+    visit_order: List[str]
+    docs: Dict[str, dict]          # url -> {title, spans}
+    postings: Dict[str, Dict[str, int]]  # word -> {url: term_count}
+    doc_len: Dict[str, int]
+    rounds: int
+
+    @property
+    def seen_urls(self) -> Set[str]:
+        return set(self.frontier)
+
+
+def crawl(
+    site: Dict[str, dict],
+    seeds: List[str],
+    domain_filter: Optional[str] = None,
+    host_budget: int = 2,
+    min_gap_rounds: int = 1,
+    robots: Optional[Dict[str, list]] = None,
+    max_rounds: int = 100,
+) -> OracleResult:
+    robots = robots or {}
+    frontier: Dict[str, OracleEntry] = {}
+    next_seq = 0
+    visit_order: List[str] = []
+    docs: Dict[str, dict] = {}
+    postings: Dict[str, Dict[str, int]] = {}
+    doc_len: Dict[str, int] = {}
+    host_last_round: Dict[str, int] = {}
+
+    def queue(raw_url: str, depth: int, round_no: int) -> str:
+        """see_db_srv:queue/1 three-way outcome (erl :83-96)."""
+        nonlocal next_seq
+        canon = try_canonicalize(raw_url)
+        if canon is None:
+            return "url_error"
+        if not host_matches(canon, domain_filter):
+            return "filter_mismatch"
+        if canon in frontier:  # add-if-absent no-op (ets :84-92)
+            return "ok"
+        frontier[canon] = OracleEntry(
+            url=canon, host=host_of(canon), depth=depth, seq=next_seq,
+            discovered_in_round=round_no,
+        )
+        next_seq += 1
+        return "ok"
+
+    for seed in seeds:
+        queue(seed, 0, -1)
+
+    rounds = 0
+    for round_no in range(max_rounds):
+        # robots gate (same rule as engine's robots_block)
+        for entry in frontier.values():
+            if entry.state != "unvisited":
+                continue
+            rules = robots.get(entry.host)
+            if rules:
+                path = entry.url.split(entry.host, 1)[1]
+                if any(path.startswith(p) for p in rules):
+                    entry.state = "robots_blocked"
+                    entry.detail = "robots_disallow"
+        # checkout: per-host top host_budget by (depth, seq), gap-gated
+        per_host: Dict[str, List[OracleEntry]] = {}
+        for entry in sorted(
+            (e for e in frontier.values() if e.state == "unvisited"),
+            key=lambda e: (e.depth, e.seq),
+        ):
+            last = host_last_round.get(entry.host)
+            if last is not None and round_no - last < min_gap_rounds:
+                continue
+            bucket = per_host.setdefault(entry.host, [])
+            if len(bucket) < host_budget:
+                bucket.append(entry)
+        batch = sorted(
+            (e for bucket in per_host.values() for e in bucket),
+            key=lambda e: (e.depth, e.seq),
+        )
+        if not batch:
+            break
+        rounds = round_no + 1
+        for entry in batch:
+            host_last_round[entry.host] = round_no
+
+        for entry in batch:
+            entry.fetch_order = len(visit_order)
+            entry.fetched_in_round = round_no
+            visit_order.append(entry.url)
+            resp = site.get(entry.url)
+            if resp is None:
+                outcome = route_response(None, None, None, None)
+            else:
+                outcome = route_response(
+                    resp["status"], resp["content_type"],
+                    resp["body"], resp["redirect_to"],
+                )
+            if outcome.kind == "text":
+                spans = htmlx.to_spans(outcome.body or "")
+                title = next((s[1] for s in spans if s[0] == "title"), None)
+                entry.state = "visited"
+                docs[entry.url] = {"title": title, "spans": spans}
+                words = extract_words(
+                    " ".join(s[1] for s in spans if s[0] == "text")
+                )
+                # re-index: drop old postings for this doc (ets :145-175)
+                for word_docs in postings.values():
+                    word_docs.pop(entry.url, None)
+                doc_len[entry.url] = len(words)
+                for word in words:
+                    postings.setdefault(word, {}).setdefault(entry.url, 0)
+                    postings[word][entry.url] += 1
+                links = [s[2] for s in spans if s[0] == "link"]
+                for link in links:
+                    queue(
+                        absolute_link(entry.url, link),
+                        entry.depth + 1, round_no,
+                    )
+            elif outcome.kind == "binary":
+                entry.state = "binary"
+                docs[entry.url] = {
+                    "title": None,
+                    "spans": [("media", None, entry.url, 0)],
+                }
+            elif outcome.kind == "redirect":
+                target = absolute_link(entry.url, outcome.location)
+                entry.state = "redirect"
+                entry.detail = target
+                queue(target, entry.depth + 1, round_no)
+            else:
+                entry.state = "error"
+                entry.detail = outcome.error
+
+    return OracleResult(
+        frontier=frontier, visit_order=visit_order, docs=docs,
+        postings=postings, doc_len=doc_len, rounds=rounds,
+    )

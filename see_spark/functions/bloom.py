@@ -1,0 +1,104 @@
+"""Vectorized bloom filter for the URL-seen pre-filter (north rule, O2).
+
+Role (SURVEY §4): a cheap *negative-space* short-circuit in front of the
+exact anti-join — a candidate URL whose hash misses the bloom is provably
+unseen and skips nothing; a hit may be a false positive, so the trailing
+``left_anti`` join keeps exactness. The bloom only ever shrinks the join's
+probe side; correctness never depends on it.
+
+Build is distributed: each partition folds its url_hash values into a local
+numpy bitmap (mapInPandas), the tiny per-partition bitmaps are OR-ed on the
+driver, and the result is broadcast to the probe UDF. Double hashing
+(Kirsch–Mitzenmacher) derives the k probe positions from the single 64-bit
+``xxhash64(url)`` the frontier already stores — no string re-hashing.
+
+Scale note (10^10 URLs): one flat bitmap at 1% fpp would be ~12 GB, too big
+to broadcast — production shards the bloom by the same bucket(url_hash)
+partitioning as the frontier and probes per-bucket after the co-partitioned
+shuffle. ``n_bits`` here is sized for the sandbox; the sharding hook is
+``num_shards``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MULT = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mix for hash2
+
+
+def _positions(hashes: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """(len, k) bit positions via double hashing from one 64-bit hash."""
+    h1 = hashes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = (h1 ^ (h1 >> np.uint64(33))) * _MULT
+        h2 |= np.uint64(1)  # make the stride odd
+        ks = np.arange(k, dtype=np.uint64)[None, :]
+        pos = (h1[:, None] + ks * h2[:, None]) % np.uint64(n_bits)
+    return pos
+
+
+class Bloom:
+    def __init__(self, n_bits: int, k: int, words: np.ndarray | None = None):
+        self.n_bits = n_bits
+        self.k = k
+        self.words = words if words is not None else np.zeros(
+            (n_bits + 63) // 64, dtype=np.uint64
+        )
+
+    def add_many(self, hashes: np.ndarray) -> None:
+        pos = _positions(hashes, self.n_bits, self.k).ravel()
+        np.bitwise_or.at(
+            self.words, pos >> np.uint64(6),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = _positions(hashes, self.n_bits, self.k)
+        bits = (self.words[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=1)
+
+
+def build_bloom(
+    df: DataFrame, hash_col: str = "url_hash",
+    n_bits: int = 1 << 24, k: int = 7,
+) -> Bloom:
+    """Distributed build: per-partition bitmaps OR-ed on the driver."""
+    schema = T.StructType([T.StructField("bitmap", T.BinaryType())])
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bloom = Bloom(n_bits, k)
+        seen_any = False
+        for batch in batches:
+            if len(batch):
+                seen_any = True
+                bloom.add_many(batch[hash_col].to_numpy(dtype=np.int64).view(np.uint64))
+        if seen_any:
+            yield pd.DataFrame({"bitmap": [bloom.words.tobytes()]})
+
+    merged = Bloom(n_bits, k)
+    for row in df.select(hash_col).mapInPandas(_partial, schema=schema).collect():
+        merged.words |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    return merged
+
+
+def maybe_seen_udf(spark, bloom: Bloom):
+    """Probe UDF over a broadcast bloom: True = possibly seen (needs the
+    exact anti-join), False = definitely new."""
+    bc = spark.sparkContext.broadcast((bloom.n_bits, bloom.k, bloom.words))
+
+    @F.pandas_udf(T.BooleanType())
+    def _probe(hashes: pd.Series) -> pd.Series:
+        n_bits, k, words = bc.value
+        b = Bloom(n_bits, k, words)
+        result = b.contains_many(hashes.to_numpy(dtype=np.int64).view(np.uint64))
+        return pd.Series(result)
+
+    return _probe

@@ -1,0 +1,142 @@
+"""Vectorized pandas/Arrow UDFs wrapping the pure kernels.
+
+Per the input_hint ("no per-row Python" in the hot path): every kernel runs
+Arrow-batched via ``pandas_udf``; per-element Python inside a batch is
+confined to genuinely scalar string work (URL parsing, HTML tokenizing) that
+Catalyst has no builtin for. Everything that CAN be a builtin (hashing,
+filtering, regex domain matching, length guards) stays JVM-side in the
+operators — these UDFs are only the four reference kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..core import htmlx
+from ..core.fetch import route_response
+from ..core.text import extract_words
+from ..core.urls import absolute_link as _absolute_link
+from ..core.urls import host_of as _host_of
+from ..core.urls import try_canonicalize
+
+
+@pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """O15: canonicalizer (see SURVEY §2.1). Null = reference ``url_error``."""
+    return urls.map(lambda u: try_canonicalize(u) if u is not None else None)
+
+
+@pandas_udf(T.StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    def _host(url: Optional[str]) -> Optional[str]:
+        if url is None:
+            return None
+        try:
+            return _host_of(url)
+        except Exception:
+            return None
+
+    return urls.map(_host)
+
+
+@pandas_udf(T.StringType())
+def absolute_link_udf(base: pd.Series, link: pd.Series) -> pd.Series:
+    """O22: dirname-based relative resolution (see_crawler_worker.erl:89-107)."""
+
+    def _resolve(pair) -> Optional[str]:
+        b, l = pair
+        if b is None or l is None:
+            return None
+        try:
+            return _absolute_link(b, l)
+        except Exception:
+            return None
+
+    return pd.Series(map(_resolve, zip(base, link)))
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """O8: see_text:extract_words over a text column."""
+    return texts.map(lambda t: extract_words(t) if t is not None else [])
+
+
+PARSED_TYPE = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("spans", T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType()),
+                    T.StructField("text", T.StringType()),
+                    T.StructField("media_ref", T.StringType()),
+                    T.StructField("offset", T.IntegerType()),
+                ]
+            )
+        )),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _parse_one(body: Optional[str]):
+    if body is None:
+        return (None, [], [])
+    spans = htmlx.to_spans(body)
+    title = next((s[1] for s in spans if s[0] == "title"), None)
+    links = [s[2] for s in spans if s[0] == "link"]
+    rows = [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for (k, t, m, o) in spans
+    ]
+    return (title, rows, links)
+
+
+@pandas_udf(PARSED_TYPE)
+def parse_html_udf(bodies: pd.Series) -> pd.DataFrame:
+    """O18-O21: tolerant HTML parse -> (title, interleaved spans, links)."""
+    parsed = [_parse_one(b) for b in bodies]
+    return pd.DataFrame(parsed, columns=["title", "spans", "links"])
+
+
+ROUTED_TYPE = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("location", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+@pandas_udf(ROUTED_TYPE)
+def route_response_udf(
+    status: pd.Series, content_type: pd.Series,
+    body: pd.Series, location: pd.Series,
+) -> pd.DataFrame:
+    """O17 routing matrix (see_http.erl:26-53) vectorized over fetch results."""
+    rows = []
+    for s, ct, b, loc in zip(status, content_type, body, location):
+        out = route_response(int(s) if pd.notna(s) else None, ct, b, loc)
+        rows.append((out.kind, out.body, out.location, out.error))
+    return pd.DataFrame(rows, columns=["kind", "body", "location", "error"])
+
+
+def tokens_from_spans(spans_col):
+    """Document word list from the interleaved spans, JVM-side.
+
+    The reference tokenizes see_html:text/1 output — the in-order data nodes
+    joined by single spaces (see_html.erl:39-52; see_db_srv.erl:68-71).
+    kind='text' spans ARE those data nodes (title children included, since
+    they are tree data nodes), so: filter text spans -> concat_ws(' ').
+    """
+    texts = F.transform(
+        F.filter(spans_col, lambda s: s["kind"] == F.lit("text")),
+        lambda s: s["text"],
+    )
+    return F.array_join(texts, " ")

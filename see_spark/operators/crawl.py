@@ -1,0 +1,366 @@
+"""Crawl driver: deterministic batch rounds over snapshot tables.
+
+One round = the reference's visit cycle (see_crawler_worker.erl:63-87 +
+see_db_srv.erl:68-96) batched (SURVEY §3.2):
+
+  expire leases (O4) -> robots gate + politeness checkout (O1,O24)
+  -> fetch mapInPandas (O17) -> route by outcome (O23)
+  -> parse text pages to interleaved spans (O18-O21)
+  -> MERGE docs (O3) + postings delta (O3/O10)
+  -> absolutize/canonicalize/filter/dedup new links (O22,O15,O16,O2)
+  -> append frontier, bump hoststats, commit snapshots = checkpoint.
+
+Determinism contract (SURVEY §7.0): every step is a pure function of
+(frontier snapshot, round number); ordering keys are total orders; nothing
+reads wall clock or partition iteration order — so crawl order and the
+URL-seen set are invariant across parallelism levels (asserted by the
+parity + scaling tests).
+
+Resume: ``catalog.resume_point()`` rolls tables to the last fully committed
+round and returns the next round number; a crashed round replays cleanly
+because commits are per-table snapshots published after the round's work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import bloom as bloomlib
+from ..functions.udfs import parse_html_udf, route_response_udf, absolute_link_udf
+from ..sources.catalog import SnapshotCatalog
+from ..sources.tables import (
+    ROBOTS_SCHEMA,
+    STATE_BINARY,
+    STATE_ERROR,
+    STATE_REDIRECT,
+    STATE_UNVISITED,
+    STATE_VISITED,
+)
+from . import frontier as frontier_ops
+from . import indexer
+
+# links-per-page bound used to build the within-round discovery order key;
+# a 10 MB body (see_http.erl:11) cannot hold 2^20 hrefs.
+_LINK_POS_BITS = 20
+
+
+@dataclass
+class CrawlConfig:
+    domain_filter: Optional[str] = None
+    host_budget: int = 2              # max URLs fetched per host per round
+    min_gap_rounds: int = 1           # politeness: rounds between host visits
+    lease_rounds: int = 2             # O4 visit lease, in rounds
+    max_rounds: int = 100
+    use_bloom: bool = True
+    bloom_bits: int = 1 << 22
+    build_index: bool = True          # postings maintenance per round
+
+
+@dataclass
+class RoundMetrics:
+    round_no: int
+    checked_out: int = 0
+    fetched_text: int = 0
+    fetched_binary: int = 0
+    redirects: int = 0
+    errors: int = 0
+    discovered: int = 0
+    frontier_size: int = 0
+
+
+def ingest_seeds(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    seed_urls: list,
+    config: CrawlConfig,
+) -> DataFrame:
+    """O26/§3.3 seed ingestion: canonicalize -> filter -> dedup -> append at
+    depth 0 with seq = input order. Returns per-URL three-way status
+    (ok / filter_mismatch / url_error), the reference queue() contract."""
+    raw = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(seed_urls)], "raw_url string, link_rank long"
+    )
+    cand = frontier_ops.canonicalize_and_filter(
+        raw, url_col="raw_url", domain_filter=config.domain_filter
+    )
+    status = cand.select(F.col("url"), F.col("ingest_status"))
+    ok = cand.filter(F.col("ingest_status") == "ok").drop("ingest_status")
+    frontier = catalog.read("frontier")
+    fresh = frontier_ops.dedup_within_batch(
+        frontier_ops.seen_filter(ok, frontier), "link_rank"
+    )
+    seq_start = _next_seq(catalog, frontier)
+    rows = frontier_ops.as_frontier_rows(
+        fresh, depth_col=F.lit(0), round_no=0, seq_start=seq_start
+    ).localCheckpoint(eager=True)
+    merged = frontier.unionByName(rows)
+    catalog.commit(
+        "frontier",
+        merged,
+        {
+            "round": -1,
+            "op": "ingest_seeds",
+            "next_seq": seq_start + rows.count(),
+            "fetched_total": _fetched_total(catalog, frontier),
+        },
+    )
+    return status
+
+
+def _next_seq(catalog: SnapshotCatalog, frontier: DataFrame) -> int:
+    meta = catalog.snapshot_meta("frontier")
+    if "next_seq" in meta:
+        return meta["next_seq"]
+    row = frontier.agg(F.max("seq").alias("m")).collect()[0]
+    return (row["m"] + 1) if row["m"] is not None else 0
+
+
+def _fetched_total(catalog: SnapshotCatalog, frontier: DataFrame) -> int:
+    meta = catalog.snapshot_meta("frontier")
+    if "fetched_total" in meta:
+        return meta["fetched_total"]
+    return frontier.filter(F.col("fetch_order").isNotNull()).count()
+
+
+def run_round(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    fetcher,
+    config: CrawlConfig,
+    round_no: int,
+) -> RoundMetrics:
+    metrics = RoundMetrics(round_no)
+    frontier = catalog.read("frontier")
+    frontier = frontier_ops.expire_leases(frontier, round_no, config.lease_rounds)
+
+    robots = catalog.read("robots")
+    frontier = frontier_ops.robots_block(frontier, robots)
+
+    hoststats = catalog.read("hoststats")
+    batch = frontier_ops.checkout(
+        frontier, hoststats, round_no, config.host_budget, config.min_gap_rounds
+    )
+    # fetch_order is global across rounds for crawl-order parity
+    prior_fetches = _fetched_total(catalog, frontier)
+    batch = batch.withColumn(
+        "fetch_order", F.col("fetch_order") + F.lit(prior_fetches)
+    ).localCheckpoint(eager=True)
+    metrics.checked_out = batch.count()
+    if metrics.checked_out == 0:
+        catalog.commit("frontier", frontier, _frontier_meta(round_no, catalog, frontier))
+        catalog.commit_round(round_no, {"done": True})
+        return metrics
+
+    # ---- fetch + route (O17, O23) -------------------------------------
+    fetched = fetcher.fetch(
+        batch.select("url", "url_hash", "host", "depth", "seq", "fetch_order")
+        .repartition("host")
+    )
+    routed = fetched.withColumn(
+        "routed",
+        route_response_udf(
+            F.col("status"), F.col("content_type"), F.col("body"), F.col("redirect_to")
+        ),
+    ).select(
+        "url", "url_hash", "host", "depth", "seq", "fetch_order",
+        F.col("routed.kind").alias("kind"),
+        F.col("routed.body").alias("ok_body"),
+        F.col("routed.location").alias("location"),
+        F.col("routed.error").alias("error"),
+    )
+
+    parsed = routed.withColumn(
+        "parsed",
+        F.when(F.col("kind") == "text", parse_html_udf(F.col("ok_body"))),
+    ).localCheckpoint(eager=True)
+
+    # ---- docs upsert (O3) ----------------------------------------------
+    text_docs = parsed.filter(F.col("kind") == "text").select(
+        F.col("url").alias("doc_id"),
+        F.col("parsed.title").alias("title"),
+        F.col("parsed.spans").alias("spans"),
+        F.lit(round_no).cast("int").alias("fetched_in_round"),
+    )
+    media_docs = parsed.filter(F.col("kind") == "binary").select(
+        F.col("url").alias("doc_id"),
+        F.lit(None).cast("string").alias("title"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.col("url").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit(round_no).cast("int").alias("fetched_in_round"),
+    )
+    new_docs = text_docs.unionByName(media_docs).localCheckpoint(eager=True)
+    old_docs = catalog.read("docs")
+    docs_merged = old_docs.join(
+        new_docs.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(new_docs)
+
+    # ---- postings delta (O3 index maintenance + O10 tf precompute) -----
+    if config.build_index:
+        old_postings = catalog.read("postings")
+        kept = old_postings.join(new_docs.select("doc_id"), "doc_id", "left_anti")
+        fresh_postings = indexer.postings_from_docs(text_docs)
+        postings_merged = kept.unionByName(fresh_postings)
+    else:
+        postings_merged = None
+
+    # ---- new links (O22 -> O15 -> O16 -> O2) ----------------------------
+    page_links = parsed.filter(
+        (F.col("kind") == "text") & (F.size("parsed.links") > 0)
+    ).select(
+        F.col("url").alias("base_url"),
+        F.col("depth").alias("parent_depth"),
+        F.col("fetch_order").alias("parent_order"),
+        F.posexplode("parsed.links").alias("link_pos", "raw_link"),
+    )
+    redirect_links = parsed.filter(
+        (F.col("kind") == "redirect") & F.col("location").isNotNull()
+    ).select(
+        F.col("url").alias("base_url"),
+        F.col("depth").alias("parent_depth"),
+        F.col("fetch_order").alias("parent_order"),
+        F.lit(0).alias("link_pos"),
+        F.col("location").alias("raw_link"),
+    )
+    all_links = page_links.unionByName(redirect_links).withColumn(
+        "abs_link", absolute_link_udf(F.col("base_url"), F.col("raw_link"))
+    ).withColumn(
+        "link_rank",
+        F.shiftleft(F.col("parent_order"), _LINK_POS_BITS) + F.col("link_pos"),
+    )
+    candidates = frontier_ops.canonicalize_and_filter(
+        all_links.select("abs_link", "parent_depth", "link_rank"),
+        url_col="abs_link",
+        domain_filter=config.domain_filter,
+    ).filter(F.col("ingest_status") == "ok").drop("ingest_status")
+
+    bloom_probe = None
+    if config.use_bloom:
+        bloom = bloomlib.build_bloom(
+            frontier.select("url_hash"), n_bits=config.bloom_bits
+        )
+        bloom_probe = bloomlib.maybe_seen_udf(spark, bloom)
+    fresh = frontier_ops.dedup_within_batch(
+        frontier_ops.seen_filter(candidates, frontier, bloom_probe), "link_rank"
+    )
+    seq_start = _next_seq(catalog, frontier)
+    new_rows = frontier_ops.as_frontier_rows(
+        fresh,
+        depth_col=F.col("parent_depth") + 1,
+        round_no=round_no,
+        seq_start=seq_start,
+    ).drop("parent_depth", "link_rank").localCheckpoint(eager=True)
+
+    # ---- frontier MERGE (state transitions + appends) -------------------
+    updates = parsed.select(
+        "url_hash",
+        F.when(F.col("kind") == "text", F.lit(STATE_VISITED))
+        .when(F.col("kind") == "binary", F.lit(STATE_BINARY))
+        .when(F.col("kind") == "redirect", F.lit(STATE_REDIRECT))
+        .otherwise(F.lit(STATE_ERROR))
+        .alias("new_state"),
+        F.coalesce(
+            F.when(
+                F.col("kind") == "redirect",
+                absolute_link_udf(F.col("url"), F.col("location")),
+            ),
+            F.col("error"),
+        ).alias("new_detail"),
+        F.col("fetch_order").alias("new_fetch_order"),
+    )
+    frontier_next = (
+        frontier.join(updates, "url_hash", "left")
+        .select(
+            "url", "url_hash", "host", "depth", "seq",
+            F.coalesce("new_state", "state").alias("state"),
+            F.coalesce("new_detail", "detail").alias("detail"),
+            "discovered_in_round",
+            F.when(
+                F.col("new_state").isNotNull(), F.lit(round_no)
+            ).otherwise(F.col("fetched_in_round")).alias("fetched_in_round"),
+            F.coalesce("new_fetch_order", "fetch_order").alias("fetch_order"),
+            "checkout_round",
+        )
+        .unionByName(new_rows)
+    )
+
+    # ---- hoststats -------------------------------------------------------
+    fetched_hosts = parsed.groupBy("host").agg(F.count("*").alias("n"))
+    hoststats_next = (
+        catalog.read("hoststats")
+        .join(fetched_hosts, "host", "full")
+        .select(
+            "host",
+            F.when(F.col("n").isNotNull(), F.lit(round_no))
+            .otherwise(F.col("last_fetch_round")).alias("last_fetch_round"),
+            (F.coalesce(F.col("fetched_total"), F.lit(0)) +
+             F.coalesce(F.col("n"), F.lit(0))).alias("fetched_total"),
+        )
+    )
+
+    # ---- metrics + commits (one writer per table per round) -------------
+    kinds = {r["kind"]: r["n"] for r in parsed.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    metrics.fetched_text = kinds.get("text", 0)
+    metrics.fetched_binary = kinds.get("binary", 0)
+    metrics.redirects = kinds.get("redirect", 0)
+    metrics.errors = kinds.get("error", 0)
+    metrics.discovered = new_rows.count()
+
+    frontier_meta = {
+        "round": round_no,
+        "next_seq": seq_start + metrics.discovered,
+        "fetched_total": prior_fetches + metrics.checked_out,
+    }
+    catalog.commit("frontier", frontier_next, frontier_meta)
+    catalog.commit("docs", docs_merged, {"round": round_no})
+    if postings_merged is not None:
+        catalog.commit("postings", postings_merged, {"round": round_no})
+    catalog.commit("hoststats", hoststats_next, {"round": round_no})
+    catalog.commit_round(round_no, {"metrics": metrics.__dict__})
+    metrics.frontier_size = None  # filled by caller if wanted
+    return metrics
+
+
+def run_crawl(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    fetcher,
+    config: CrawlConfig,
+    seeds: Optional[list] = None,
+    robots: Optional[dict] = None,
+) -> list:
+    """Full crawl loop; resumable. Returns per-round metrics."""
+    if robots:
+        rows = [(h, list(p), -1) for h, p in robots.items()]
+        catalog.commit(
+            "robots",
+            spark.createDataFrame(rows, ROBOTS_SCHEMA),
+            {"round": -1},
+        )
+    if seeds:
+        ingest_seeds(spark, catalog, seeds, config).collect()
+    start_round = catalog.resume_point()
+    history = []
+    for round_no in range(start_round, config.max_rounds):
+        metrics = run_round(spark, catalog, fetcher, config, round_no)
+        history.append(metrics)
+        if metrics.checked_out == 0:
+            break
+    return history
+
+
+def _frontier_meta(round_no: int, catalog: SnapshotCatalog, frontier: DataFrame) -> dict:
+    return {
+        "round": round_no,
+        "next_seq": _next_seq(catalog, frontier),
+        "fetched_total": _fetched_total(catalog, frontier),
+    }

@@ -1,0 +1,205 @@
+"""Frontier operators: seed ingest, URL-seen dedup, politeness checkout.
+
+Reference semantics reimplemented batch-wise (SURVEY §2.1 O1/O2/O4/O24):
+
+- O2  insert-if-absent URL-seen (see_db_storage_ets.erl:84-92): bloom
+  pre-filter (north-rule addition) + exact ``left_anti`` join on url_hash;
+  first-enqueue-wins inside a batch via min(seq).
+- O1  frontier dequeue (ets:94-101) batched: per-host top-``host_budget``
+  unvisited rows by the pinned priority ``(depth, seq)`` (SURVEY §7.0
+  hazard 1 — the reference's order is a storage artifact; BFS FIFO is the
+  pinned rule shared with the oracle).
+- O4  lease requeue (see_db_srv.erl:98-105,116-118): pending rows whose
+  checkout round is older than the lease flip back to unvisited at round
+  start.
+- O24 politeness/robots (north-rule additions the reference lacks —
+  see_crawler_worker.erl:18-19 is a bare poll loop): per-host budget via a
+  host-partitioned row_number window (shuffles only the unvisited slice,
+  partitioned by host), a min-gap gate against broadcast ``hoststats``, and
+  a robots prefix gate against the broadcast ``robots`` dimension.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.seq import with_dense_sequence
+from ..functions.udfs import canonicalize_udf, host_udf
+from ..sources.tables import (
+    FRONTIER_SCHEMA,
+    STATE_PENDING,
+    STATE_ROBOTS,
+    STATE_UNVISITED,
+)
+
+
+def canonicalize_and_filter(
+    df: DataFrame, url_col: str = "url", domain_filter: Optional[str] = None
+) -> DataFrame:
+    """O15 + O16: canonicalize (null = url_error) then domain-filter the
+    netloc with Catalyst ``rlike`` (see_db_srv.erl:83-96,167-176).
+    Adds ``url`` (canonical), ``host``, ``url_hash``, ``ingest_status``.
+    """
+    out = (
+        df.withColumn("__canon", canonicalize_udf(F.col(url_col)))
+        .withColumn("host", host_udf(F.col("__canon")))
+    )
+    status = F.when(F.col("__canon").isNull(), F.lit("url_error"))
+    if domain_filter is not None:
+        status = status.when(
+            ~F.col("host").rlike(domain_filter), F.lit("filter_mismatch")
+        )
+    out = out.withColumn("ingest_status", status.otherwise(F.lit("ok")))
+    return (
+        out.drop(url_col)
+        .withColumnRenamed("__canon", "url")
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+
+
+def seen_filter(
+    candidates: DataFrame,
+    frontier: DataFrame,
+    bloom_probe=None,
+) -> DataFrame:
+    """O2 dedup: keep candidates whose url_hash is not in the frontier.
+
+    ``bloom_probe`` (functions.bloom.maybe_seen_udf result) short-circuits
+    definite negatives before the anti-join shuffle; the anti-join keeps
+    exactness. Candidates must carry url_hash.
+    """
+    if bloom_probe is not None:
+        maybe = candidates.withColumn("__maybe_seen", bloom_probe(F.col("url_hash")))
+        fresh = maybe.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+        suspect = maybe.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+        deduped_suspect = suspect.join(
+            frontier.select("url_hash"), "url_hash", "left_anti"
+        )
+        return fresh.unionByName(deduped_suspect)
+    return candidates.join(frontier.select("url_hash"), "url_hash", "left_anti")
+
+
+def dedup_within_batch(candidates: DataFrame, order_col: str = "link_rank") -> DataFrame:
+    """First-enqueue-wins inside one round's discoveries (O2 applied to a
+    batch): keep the minimum ``order_col`` row per url_hash."""
+    w = Window.partitionBy("url_hash").orderBy(order_col)
+    return (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def as_frontier_rows(
+    candidates: DataFrame, depth_col, round_no: int, seq_start: int
+) -> DataFrame:
+    """Stamp deduped candidates into frontier-schema rows with dense ``seq``
+    continuing the global discovery order (depth asc, then within-round
+    discovery order: fetch order of the linking page, link position)."""
+    stamped = with_dense_sequence(
+        candidates.withColumn("__depth", depth_col),
+        order_cols=["link_rank"],
+        out_col="seq",
+        start=seq_start,
+    )
+    return stamped.select(
+        "url",
+        "url_hash",
+        "host",
+        F.col("__depth").cast("int").alias("depth"),
+        "seq",
+        F.lit(STATE_UNVISITED).alias("state"),
+        F.lit(None).cast("string").alias("detail"),
+        F.lit(round_no).cast("int").alias("discovered_in_round"),
+        F.lit(None).cast("int").alias("fetched_in_round"),
+        F.lit(None).cast("long").alias("fetch_order"),
+        F.lit(None).cast("int").alias("checkout_round"),
+    )
+
+
+def expire_leases(frontier: DataFrame, round_no: int, lease_rounds: int) -> DataFrame:
+    """O4: pending -> unvisited when the visit lease expired."""
+    expired = (F.col("state") == STATE_PENDING) & (
+        F.col("checkout_round") <= F.lit(round_no - lease_rounds)
+    )
+    return frontier.withColumn(
+        "state", F.when(expired, F.lit(STATE_UNVISITED)).otherwise(F.col("state"))
+    ).withColumn(
+        "checkout_round",
+        F.when(expired, F.lit(None).cast("int")).otherwise(F.col("checkout_round")),
+    )
+
+
+def robots_block(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """North-rule robots gate: flip unvisited URLs matching a disallowed
+    prefix for their host to a terminal robots_blocked state. ``robots`` is
+    a small dimension -> broadcast join; prefix test stays JVM-side."""
+    rules = F.broadcast(robots.select("host", "disallow"))
+    joined = frontier.join(rules, "host", "left")
+    path = F.regexp_replace("url", r"^[a-z]+://[^/]+", "")
+    blocked = (
+        (F.col("state") == STATE_UNVISITED)
+        & F.col("disallow").isNotNull()
+        & F.exists(
+            "disallow", lambda prefix: path.startswith(prefix)
+        )
+    )
+    # materialize the flag once: the predicate reads `state`, which the
+    # state-flip below rewrites, so chained withColumns would disagree.
+    return (
+        joined.withColumn("__blocked", blocked)
+        .withColumn(
+            "state",
+            F.when(F.col("__blocked"), F.lit(STATE_ROBOTS)).otherwise(F.col("state")),
+        )
+        .withColumn(
+            "detail",
+            F.when(F.col("__blocked"), F.lit("robots_disallow")).otherwise(
+                F.col("detail")
+            ),
+        )
+        .drop("disallow", "__blocked")
+    )
+
+
+def checkout(
+    frontier: DataFrame,
+    hoststats: DataFrame,
+    round_no: int,
+    host_budget: int,
+    min_gap_rounds: int = 1,
+) -> DataFrame:
+    """O1+O24: the round's fetch batch.
+
+    unvisited ∧ politeness-eligible hosts -> per-host top-``host_budget`` by
+    (depth, seq) -> global ``fetch_order`` by (depth, seq) (dense, for
+    crawl-order parity). Returns frontier-schema rows plus fetch_order.
+
+    Scale shape: the filter prunes to the unvisited slice (partition-pruned
+    under Iceberg's state partitioning), ONE shuffle by host for the window,
+    and hoststats/robots are broadcast dims. Skew containment: host_budget
+    caps any host's contribution per round, so the window's per-host groups
+    are bounded regardless of frontier skew.
+    """
+    eligible = frontier.filter(F.col("state") == STATE_UNVISITED)
+    if min_gap_rounds > 1:
+        stats = F.broadcast(hoststats.select("host", "last_fetch_round"))
+        eligible = eligible.join(stats, "host", "left").filter(
+            F.col("last_fetch_round").isNull()
+            | (F.col("last_fetch_round") <= F.lit(round_no - min_gap_rounds))
+        ).drop("last_fetch_round")
+    w = Window.partitionBy("host").orderBy("depth", "seq")
+    batch = (
+        eligible.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= host_budget)
+        .drop("__rank")
+    )
+    return with_dense_sequence(
+        batch.drop("fetch_order"), order_cols=["depth", "seq"],
+        out_col="fetch_order", start=0,
+    ).withColumn("checkout_round", F.lit(round_no).cast("int")).withColumn(
+        "state", F.lit(STATE_PENDING)
+    )

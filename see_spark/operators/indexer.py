@@ -1,0 +1,49 @@
+"""Inverted-index build: postings with precomputed tf (O3/O10/O11).
+
+The reference recomputes tf by refetching the full word list per
+(candidate, query word) — the N+1 pattern called out in SURVEY §3.1 step 5
+(see_rank_tfidf.erl:8-11). Here tf is computed ONCE at index time from the
+interleaved spans, so the search path never touches raw documents:
+
+  tokens = extract_words(concat of kind='text' span texts)   (O8)
+  postings(word, doc_id, term_count, doc_len, tf = term_count/doc_len)
+
+Only text pages are indexed; binary/redirect/error pages are recorded in
+the frontier but never enter postings (see_db_storage_ets.erl:163-167).
+
+Shuffle shape: explode -> one groupBy (doc_id, word) with map-side partial
+aggregation; doc_len via a window over doc_id (same shuffle key as the
+groupBy output, so AQE fuses the exchange) — two narrow shuffles total,
+both on keys the downstream joins reuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import tokenize_udf, tokens_from_spans
+
+
+def postings_from_docs(text_docs: DataFrame) -> DataFrame:
+    """text_docs: (doc_id, title, spans, ...) for text pages only."""
+    tokens = text_docs.select(
+        "doc_id",
+        F.explode(tokenize_udf(tokens_from_spans(F.col("spans")))).alias("word"),
+    )
+    counts = tokens.groupBy("doc_id", "word").agg(
+        F.count("*").alias("term_count")
+    )
+    w = Window.partitionBy("doc_id")
+    return counts.withColumn(
+        "doc_len", F.sum("term_count").over(w)
+    ).withColumn(
+        "tf", F.col("term_count") / F.col("doc_len")
+    ).select("word", "doc_id", "term_count", "doc_len", "tf")
+
+
+def document_frequencies(postings: DataFrame) -> DataFrame:
+    """O11 df: posting-set size per word (distinct docs)."""
+    return postings.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )

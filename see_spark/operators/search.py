@@ -1,0 +1,83 @@
+"""Conjunctive TF-IDF search as ONE lazy DataFrame plan (O6,O8-O14,O25).
+
+The reference's read path (see_db_srv.erl:107-114, SURVEY §3.1) rebuilt
+Spark-first:
+
+  tokenize query (O8, driver-side — a query is tiny)
+  -> broadcast the query-token multiset (qcount keeps duplicate query words,
+     which score multiply: see_db_srv_test.erl:193,212)
+  -> semi-join postings on word (O6: index probe)
+  -> AND semantics: HAVING count(distinct word) == |distinct query words|
+     (O9, the classic rewrite of posting-set intersection)
+  -> score = Σ qcount · tf · ln(N / (1+df))   (O10-O12; N counts ALL
+     frontier rows incl. unvisited — see_db_storage_ets.erl:133-134; IDF may
+     be negative)
+  -> orderBy(score desc, url asc).limit(k)  — TakeOrderedAndProject, a true
+     distributed top-k, no global sort (O13; tie-break pinned per SURVEY
+     §7.0)
+  -> join doc titles (O14).
+
+Plan shape at scale: postings join against a BROADCAST few-row query dict;
+one shuffle on doc_id for the candidate aggregation; top-k is
+partial-per-partition then driver-merged. The docs join happens AFTER the
+k-cut, so it touches ≤ k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.text import extract_words
+
+MAX_RESULTS = 100  # see_db_srv.erl:21
+
+
+def search(
+    spark: SparkSession,
+    query: str,
+    postings: DataFrame,
+    docs: DataFrame,
+    page_count: int,
+    k: int = MAX_RESULTS,
+) -> DataFrame:
+    """Returns (url, title, score) — top-k by desc score, url tie-break."""
+    words = extract_words(query)
+    if not words:
+        return spark.createDataFrame([], "url string, title string, score double")
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(w, c) for w, c in counts.items()], "word string, qcount int"
+        )
+    )
+    n_distinct = len(counts)
+
+    df_by_word = postings.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    matched = (
+        postings.join(qdf, "word")
+        .join(df_by_word.join(qdf.select("word"), "word", "left_semi"), "word")
+    )
+    scored = (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(
+                F.col("qcount")
+                * F.col("tf")
+                * F.log(F.lit(float(page_count)) / (F.lit(1.0) + F.col("df")))
+            ).alias("score"),
+        )
+        .filter(F.col("n_words") == n_distinct)  # AND semantics (O9)
+        .drop("n_words")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        top.join(docs.select(F.col("doc_id"), F.col("title")), "doc_id")
+        .select(F.col("doc_id").alias("url"), "title", "score")
+        .orderBy(F.desc("score"), F.asc("url"))
+    )

@@ -1,0 +1,159 @@
+"""Fetch stage: I/O-shaped mapInPandas over the checked-out batch (O17).
+
+The reference fetches one URL per RPC poll (see_crawler_worker.erl:33-46);
+here a whole round's batch is fetched inside executors, partitioned by host
+so per-host connection reuse / rate limiting is local to a task. The sandbox
+has no network, so two deterministic fetchers stand in for HTTP (the MIME /
+status / redirect routing they feed is the real see_http.erl:26-53 matrix):
+
+- ``FixtureFetcher``: resolves from the broadcast fixture-site dict
+  (tests / parity vs the oracle);
+- ``SyntheticFetcher``: derives content from the URL hash (bench runs at
+  arbitrary scale; generates interleaved text+media docs with outlinks).
+
+A production ``requests``-based fetcher drops into the same mapInPandas
+shape — the politeness gate upstream already bounds per-host concurrency.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FETCH_RESULT_FIELDS = [
+    T.StructField("url", T.StringType()),
+    T.StructField("status", T.IntegerType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("body", T.StringType()),
+    T.StructField("redirect_to", T.StringType()),
+]
+
+
+def _fetch_schema(passthrough: T.StructType) -> T.StructType:
+    keep = [f for f in passthrough.fields if f.name != "url"]
+    return T.StructType([*FETCH_RESULT_FIELDS, *keep])
+
+
+class FixtureFetcher:
+    def __init__(self, spark: SparkSession, site: Dict[str, dict]):
+        self._bc = spark.sparkContext.broadcast(site)
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        """batch: any DF with a ``url`` column; extra columns pass through.
+        Repartitioned by host upstream (checkout already did)."""
+        site_bc = self._bc
+        schema = _fetch_schema(batch.schema)
+
+        def _run(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            site = site_bc.value
+            for frame in frames:
+                if len(frame) == 0:
+                    continue
+                rows = []
+                for url in frame["url"]:
+                    entry = site.get(url)
+                    if entry is None:
+                        # connection-refused analog -> error outcome
+                        rows.append((url, None, None, None, None))
+                    else:
+                        rows.append(
+                            (
+                                url,
+                                entry["status"],
+                                entry["content_type"],
+                                entry["body"],
+                                entry["redirect_to"],
+                            )
+                        )
+                out = pd.DataFrame(
+                    rows,
+                    columns=["url", "status", "content_type", "body", "redirect_to"],
+                )
+                for col in frame.columns:
+                    if col != "url":
+                        out[col] = frame[col].to_numpy()
+                yield out
+
+        return batch.mapInPandas(_run, schema=schema)
+
+
+class SyntheticFetcher:
+    """Deterministic content from url_hash — unbounded-scale bench fetcher.
+
+    Outcome mix (by hash bucket): ~80% text/html with outlinks, ~10%
+    media/binary, ~5% redirect, ~5% error — roughly web-shaped. Bodies are
+    token sequences drawn from a fixed vocabulary so the indexer does real
+    work; outlinks point at derived URLs on a controlled host set so the
+    frontier keeps growing.
+    """
+
+    VOCAB = np.array(
+        "the of and to in a is that erlang spark crawl frontier index word "
+        "page host fetch link media text title query rank score".split()
+    )
+
+    def __init__(self, n_hosts: int = 1000, links_per_page: int = 8):
+        self.n_hosts = n_hosts
+        self.links_per_page = links_per_page
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        schema = _fetch_schema(batch.schema)
+        vocab = self.VOCAB
+        n_hosts = self.n_hosts
+        n_links = self.links_per_page
+
+        def _run(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for frame in frames:
+                if len(frame) == 0:
+                    continue
+                # determinism: use the JVM-computed xxhash64 passed through
+                # the batch (Python's hash() is process-salted).
+                h = frame["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+                bucket = (h % np.uint64(100)).astype(np.int64)
+                statuses = np.where(
+                    bucket < 80, 200,
+                    np.where(bucket < 90, 200, np.where(bucket < 95, 301, 500)),
+                )
+                ctypes = np.where(
+                    bucket < 80, "text/html",
+                    np.where(bucket < 90, "application/octet-stream", None),
+                )
+                rng_rows = []
+                for u, hh, b in zip(frame["url"], h, bucket):
+                    if b < 80:
+                        rng = np.random.default_rng(int(hh))
+                        words = vocab[rng.integers(0, len(vocab), 40)]
+                        links = " ".join(
+                            f'<a href="http://h{int(rng.integers(0, n_hosts))}.bench/'
+                            f'p{int(rng.integers(0, 10**9))}">l</a>'
+                            for _ in range(n_links)
+                        )
+                        body = (
+                            f"<html><title>doc {int(hh)}</title><body>"
+                            f"{' '.join(words)} {links}</body></html>"
+                        )
+                        rng_rows.append((body, None))
+                    elif b < 95 and b >= 90:
+                        rng_rows.append((None, f"http://h{int(hh) % n_hosts}.bench/p{int(hh) % 10**9}"))
+                    else:
+                        rng_rows.append((None, None))
+                out = pd.DataFrame(
+                    {
+                        "url": frame["url"].to_numpy(),
+                        "status": pd.array(statuses, dtype="Int32"),
+                        "content_type": ctypes,
+                        "body": [r[0] for r in rng_rows],
+                        "redirect_to": [r[1] for r in rng_rows],
+                    }
+                )
+                for col in frame.columns:
+                    if col != "url":
+                        out[col] = frame[col].to_numpy()
+                yield out
+
+        return batch.mapInPandas(_run, schema=schema)

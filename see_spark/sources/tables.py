@@ -1,0 +1,135 @@
+"""Table schemas + Iceberg DDL for the crawl engine.
+
+The reference fuses frontier + page store into one ETS/Mnesia table
+(apps/db/src/see_db_storage_ets.erl:62-63); we split into normalized tables
+(SURVEY §1.1) so each access path is a pruned columnar scan instead of a
+full-table rewrite:
+
+- ``frontier``   — crawl state machine (one row per canonical URL, ever)
+- ``docs``       — parsed interleaved span documents (input_hint schema)
+- ``postings``   — inverted index with precomputed tf (see_rank_tfidf.erl:8-11
+                   recomputes tf per query; we precompute at index time)
+- ``hoststats``  — per-host politeness bookkeeping (north-rule addition)
+- ``robots``     — robots.txt rule cache dimension (north-rule addition)
+
+In production these are Iceberg tables (``iceberg_ddl()``); the sandbox has
+no Iceberg runtime jar, so ``SnapshotCatalog`` provides the same
+snapshot/commit/time-travel contract over parquet directories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+STATE_UNVISITED = "unvisited"
+STATE_PENDING = "pending"
+STATE_VISITED = "visited"   # text page, indexed
+STATE_BINARY = "binary"     # media/binary page, recorded but never indexed
+STATE_REDIRECT = "redirect"
+STATE_ERROR = "error"
+STATE_ROBOTS = "robots_blocked"
+
+SPAN_TYPE = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("state", T.StringType(), False),
+        T.StructField("detail", T.StringType(), True),
+        T.StructField("discovered_in_round", T.IntegerType(), False),
+        T.StructField("fetched_in_round", T.IntegerType(), True),
+        T.StructField("fetch_order", T.LongType(), True),
+        T.StructField("checkout_round", T.IntegerType(), True),
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),  # canonical URL
+        T.StructField("title", T.StringType(), True),
+        T.StructField("spans", T.ArrayType(SPAN_TYPE), True),
+        T.StructField("fetched_in_round", T.IntegerType(), True),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("word", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("term_count", T.LongType(), False),
+        T.StructField("doc_len", T.LongType(), False),
+        T.StructField("tf", T.DoubleType(), False),
+    ]
+)
+
+HOSTSTATS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("last_fetch_round", T.IntegerType(), False),
+        T.StructField("fetched_total", T.LongType(), False),
+    ]
+)
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("disallow", T.ArrayType(T.StringType()), True),
+        T.StructField("fetched_in_round", T.IntegerType(), False),
+    ]
+)
+
+SCHEMAS = {
+    "frontier": FRONTIER_SCHEMA,
+    "docs": DOCS_SCHEMA,
+    "postings": POSTINGS_SCHEMA,
+    "hoststats": HOSTSTATS_SCHEMA,
+    "robots": ROBOTS_SCHEMA,
+}
+
+
+def iceberg_ddl(catalog: str = "crawl", db: str = "see") -> dict:
+    """Production DDL. Partitioning notes for the 10^10-URL design point:
+    frontier bucketed by url_hash so the seen-filter anti-join is a
+    co-partitioned join without a pre-shuffle; additional identity partition
+    on state so checkout scans prune to the unvisited slice."""
+    q = f"{catalog}.{db}"
+    return {
+        "frontier": f"""
+            CREATE TABLE {q}.frontier (
+              url string, url_hash bigint, host string, depth int, seq bigint,
+              state string, detail string, discovered_in_round int,
+              fetched_in_round int, fetch_order bigint, checkout_round int)
+            USING iceberg
+            PARTITIONED BY (state, bucket(1024, url_hash))
+            TBLPROPERTIES ('write.distribution-mode'='hash',
+                           'write.target-file-size-bytes'='536870912')
+        """,
+        "docs": f"""
+            CREATE TABLE {q}.docs (
+              doc_id string, title string,
+              spans array<struct<kind:string,text:string,media_ref:string,offset:int>>,
+              fetched_in_round int)
+            USING iceberg
+            PARTITIONED BY (bucket(1024, doc_id))
+        """,
+        "postings": f"""
+            CREATE TABLE {q}.postings (
+              word string, doc_id string, term_count bigint, doc_len bigint,
+              tf double)
+            USING iceberg
+            PARTITIONED BY (bucket(512, word))
+        """,
+        "hoststats": f"CREATE TABLE {q}.hoststats (host string, last_fetch_round int, fetched_total bigint) USING iceberg",
+        "robots": f"CREATE TABLE {q}.robots (host string, disallow array<string>, fetched_in_round int) USING iceberg",
+    }

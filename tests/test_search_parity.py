@@ -1,0 +1,81 @@
+"""Search parity: golden result sets (the integration suite analogue,
+ct/see/see_SUITE.erl:55-66) + TF-IDF score parity vs the oracle math."""
+
+import math
+
+import pytest
+
+from see_spark.core import rank as rank_kernel
+from see_spark.operators.search import search
+from see_spark.sources.fixtures import GOLDEN_QUERIES
+
+
+@pytest.fixture(scope="module")
+def search_env(spark, crawl_result):
+    catalog, _, oracle = crawl_result
+    postings = catalog.read("postings").cache()
+    docs = catalog.read("docs").cache()
+    page_count = catalog.read("frontier").count()
+    return spark, postings, docs, page_count, oracle
+
+
+@pytest.mark.parametrize("query", sorted(GOLDEN_QUERIES))
+def test_golden_result_sets(search_env, query):
+    spark, postings, docs, page_count, _ = search_env
+    got = {r["url"] for r in search(spark, query, postings, docs, page_count).collect()}
+    assert got == GOLDEN_QUERIES[query]
+
+
+def test_scores_match_oracle_math(search_env):
+    """Engine scores == pure-kernel recomputation (tf·idf over query
+    multiset, N = ALL frontier rows, 1+df smoothing, natural log)."""
+    spark, postings, docs, page_count, oracle = search_env
+    from see_spark.core.text import extract_words
+
+    for query in ("Chopin", "Alan Turing", "composer", "chopin chopin liszt"):
+        words = extract_words(query)
+        results = search(spark, query, postings, docs, page_count).collect()
+        for row in results:
+            url = row["url"]
+            page_words = []
+            for word, by_doc in oracle.postings.items():
+                page_words.extend([word] * by_doc.get(url, 0))
+            df_by_word = {w: len(oracle.postings.get(w, {})) for w in words}
+            expected = rank_kernel.rank(words, page_words, page_count, df_by_word)
+            assert row["score"] == pytest.approx(expected), (query, url)
+
+
+def test_duplicate_query_words_multiply(search_env):
+    spark, postings, docs, page_count, _ = search_env
+    single = {r["url"]: r["score"] for r in search(spark, "enigma", postings, docs, page_count).collect()}
+    triple = {r["url"]: r["score"] for r in search(spark, "enigma enigma enigma", postings, docs, page_count).collect()}
+    assert set(single) == set(triple)
+    for url in single:
+        assert triple[url] == pytest.approx(3 * single[url])
+
+
+def test_empty_and_missing_queries(search_env):
+    spark, postings, docs, page_count, _ = search_env
+    assert search(spark, "", postings, docs, page_count).count() == 0
+    assert search(spark, "nosuchword", postings, docs, page_count).count() == 0
+    # AND semantics: present word + missing word -> empty
+    assert search(spark, "chopin nosuchword", postings, docs, page_count).count() == 0
+
+
+def test_results_ordered_desc_score_url_tiebreak(search_env):
+    spark, postings, docs, page_count, _ = search_env
+    rows = search(spark, "chopin", postings, docs, page_count).collect()
+    keys = [(-r["score"], r["url"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_negative_idf_ranks_common_words_low(search_env):
+    """A word on >half the indexed corpus gets negative IDF (ln(N/(1+df)))
+    only if df+1 > N — with unvisited rows in N this is rare; assert the
+    formula end-to-end instead via a known df."""
+    spark, postings, docs, page_count, oracle = search_env
+    rows = search(spark, "chopin", postings, docs, page_count).collect()
+    df = len(oracle.postings["chopin"])
+    for row in rows:
+        tf = oracle.postings["chopin"].get(row["url"], 0) / oracle.doc_len[row["url"]]
+        assert row["score"] == pytest.approx(tf * math.log(page_count / (1 + df)))
