@@ -1,0 +1,236 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's URL-level dedup (O2), these are content-level
+dedup strategies over a document corpus — first-class engine capabilities
+for the 100 TB design point:
+
+- exact dedup: hash-groupBy on the full text (one shuffle, map-side combine)
+- n-gram Jaccard: shingle self-join (bounded by shingle frequency cap)
+- MinHash + LSH: signature via k universal hashes over shingle hashes;
+  banding turns all-pairs into an equi-join on (band, band_hash) buckets —
+  the only strategy that survives 10^9+ docs
+- SimHash: weighted bit-vote fingerprint, hamming-adjacent buckets
+- embedding cosine near-dup: exact all-pairs (small) — the LSH-bucketed
+  scale path lives in operators/similarity.py
+
+Determinism: every hash derives from md5(text) hex (identical in Spark and
+DuckDB), so each operator has an exact SQL oracle. 60-bit hash =
+conv(substr(md5(x),1,15),16,10); MinHash uses (a*h+b) mod p with
+p = 2^31-1 and h,a,b < 2^31 so products fit in a signed 64-bit integer in
+BOTH engines (no silent overflow divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+
+def hash60(col):
+    """60-bit deterministic hash shared bit-for-bit with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) groupBy; canonical = min(doc_id).
+    Returns (doc_id, text_hash, group_size, is_canonical)."""
+    hashed = docs.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("group_size", F.count("*").over(w))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_canonical", (F.col("doc_id") == F.col("canonical_id")).cast("int"))
+        .select("doc_id", "text_hash", "group_size", "is_canonical")
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle): distinct n-word shingles by whitespace tokens.
+    Built JVM-side: split -> transform(sequence) -> explode; no UDF."""
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with n-gram Jaccard >= threshold (exact).
+
+    Self-join on shingle; |A ∪ B| = |A| + |B| - |A ∩ B|. Scale note: the
+    join key is the shingle — at corpus scale, cap ubiquitous shingles
+    (document-frequency cut) before the join; at sandbox scale exact is fine.
+    """
+    sh = word_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_seeds(spark, num_hashes: int) -> DataFrame:
+    """Deterministic (seed_id, a, b) with 0 < a,b < 2^31-1 — same closed
+    form the oracle SQL generates with range()."""
+    return spark.range(num_hashes).select(
+        F.col("id").alias("seed_id"),
+        ((F.lit(1103515245) * (F.col("id") + 1) + 12345) % MERSENNE31 + 1).alias("a"),
+        ((F.col("id") * 7919 + 13) % MERSENNE31).alias("b"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 32, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, seed_id, minhash): MinHash signature rows.
+
+    h(shingle) reduced mod 2^31-1, then k universal hashes (a*h+b) mod p.
+    Shuffle shape: shingles x seeds is a broadcast nested-loop against a
+    k-row dim (cheap), then one groupBy (doc_id, seed_id) with map-side min.
+    """
+    spark = docs.sparkSession
+    sh = word_shingles(docs, n, text_col, id_col).withColumn(
+        "h", hash60(F.col("shingle")) % MERSENNE31
+    )
+    seeds = F.broadcast(_minhash_seeds(spark, num_hashes))
+    return (
+        sh.crossJoin(seeds)
+        .groupBy("doc_id", "seed_id")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MERSENNE31).alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3,
+    threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard.
+
+    Band key = md5 of the band's ordered minhash values; docs sharing any
+    band bucket become candidates (equi-join on (band, key) — THE scalable
+    move: no all-pairs). Candidates are then verified with exact shingle
+    Jaccard so false positives never escape.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    band_keys = (
+        sig.withColumn("band", (F.col("seed_id") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed_id", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    cands = (
+        band_keys.alias("a")
+        .join(band_keys.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, n, 0.0, text_col, id_col)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame, num_bits: int = 48,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, simhash): weighted bit-vote fingerprint.
+
+    Token-frequency-weighted votes per bit of the token's 60-bit hash;
+    bit set iff the vote sum is positive. 48 bits so the assembled
+    fingerprint stays well inside a signed 64-bit int in both engines.
+    Shape: tokens x bits explode (48x) -> one groupBy (doc_id, bit) ->
+    one groupBy doc_id; all map-side combinable.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    hashed = toks.withColumn("h", hash60(F.col("tok")))
+    bits = F.broadcast(
+        docs.sparkSession.range(num_bits).select(F.col("id").alias("bit"))
+    )
+    votes = (
+        hashed.crossJoin(bits)
+        .withColumn(
+            "vote",
+            (F.shiftright(F.col("h"), F.col("bit").cast("int")) % 2 * 2 - 1)
+            * F.col("cnt"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs (all-pairs — correctness baseline; the
+    LSH-bucketed scale path is similarity.knn_lsh_bucketed)."""
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("norm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            (dot(F.col("a.vec"), F.col("b.vec"))
+             / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

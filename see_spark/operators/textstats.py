@@ -1,0 +1,114 @@
+"""Text analysis operators for training-data curation.
+
+All JVM-side Catalyst expressions (regex/arith/array builtins) — no UDFs —
+so each has an exact ANSI-SQL oracle and stays inside whole-stage codegen:
+
+- language-ID: stopword-hit n-gram heuristic with pinned argmax tie-break
+- quality scoring: length / punctuation / stopword / repetition ratios
+- token counting: whitespace tokens + a BPE-ish word-piece regex count
+- document fingerprinting: rolling min-hash over word shingles (winnowing
+  baseline) shared with dedup.hash60
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash60
+
+# tiny deterministic stopword lists per language (heuristic lang-id)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def _hits(toks, words) -> "F.Column":
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predicted language = argmax stopword hits, ties broken by language
+    code ascending (pinned). Returns (doc_id, predicted_lang, best_hits)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    out = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(f"hits_{lang}", _hits(F.col("__toks"), words))
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):  # earlier langs win ties -> apply last
+        pred = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return out.select(
+        "doc_id", pred.alias("predicted_lang"), best.cast("long").alias("best_hits")
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score:
+    n_chars, n_tokens, mean token length, punctuation ratio, stopword ratio,
+    distinct-token ratio (repetition proxy). Formula is arbitrary but pinned:
+      score = min(n_tokens,200)/200 * distinct_ratio * (0.5 + 0.5*stop_ratio)
+    """
+    toks = F.split(F.col(text_col), " ")
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.length(F.regexp_replace(text_col, r"[^ ]", "")) + 1).cast("long").alias("n_ws_plus1"),
+        (F.size(toks) - F.size(F.array_distinct(toks))).cast("long").alias("n_repeats"),
+        F.size(F.filter(toks, lambda t: F.array_contains(en, t))).cast("long").alias("n_stop"),
+        F.length(F.regexp_replace(text_col, r"[^!-/:-@\[-`{-~]", "")).cast("long").alias("n_punct"),
+    )
+    return out.select(
+        "doc_id", "n_chars", "n_tokens",
+        (F.col("n_chars") / F.col("n_tokens")).alias("mean_tok_len"),
+        (F.col("n_punct") / F.col("n_chars")).alias("punct_ratio"),
+        (F.col("n_stop") / F.col("n_tokens")).alias("stop_ratio"),
+        (1.0 - F.col("n_repeats") / F.col("n_tokens")).alias("distinct_ratio"),
+        (
+            F.least(F.col("n_tokens"), F.lit(200)) / 200.0
+            * (1.0 - F.col("n_repeats") / F.col("n_tokens"))
+            * (0.5 + 0.5 * F.col("n_stop") / F.col("n_tokens"))
+        ).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count, BPE-ish word-piece count (runs of letters,
+    runs of digits, single punct — the classic GPT-2-style pretokenizer
+    shape as a regex), and distinct whitespace tokens."""
+    toks = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("ws_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rolling-hash document fingerprint: min 60-bit hash over n-word
+    shingles (the winnowing baseline: one representative hash per doc).
+    Equal fingerprints => near-identical prefixes/content with high prob."""
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(F.transform(shingles, lambda s: hash60(s))).alias("fingerprint"),
+    )
