@@ -1,0 +1,155 @@
+"""Scaling-efficiency evidence (BASELINE.md protocol).
+
+The north rule's two-cluster-size criterion (throughput efficiency >= 0.8
+from N to 4N executors) cannot use a real cluster in this sandbox, so per
+the driver instruction it is evidenced as the SAME job at two parallelism
+levels — local[8] vs local[32] — on identical input, reporting throughput
+at both plus efficiency = T(4N) / (4 * T(N)) where T is throughput
+(urls/sec), i.e. speedup/4.
+
+Also captures the determinism contract: the fixture-site crawl's visit
+order and URL-seen set must be byte-identical at both parallelism levels
+(each run in its own JVM/process).
+
+Writes BENCH/BASELINE.md. Usage: python BENCH/run_scaling.py [frontier_n]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CRAWL_SNIPPET = r"""
+import json, sys, tempfile
+sys.path.insert(0, {repo!r})
+from see_spark.session import get_spark
+from see_spark.sources.catalog import SnapshotCatalog
+from see_spark.sources.fixtures import fixture_site, fixture_robots, SEED_URLS, DOMAIN_FILTER
+from see_spark.sources.fetcher import FixtureFetcher
+from see_spark.operators.crawl import CrawlConfig, run_crawl
+
+spark = get_spark(cores={cores})
+spark.sparkContext.setLogLevel("ERROR")
+cat = SnapshotCatalog(tempfile.mkdtemp(), spark)
+cfg = CrawlConfig(domain_filter=DOMAIN_FILTER, host_budget=2, max_rounds=30)
+run_crawl(spark, cat, FixtureFetcher(spark, fixture_site()), cfg,
+          seeds=SEED_URLS, robots=fixture_robots())
+rows = cat.read("frontier").collect()
+visit = [r["url"] for r in sorted((r for r in rows if r["fetch_order"] is not None),
+                                  key=lambda r: r["fetch_order"])]
+seen = sorted(r["url"] for r in rows)
+print(json.dumps({{"visit_order": visit, "seen": seen}}))
+"""
+
+
+def run_bench(cores: int, frontier_n: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        SEE_BENCH_FRONTIER_N=str(frontier_n),
+        SPARK_GRAFT_SF_DIR=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        ),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"bench at {cores} cores produced no JSON: {out.stderr[-2000:]}")
+
+
+def run_crawl_order(cores: int) -> dict:
+    code = CRAWL_SNIPPET.format(repo=REPO, cores=cores)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=REPO, timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"crawl at {cores} cores produced no JSON: {out.stderr[-2000:]}")
+
+
+def main():
+    frontier_n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+
+    results = {}
+    for cores in (8, 32):
+        results[cores] = run_bench(cores, frontier_n)
+        print(f"local[{cores}]: {json.dumps(results[cores]['throughput'])}")
+
+    t8 = results[8]["throughput"]
+    t32 = results[32]["throughput"]
+    eff_sched = (t32["frontier_urls_per_sec"] / t8["frontier_urls_per_sec"]) / 4
+    eff_fetch = (t32["fetch_docs_per_sec"] / t8["fetch_docs_per_sec"]) / 4
+
+    orders = {}
+    for cores in (8, 32):
+        orders[cores] = run_crawl_order(cores)
+    order_match = orders[8]["visit_order"] == orders[32]["visit_order"]
+    seen_match = orders[8]["seen"] == orders[32]["seen"]
+
+    md = f"""# BENCH/BASELINE — measured results
+
+Protocol: BASELINE.md — same job, two parallelism levels (local[8] = N,
+local[32] = 4N), identical input (synthetic frontier n={frontier_n:,},
+seeded; candidates = n/2 with 50% overlap). Each level runs in its own JVM.
+Efficiency = T(4N) / (4 x T(N)), T = throughput.
+
+## Frontier scheduling (URLs scheduled+deduped/sec)
+
+| cores | urls/sec | wall sec |
+|---|---|---|
+| 8 (N) | {t8['frontier_urls_per_sec']:,} | {t8['frontier_detail']['sec']} |
+| 32 (4N) | {t32['frontier_urls_per_sec']:,} | {t32['frontier_detail']['sec']} |
+
+**Scaling efficiency: {eff_sched:.2f}** (target >= 0.8)
+
+## Fetch+parse (fetched-docs/sec, full crawl round)
+
+| cores | docs/sec | fetched | wall sec |
+|---|---|---|---|
+| 8 (N) | {t8['fetch_docs_per_sec']:,} | {t8['fetch_detail']['fetched']:,} | {t8['fetch_detail']['sec']} |
+| 32 (4N) | {t32['fetch_docs_per_sec']:,} | {t32['fetch_detail']['fetched']:,} | {t32['fetch_detail']['sec']} |
+
+**Scaling efficiency: {eff_fetch:.2f}** (target >= 0.8)
+
+## Determinism across parallelism (north-rule correctness gate)
+
+Fixture-site crawl in separate processes at local[8] and local[32]:
+- visit order byte-identical: **{order_match}** ({len(orders[8]['visit_order'])} visits)
+- URL-seen set identical: **{seen_match}** ({len(orders[8]['seen'])} URLs)
+
+## Headline queries (sec, sf={results[32]['sf']})
+
+| query | local[8] | local[32] |
+|---|---|---|
+"""
+    for name in results[32]["queries"]:
+        md += f"| {name} | {results[8]['queries'][name]} | {results[32]['queries'][name]} |\n"
+    md += "\nRaw JSON:\n\n```json\n"
+    md += json.dumps({str(k): v for k, v in results.items()}, indent=2)
+    md += "\n```\n"
+
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path, "w") as fh:
+        fh.write(md)
+    print(f"wrote {out_path}")
+    print(
+        f"sched_eff={eff_sched:.2f} fetch_eff={eff_fetch:.2f} "
+        f"order_match={order_match} seen_match={seen_match}"
+    )
+
+
+if __name__ == "__main__":
+    main()

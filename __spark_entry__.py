@@ -269,10 +269,13 @@ def _q_tfidf_search(spark, sf_dir):
     qdf = F.broadcast(
         spark.createDataFrame([(w,) for w in _SEARCH_WORDS], "word string")
     )
-    df_by_word = postings.groupBy("word").agg(
-        F.countDistinct("doc_id").alias("df")
+    # df computed FROM the query-matched postings (same values as a global
+    # df for those words) so the tokenize UDF runs once, not twice
+    qmatched = postings.join(qdf, "word").localCheckpoint(eager=False)
+    df_by_word = F.broadcast(
+        qmatched.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     )
-    matched = postings.join(qdf, "word").join(df_by_word, "word")
+    matched = qmatched.join(df_by_word, "word")
     scored = (
         matched.groupBy("doc_id")
         .agg(
@@ -308,6 +311,313 @@ def _q_point_lookup(spark, sf_dir):
     )
 
 
+# --- training-data pipeline operators (documents / embeddings / events) -----
+
+def _dup_corpus(spark, sf_dir):
+    """documents ∪ re-keyed copies of every 10th doc — injects exact dups so
+    dedup operators have real groups to find."""
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+_DUP_CORPUS_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+    UNION ALL
+    SELECT CAST(doc_id + 100000 AS BIGINT) AS doc_id, text
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from see_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_dup_corpus(spark, sf_dir)).select(
+        "doc_id", "text_hash",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("is_canonical").cast("long").alias("is_canonical"),
+    )
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from see_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        n=3, threshold=0.1,
+    ).select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    from see_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        num_hashes=16, n=3,
+    ).select("doc_id", F.col("seed_id").cast("long").alias("seed_id"), "minhash")
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from see_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        num_hashes=16, bands=4, n=3, threshold=0.1,
+    ).select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _q_simhash(spark, sf_dir):
+    from see_spark.operators.dedup import simhash
+
+    return simhash(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        num_bits=48,
+    )
+
+
+def _qvecs(spark, sf_dir):
+    """Embeddings quantized to integer milli-units: every arithmetic step
+    downstream (int dot products, sqrt, one division) is then bit-exact in
+    ANY engine and ANY summation order — the float-determinism strategy for
+    all oracle-checked vector ops."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000, 0).cast("long"),
+        ).alias("embedding"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+_QVEC_SQL = """
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v,
+           CAST(label AS BIGINT) AS label
+    FROM embeddings
+"""
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from see_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _qvecs(spark, sf_dir), threshold=0.45
+    ).select("vec_a", "vec_b", "cosine")
+
+
+def _q_knn_bruteforce(spark, sf_dir):
+    from see_spark.operators.similarity import knn_bruteforce
+
+    vecs = _qvecs(spark, sf_dir)
+    queries_df = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_bruteforce(vecs, queries_df, k=10).select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_knn_lsh(spark, sf_dir):
+    from see_spark.operators.similarity import knn_lsh_bucketed
+
+    vecs = _qvecs(spark, sf_dir)
+    queries_df = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_lsh_bucketed(vecs, queries_df, k=10, n_planes=6, dim=64).select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from see_spark.operators.textstats import language_id
+
+    return language_id(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+
+
+def _q_quality_score(spark, sf_dir):
+    from see_spark.operators.textstats import quality_score
+
+    return quality_score(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+
+
+def _q_token_counts(spark, sf_dir):
+    from see_spark.operators.textstats import token_counts
+
+    return token_counts(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    from see_spark.operators.textstats import fingerprint
+
+    return fingerprint(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        n=5,
+    )
+
+
+def _q_media_inventory(spark, sf_dir):
+    from see_spark.operators.multimodal import media_from_documents
+
+    return media_from_documents(_documents(spark, sf_dir)).select(
+        "media_id", "kind", "n_bytes"
+    )
+
+
+def _q_media_frame_sample(spark, sf_dir):
+    from see_spark.operators.multimodal import frame_sample, media_from_documents
+
+    media = media_from_documents(_documents(spark, sf_dir))
+    return frame_sample(media, every_n_bytes=50, stride=3).select(
+        "media_id", F.col("frame_no").cast("long").alias("frame_no")
+    )
+
+
+def _events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # quantize the double value to exact milli-units so group sums are
+    # integer-exact in any engine / any aggregation order; parquet naive
+    # timestamps arrive as TIMESTAMP_NTZ — cast to session-TZ (UTC) so
+    # unix_micros applies and matches DuckDB's naive epoch_us
+    return ev.withColumn(
+        "value", F.round(F.col("value") * 1000, 0).cast("long")
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _q_events_tumbling(spark, sf_dir):
+    from see_spark.streaming.windows import tumbling_counts
+
+    out = tumbling_counts(_events(spark, sf_dir), "1 hour")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("long").alias("sum_value_milli"),
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    from see_spark.streaming.windows import sessionize
+
+    out = sessionize(_events(spark, sf_dir), gap_minutes=30)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_no").cast("long").alias("session_no"),
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        F.col("sum_value").cast("long").alias("sum_value_milli"),
+    )
+
+
+# --- relational breadth (TPC-H-style; quantized money for exact sums) -------
+
+def _q_tpch_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_price_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_c).alias("sum_qty_c"),
+            F.sum(price_c).alias("sum_price_c"),
+            F.sum(disc_price_c).alias("sum_disc_price_c"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_top_orders(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    revenue_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.sum(revenue_c).alias("revenue_c"))
+        .orderBy(F.desc("revenue_c"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+def _q_region_order_counts(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        o.join(dim, o.o_custkey == dim.c_custkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+QUERIES_BATCH2 = {
+    "dedup_exact": _q_dedup_exact,
+    "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+    "dedup_minhash_signatures": _q_minhash_signatures,
+    "dedup_minhash_lsh": _q_minhash_lsh,
+    "dedup_simhash": _q_simhash,
+    "embedding_near_dup": _q_embedding_near_dup,
+    "knn_bruteforce": _q_knn_bruteforce,
+    "knn_lsh_bucketed": _q_knn_lsh,
+    "lang_id": _q_lang_id,
+    "quality_score": _q_quality_score,
+    "token_counts": _q_token_counts,
+    "doc_fingerprint": _q_fingerprint,
+    "media_inventory": _q_media_inventory,
+    "media_frame_sample": _q_media_frame_sample,
+    "events_tumbling": _q_events_tumbling,
+    "events_sessionize": _q_events_sessionize,
+    "tpch_pricing_summary": _q_tpch_pricing_summary,
+    "tpch_top_orders": _q_tpch_top_orders,
+    "region_order_counts": _q_region_order_counts,
+}
+
+
 QUERIES_BATCH1 = {
     "frontier_checkout_window": _q_frontier_checkout,
     "url_seen_anti_join": _q_url_seen,
@@ -325,6 +635,301 @@ QUERIES_BATCH1 = {
     "search_projection": _q_search_projection,
     "point_lookup": _q_point_lookup,
 }
+
+# shared CTE fragments for batch-2 oracles ----------------------------------
+
+_SHINGLES3_SQL = """
+    toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                    string_split(text, ' ') AS t
+             FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t)-2, 1)+1),
+                         i -> array_to_string(t[i:i+2], ' '))) AS shingle
+           FROM toks)
+"""
+
+_JACCARD_SQL = f"""
+    WITH {_SHINGLES3_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT doc_a, doc_b,
+             ROUND(c / (sa.n + sb.n - c), 9) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+"""
+
+_MINHASH_SQL = f"""
+    WITH {_SHINGLES3_SQL},
+    seeds AS (SELECT range AS seed_id,
+                     (1103515245*(range+1) + 12345) % 2147483647 + 1 AS a,
+                     (range*7919 + 13) % 2147483647 AS b
+              FROM range(16)),
+    hashed AS (SELECT doc_id,
+                      ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+               FROM sh),
+    sig AS (SELECT doc_id, CAST(seed_id AS BIGINT) AS seed_id,
+                   MIN((a*h + b) % 2147483647) AS minhash
+            FROM hashed CROSS JOIN seeds GROUP BY 1, 2)
+"""
+
+_QNORM_SQL = f"""
+    WITH q AS ({{qvec}}),
+    nv AS (SELECT vec_id, v,
+                  sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE)) AS nrm
+           FROM q)
+"""
+
+ORACLES_BATCH2 = {
+    "dedup_exact": f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        h AS (SELECT doc_id, md5(text) AS text_hash FROM corpus)
+        SELECT doc_id, text_hash,
+               COUNT(*) OVER (PARTITION BY text_hash) AS group_size,
+               CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text_hash)
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        FROM h
+    """,
+    "dedup_ngram_jaccard": f"""
+        {_JACCARD_SQL}
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.1
+    """,
+    "dedup_minhash_signatures": f"""
+        {_MINHASH_SQL}
+        SELECT doc_id, seed_id, minhash FROM sig
+    """,
+    "dedup_minhash_lsh": f"""
+        {_MINHASH_SQL},
+        bands AS (
+          SELECT doc_id, seed_id // 4 AS band,
+                 md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed_id)) AS band_key
+          FROM sig GROUP BY doc_id, seed_id // 4),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT doc_a, doc_b, ROUND(c / (sa.n + sb.n - c), 9) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b)
+        SELECT j.doc_a, j.doc_b, j.jaccard
+        FROM jac j JOIN cands USING (doc_a, doc_b)
+        WHERE j.jaccard >= 0.1
+    """,
+    "dedup_simhash": """
+        WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                             unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h, cnt
+               FROM tc),
+        votes AS (
+          SELECT doc_id, b.range AS bit,
+                 SUM(((h >> CAST(b.range AS INT)) % 2 * 2 - 1) * cnt) AS v
+          FROM th CROSS JOIN range(48) b GROUP BY 1, 2)
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                        ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "embedding_near_dup": _QNORM_SQL.format(qvec=_QVEC_SQL) + """
+        SELECT * FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 CAST(list_sum(list_transform(range(1, len(a.v)+1),
+                               i -> a.v[i]*b.v[i])) AS DOUBLE)
+                   / (a.nrm * b.nrm) AS cosine
+          FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
+        WHERE cosine >= 0.45
+    """,
+    "knn_bruteforce": _QNORM_SQL.format(qvec=_QVEC_SQL) + """
+        , qs AS (SELECT * FROM nv WHERE vec_id < 5),
+        scored AS (
+          SELECT qs.vec_id AS query_id, nv.vec_id AS vec_id,
+                 CAST(list_sum(list_transform(range(1, len(qs.v)+1),
+                               i -> qs.v[i]*nv.v[i])) AS DOUBLE)
+                   / (qs.nrm * nv.nrm) AS cosine
+          FROM qs CROSS JOIN nv)
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored QUALIFY rank <= 10
+    """,
+    "knn_lsh_bucketed": _QNORM_SQL.format(qvec=_QVEC_SQL) + """
+        , bucketed AS (
+          SELECT vec_id, v, nrm,
+                 list_sum(list_transform(range(0, 6), j ->
+                   CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+                          i -> v[i] * ((i*(j+7)) % 3 - 1))) > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)) AS bucket
+          FROM nv),
+        qs AS (SELECT * FROM bucketed WHERE vec_id < 5),
+        scored AS (
+          SELECT qs.vec_id AS query_id, e.vec_id AS vec_id,
+                 CAST(list_sum(list_transform(range(1, len(qs.v)+1),
+                               i -> qs.v[i]*e.v[i])) AS DOUBLE)
+                   / (qs.nrm * e.nrm) AS cosine
+          FROM qs JOIN bucketed e ON qs.bucket = e.bucket)
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored QUALIFY rank <= 10
+    """,
+    "lang_id": """
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          string_split(lower(text), ' ') AS toks
+                   FROM documents),
+        h AS (SELECT doc_id,
+          CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS BIGINT) AS hits_de,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS hits_en,
+          CAST(len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un'], x))) AS BIGINT) AS hits_es,
+          CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un'], x))) AS BIGINT) AS hits_fr,
+          CAST(len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) AS BIGINT) AS hits_zh
+          FROM t)
+        SELECT doc_id,
+               CASE WHEN hits_de = best THEN 'de'
+                    WHEN hits_en = best THEN 'en'
+                    WHEN hits_es = best THEN 'es'
+                    WHEN hits_fr = best THEN 'fr'
+                    ELSE 'zh' END AS predicted_lang,
+               best AS best_hits
+        FROM (SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) AS best
+              FROM h)
+    """,
+    "quality_score": """
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                          string_split(text, ' ') AS toks
+                   FROM documents),
+        feats AS (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS n_repeats,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
+          CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
+          FROM t)
+        SELECT doc_id, n_chars, n_tokens,
+               n_chars / n_tokens AS mean_tok_len,
+               n_punct / n_chars AS punct_ratio,
+               n_stop / n_tokens AS stop_ratio,
+               1.0 - n_repeats / n_tokens AS distinct_ratio,
+               least(n_tokens, 200) / 200.0
+                 * (1.0 - n_repeats / n_tokens)
+                 * (0.5 + 0.5 * n_stop / n_tokens) AS quality
+        FROM feats
+    """,
+    "token_counts": """
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                          string_split(text, ' ') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS ws_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                    AS BIGINT) AS bpe_ish_tokens
+        FROM t
+    """,
+    "doc_fingerprint": """
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          string_split(text, ' ') AS tk
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_transform(range(1, greatest(len(tk)-4, 1)+1),
+                             i -> array_to_string(tk[i:i+4], ' '))) AS s
+               FROM t)
+        SELECT doc_id,
+               MIN(('0x' || substr(md5(s), 1, 15))::BIGINT) AS fingerprint
+        FROM sh GROUP BY doc_id
+    """,
+    "media_inventory": """
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    "media_frame_sample": """
+        WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                          CAST(doc_id % 3 AS INT) AS k,
+                          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                   FROM documents)
+        SELECT media_id,
+               CAST(unnest(generate_series(0,
+                    greatest(CAST(floor(n_bytes/50.0) AS INT), 0), 3)) AS BIGINT)
+                 AS frame_no
+        FROM m WHERE k = 2
+    """,
+    "events_tumbling": """
+        WITH ev AS (SELECT *, CAST(round(value*1000) AS BIGINT) AS value_m
+                    FROM events)
+        SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+               event_type, COUNT(*) AS n_events,
+               SUM(value_m) AS sum_value_milli
+        FROM ev GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH ev AS (SELECT user_id, ts,
+                           CAST(round(value*1000) AS BIGINT) AS value_m
+                    FROM events),
+        marked AS (
+          SELECT user_id, ts, value_m,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT user_id, ts, value_m,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM marked)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(session_no AS BIGINT) AS session_no,
+               epoch_us(MIN(ts)) AS session_start_us,
+               epoch_us(MAX(ts)) AS session_end_us,
+               COUNT(*) AS n_events,
+               SUM(value_m) AS sum_value_milli
+        FROM sess GROUP BY 1, 2
+    """,
+    "tpch_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+               SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
+               SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+                 AS sum_disc_price_c,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_top_orders": """
+        SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+               SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+                 AS revenue_c
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey
+        ORDER BY revenue_c DESC, orderkey ASC LIMIT 10
+    """,
+    "region_order_counts": """
+        SELECT r_name, COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+}
+
 
 ORACLES_BATCH1 = {
     "frontier_checkout_window": f"""
@@ -454,8 +1059,8 @@ ORACLES_BATCH1 = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES_BATCH1)
+    return {**QUERIES_BATCH1, **QUERIES_BATCH2}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES_BATCH1)
+    return {**ORACLES_BATCH1, **ORACLES_BATCH2}

@@ -1,0 +1,168 @@
+"""Benchmark harness: headline throughput at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "throughput": {...}}
+
+Sections:
+- frontier scheduling throughput (the north-rule headline): bloom-prefiltered
+  URL-seen dedup + politeness checkout over a lazily synthesized skewed
+  frontier — URLs scheduled+deduped/sec;
+- fetch+parse throughput: one full crawl round over the synthetic fetcher —
+  fetched-docs/sec;
+- representative analytics queries from __spark_entry__ at the given SF.
+
+Config via env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SEE_BENCH_FRONTIER_N (default 2_000_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def bench_frontier_scheduling(spark, n_frontier: int, n_candidates: int):
+    """URLs scheduled+deduped/sec: candidates -> bloom pre-filter -> exact
+    anti-join -> within-batch dedup -> per-host budget window."""
+    from pyspark.sql import functions as F
+
+    from see_spark.functions import bloom as bloomlib
+    from see_spark.operators import frontier as fops
+    from see_spark.sources.synth import synth_candidates, synth_frontier
+
+    frontier = synth_frontier(spark, n_frontier).localCheckpoint(eager=True)
+    cands = synth_candidates(spark, n_candidates, n_frontier).localCheckpoint(
+        eager=True
+    )
+
+    def run():
+        bloom = bloomlib.build_bloom(
+            frontier.select("url_hash"),
+            n_bits=bloomlib.bits_for(n_frontier), k=7,
+        )
+        probe = bloomlib.maybe_seen_udf(spark, bloom)
+        fresh = fops.dedup_within_batch(
+            fops.seen_filter(cands, frontier, probe), "link_rank"
+        )
+        batch = fops.checkout(
+            frontier.unionByName(
+                fops.as_frontier_rows(
+                    fresh, F.col("parent_depth") + 1, 1, n_frontier
+                )
+            ),
+            spark.createDataFrame([], "host string, last_fetch_round int, fetched_total long"),
+            round_no=1,
+            host_budget=100,
+        )
+        return batch.count()
+
+    sec, n_scheduled = _timed(run)
+    return {
+        "sec": round(sec, 3),
+        "urls_in": n_candidates,
+        "scheduled": n_scheduled,
+        "urls_per_sec": round(n_candidates / sec),
+    }
+
+
+def bench_crawl_round(spark, n_frontier: int):
+    """fetched-docs/sec over one full round: checkout -> synthetic fetch ->
+    route -> parse spans -> postings -> link discovery -> commits."""
+    from see_spark.operators.crawl import CrawlConfig, run_round
+    from see_spark.sources.catalog import SnapshotCatalog
+    from see_spark.sources.fetcher import SyntheticFetcher
+    from see_spark.sources.synth import synth_frontier
+
+    catalog = SnapshotCatalog(tempfile.mkdtemp(prefix="see_bench_"), spark)
+    frontier = synth_frontier(spark, n_frontier, n_hosts=2000)
+    catalog.commit("frontier", frontier, {"round": -1, "next_seq": n_frontier, "fetched_total": 0})
+    config = CrawlConfig(host_budget=50, use_bloom=True, bloom_bits=1 << 24)
+
+    def run():
+        return run_round(spark, catalog, SyntheticFetcher(), config, round_no=0)
+
+    sec, metrics = _timed(run)
+    return {
+        "sec": round(sec, 3),
+        "fetched": metrics.checked_out,
+        "discovered": metrics.discovered,
+        "docs_per_sec": round(metrics.checked_out / sec),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    frontier_n = int(os.environ.get("SEE_BENCH_FRONTIER_N", "2000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from see_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name="see_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    # warm up executors + Python UDF workers so the first timed query isn't
+    # charged for JVM/worker startup
+    from pyspark.sql import functions as F
+    from see_spark.functions.udfs import tokenize_udf
+
+    spark.range(1000).select(
+        tokenize_udf(F.lit("warm up words")).alias("w")
+    ).count()
+
+    all_queries = entry.queries()
+    headline = [
+        "tfidf_search",
+        "tokenize_postings",
+        "frontier_checkout_window",
+        "url_seen_anti_join",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "knn_bruteforce",
+        "events_sessionize",
+        "tpch_pricing_summary",
+    ]
+    query_secs = {}
+    for name in headline:
+        fn = all_queries[name]
+        # count() forces full execution without driver-side row transfer
+        sec, _ = _timed(lambda: fn(spark, sf_dir).count())
+        query_secs[name] = round(sec, 3)
+
+    sched = bench_frontier_scheduling(spark, frontier_n, frontier_n // 2)
+    crawl = bench_crawl_round(spark, min(frontier_n // 4, 200_000))
+
+    total = round(sum(query_secs.values()) + sched["sec"] + crawl["sec"], 3)
+    result = {
+        "metric": "frontier URLs scheduled+deduped/sec; fetched-docs/sec; headline query secs",
+        "value": total,
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": sf,
+        "cpus": cpus,
+        "throughput": {
+            "frontier_urls_per_sec": sched["urls_per_sec"],
+            "frontier_detail": sched,
+            "fetch_docs_per_sec": crawl["docs_per_sec"],
+            "fetch_detail": crawl,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,11 +52,19 @@ class Bloom:
         )
 
     def add_many(self, hashes: np.ndarray) -> None:
+        # np.bitwise_or.at is a slow element-wise scatter; sort positions by
+        # word index and OR runs with reduceat instead (~10x faster).
         pos = _positions(hashes, self.n_bits, self.k).ravel()
-        np.bitwise_or.at(
-            self.words, pos >> np.uint64(6),
-            np.uint64(1) << (pos & np.uint64(63)),
+        word_idx = (pos >> np.uint64(6)).astype(np.int64)
+        bits = np.uint64(1) << (pos & np.uint64(63))
+        order = np.argsort(word_idx, kind="stable")
+        word_sorted = word_idx[order]
+        bits_sorted = bits[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], word_sorted[1:] != word_sorted[:-1]))
         )
+        merged = np.bitwise_or.reduceat(bits_sorted, starts)
+        self.words[word_sorted[starts]] |= merged
 
     def contains_many(self, hashes: np.ndarray) -> np.ndarray:
         if len(hashes) == 0:
@@ -66,12 +74,23 @@ class Bloom:
         return bits.all(axis=1)
 
 
+def bits_for(n_rows: int, bits_per_row: int = 10, cap: int = 1 << 28) -> int:
+    """Bloom sizing: ~10 bits/element ≈ 1% fpp; power of two, capped."""
+    want = max(1 << 16, n_rows * bits_per_row)
+    n = 1 << (want - 1).bit_length()
+    return min(n, cap)
+
+
 def build_bloom(
     df: DataFrame, hash_col: str = "url_hash",
     n_bits: int = 1 << 24, k: int = 7,
+    max_build_partitions: int = 16,
 ) -> Bloom:
-    """Distributed build: per-partition bitmaps OR-ed on the driver."""
+    """Distributed build: per-partition bitmaps OR-ed on the driver.
+    Coalesce bounds the number of bitmap copies shipped to the driver
+    (each is n_bits/8 bytes — the dominant cost for small inputs)."""
     schema = T.StructType([T.StructField("bitmap", T.BinaryType())])
+    df = df.coalesce(max_build_partitions)
 
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bloom = Bloom(n_bits, k)

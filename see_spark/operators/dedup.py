@@ -51,8 +51,10 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     """(doc_id, shingle): distinct n-word shingles by whitespace tokens.
     Built JVM-side: split -> transform(sequence) -> explode; no UDF."""
     toks = F.split(F.col(text_col), " ")
+    # docs shorter than n words yield one (short) shingle — sequence bound
+    # clamps at 0 so the index list never goes negative/descending
     shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return docs.select(
@@ -162,9 +164,28 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n, 0.0, text_col, id_col)
+    # verify ONLY the candidate pairs (the whole point of LSH): intersect
+    # the two docs' shingle sets via two joins pinned to the candidate list,
+    # never the all-pairs shingle self-join.
+    sh = word_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])  # equi-join: shingle in BOTH docs
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
     return (
-        cands.join(exact, ["doc_a", "doc_b"])
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -192,17 +213,19 @@ def simhash(
     )
     votes = (
         hashed.crossJoin(bits)
+        # shiftright/shiftleft need F.expr for a column shift amount
         .withColumn(
             "vote",
-            (F.shiftright(F.col("h"), F.col("bit").cast("int")) % 2 * 2 - 1)
-            * F.col("cnt"),
+            F.expr("((shiftright(h, cast(bit as int)) % 2) * 2 - 1) * cnt"),
         )
         .groupBy("doc_id", "bit")
         .agg(F.sum("vote").alias("v"))
     )
     return votes.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(F.lit(0))
+            F.expr(
+                "case when v > 0 then shiftleft(cast(1 as bigint), cast(bit as int)) else cast(0 as bigint) end"
+            )
         ).alias("simhash")
     )
 

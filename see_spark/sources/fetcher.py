@@ -123,32 +123,49 @@ class SyntheticFetcher:
                     bucket < 80, "text/html",
                     np.where(bucket < 90, "application/octet-stream", None),
                 )
-                rng_rows = []
-                for u, hh, b in zip(frame["url"], h, bucket):
+                # fully vectorized body synthesis: derive words and links
+                # from the hash with modular arithmetic (no per-row RNG)
+                n = len(frame)
+                n_words, V = 40, len(vocab)
+                mults = np.arange(1, n_words + 1, dtype=np.uint64) * np.uint64(
+                    0x9E3779B97F4A7C15
+                )
+                widx = ((h[:, None] * mults[None, :]) % np.uint64(V)).astype(np.int64)
+                word_mat = vocab[widx]  # (n, n_words) of str
+                lk_mults = np.arange(1, n_links + 1, dtype=np.uint64) * np.uint64(
+                    0xC2B2AE3D27D4EB4F
+                )
+                lk_hash = h[:, None] * lk_mults[None, :]
+                lk_host = (lk_hash % np.uint64(n_hosts)).astype(np.int64)
+                lk_page = (lk_hash % np.uint64(10**9)).astype(np.int64)
+                bodies = np.empty(n, dtype=object)
+                redirects = np.empty(n, dtype=object)
+                redirects[:] = None
+                for row in range(n):  # string assembly only; all math above
+                    b = bucket[row]
                     if b < 80:
-                        rng = np.random.default_rng(int(hh))
-                        words = vocab[rng.integers(0, len(vocab), 40)]
-                        links = " ".join(
-                            f'<a href="http://h{int(rng.integers(0, n_hosts))}.bench/'
-                            f'p{int(rng.integers(0, 10**9))}">l</a>'
-                            for _ in range(n_links)
+                        links = "".join(
+                            f'<a href="http://h{lk_host[row, j]}.bench/p{lk_page[row, j]}">l</a> '
+                            for j in range(n_links)
                         )
-                        body = (
-                            f"<html><title>doc {int(hh)}</title><body>"
-                            f"{' '.join(words)} {links}</body></html>"
+                        bodies[row] = (
+                            f"<html><title>doc {int(h[row])}</title><body>"
+                            f"{' '.join(word_mat[row])} {links}</body></html>"
                         )
-                        rng_rows.append((body, None))
-                    elif b < 95 and b >= 90:
-                        rng_rows.append((None, f"http://h{int(hh) % n_hosts}.bench/p{int(hh) % 10**9}"))
+                    elif 90 <= b < 95:
+                        bodies[row] = None
+                        redirects[row] = (
+                            f"http://h{int(h[row]) % n_hosts}.bench/p{int(h[row]) % 10**9}"
+                        )
                     else:
-                        rng_rows.append((None, None))
+                        bodies[row] = None
                 out = pd.DataFrame(
                     {
                         "url": frame["url"].to_numpy(),
                         "status": pd.array(statuses, dtype="Int32"),
                         "content_type": ctypes,
-                        "body": [r[0] for r in rng_rows],
-                        "redirect_to": [r[1] for r in rng_rows],
+                        "body": bodies,
+                        "redirect_to": redirects,
                     }
                 )
                 for col in frame.columns:

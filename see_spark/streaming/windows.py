@@ -37,9 +37,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the previous event exceeds ``gap_minutes``. Classic lag+cumsum; one
     shuffle by user_id (both windows share the partitioning)."""
     by_user = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    # microsecond precision: second-truncation would flip boundaries for
+    # gaps within 1s of the threshold
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(by_user)
     with_start = F.when(
-        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     sessions = (
         F.sum(with_start).over(

@@ -1,0 +1,176 @@
+"""Unit tests for the training-data pipeline operators (hand-computed
+goldens on tiny inputs; cross-engine parity is covered by the DuckDB gate
+in scripts/check_correctness.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "aa bb cc dd ee"),
+        (2, "aa bb cc dd ee"),          # exact dup of 1
+        (3, "aa bb cc dd ff"),          # near dup of 1 (4/6 shingle overlap?)
+        (4, "zz yy xx ww vv"),          # unrelated
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    from see_spark.operators.dedup import exact_dedup
+
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert out[1]["group_size"] == 2 and out[2]["group_size"] == 2
+    assert out[1]["is_canonical"] == 1 and out[2]["is_canonical"] == 0
+    assert out[3]["group_size"] == 1 and out[3]["is_canonical"] == 1
+
+
+def test_ngram_jaccard_exact_values(docs):
+    from see_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    # doc1/doc2 identical -> jaccard 1.0; doc1/doc3 share 2 of 3 shingles
+    # each (|A|=3, |B|=3, common=2) -> 2/4
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert pairs[(1, 3)] == pytest.approx(2 / 4)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_dups_and_verifies(docs):
+    from see_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.4).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)  # identical docs always bucket together
+    assert all(j >= 0.4 for j in pairs.values())  # exact verification holds
+
+
+def test_simhash_identical_docs_equal_fingerprints(docs):
+    from see_spark.operators.dedup import simhash
+
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+    assert all(0 <= v < (1 << 48) for v in out.values())
+
+
+def test_knn_bruteforce_self_is_rank1(spark):
+    from see_spark.operators.similarity import knn_bruteforce
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = knn_bruteforce(vecs, q, k=3).collect()
+    assert [r["vec_id"] for r in rows] == [1, 2, 3]
+    assert rows[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_knn_lsh_bucket_deterministic(spark):
+    from see_spark.operators.similarity import lsh_bucket
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, -2.0, 3.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    b1 = vecs.select(lsh_bucket(F.col("embedding"), 4, 4).alias("b")).collect()[0]["b"]
+    b2 = vecs.select(lsh_bucket(F.col("embedding"), 4, 4).alias("b")).collect()[0]["b"]
+    assert b1 == b2 and 0 <= b1 < 16
+
+
+def test_language_id_tiebreak_pinned(spark):
+    from see_spark.operators.textstats import language_id
+
+    d = spark.createDataFrame(
+        [(1, "the of and to in is"), (2, "der und ist ein das die"),
+         (3, "xxx yyy zzz")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in language_id(d).collect()}
+    assert out[1]["predicted_lang"] == "en"
+    assert out[2]["predicted_lang"] == "de"
+    # no stopword hits anywhere -> all-zero tie -> first language code wins
+    assert out[3]["predicted_lang"] == "de" and out[3]["best_hits"] == 0
+
+
+def test_quality_score_formula(spark):
+    from see_spark.operators.textstats import quality_score
+
+    d = spark.createDataFrame([(1, "the cat the cat")], "doc_id long, text string")
+    r = quality_score(d).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["distinct_ratio"] == pytest.approx(0.5)  # 2 repeats of 4
+    assert r["stop_ratio"] == pytest.approx(0.5)      # 'the' twice
+    assert r["quality"] == pytest.approx((4 / 200) * 0.5 * (0.5 + 0.25))
+
+
+def test_token_counts(spark):
+    from see_spark.operators.textstats import token_counts
+
+    d = spark.createDataFrame([(1, "ab1 c-2 ab1")], "doc_id long, text string")
+    r = token_counts(d).collect()[0]
+    assert r["ws_tokens"] == 3
+    assert r["distinct_tokens"] == 2
+    # ab|1, c|-|2, ab|1 -> 7 BPE-ish pieces
+    assert r["bpe_ish_tokens"] == 7
+
+
+def test_media_features_fake_decode_and_stub(spark):
+    from see_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        media_from_documents,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "hello world", "src0"), (2, "x" * 100, "src2")],
+        "doc_id long, text string, source string",
+    )
+    media = media_from_documents(d)
+    feats = {r["media_id"]: r for r in extract_features(media, fake=True).collect()}
+    assert feats["0"]["n_bytes"] == 11
+    assert sum(feats["0"]["byte_histogram"]) == 11
+    # real decode is stubbed
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        extract_features(media, fake=False).collect()
+    frames = frame_sample(media, every_n_bytes=50, stride=3).collect()
+    # doc 2 is 'video' (2 % 3), 100 bytes -> frames 0..2 step 3 -> [0]
+    assert [(r["media_id"], r["frame_no"]) for r in frames] == [("2", 0)]
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """availableNow streamed tumbling counts == batch tumbling counts."""
+    from see_spark.streaming.windows import stream_tumbling_counts, tumbling_counts
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 0{i % 3}:10:00", i % 2, "click", float(i)) for i in range(12)],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    events_dir = str(tmp_path / "events")
+    ev.write.parquet(events_dir)
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_counts(spark.read.parquet(events_dir)).collect()
+    }
+    streamed_df = stream_tumbling_counts(
+        spark, events_dir, spark.read.parquet(events_dir).schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streamed_df.collect()
+    }
+    assert streamed == batch
