@@ -595,6 +595,211 @@ def _q_region_order_counts(spark, sf_dir):
     )
 
 
+# --- batch 3: joins/windows/set-ops breadth + remaining engine surface ------
+
+def _q_robots_gate(spark, sf_dir):
+    """North-rule robots cache gate: unvisited URLs on hosts whose robots
+    rules disallow the /order/ prefix flip to robots_blocked."""
+    from see_spark.operators.frontier import robots_block
+
+    f = _orders_frontier(spark, sf_dir).withColumn(
+        "detail", F.lit(None).cast("string")
+    )
+    hosts = spark.range(N_HOSTS).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".test")).alias("host")
+    )
+    robots = hosts.filter(
+        F.regexp_extract("host", r"host(\d+)\.test", 1).cast("long") % 5 == 0
+    ).select("host", F.array(F.lit("/order/")).alias("disallow"))
+    return robots_block(f, robots).select("url", "state", "detail")
+
+
+def _q_tfidf_search_multiset(spark, sf_dir):
+    """O12 query-token multiplicity: a repeated query word scores twice
+    (see_rank_tfidf.erl:5-6 iterates the token LIST, not a set). Query =
+    ['table','join','table'] -> AND over 2 distinct words, 'table' weighted
+    x2 in the score."""
+    postings = _doc_postings(spark, sf_dir)
+    n_docs = _documents(spark, sf_dir).count()
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [("table", 2), ("join", 1)], "word string, qcount long"
+        )
+    )
+    qmatched = postings.join(qdf, "word").localCheckpoint(eager=False)
+    df_by_word = F.broadcast(
+        qmatched.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    )
+    matched = qmatched.join(df_by_word, "word")
+    scored = (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(
+                F.col("qcount")
+                * (F.col("term_count") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / (F.lit(1.0) + F.col("df")))
+            ).alias("score"),
+        )
+        .filter(F.col("n_words") == 2)
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join: every event aligned to the user's most recent marker
+    event (event_id % 5 == 0) at-or-before it."""
+    from see_spark.operators.asof import asof_join_backward
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    # unique per (user_id, ts): max marker id wins -> fully pinned contract
+    markers = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 5 == 0)
+        .groupBy(F.col("user_id").cast("long").alias("user_id"), "ts")
+        .agg(F.max(F.col("event_id").cast("long")).alias("marker_id"))
+    )
+    out = asof_join_backward(
+        ev, markers, on=["user_id"], value_cols=["marker_id"]
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "asof_marker_id",
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+    )
+
+
+def _q_events_hopping(spark, sf_dir):
+    from see_spark.streaming.windows import hopping_counts
+
+    out = hopping_counts(_events(spark, sf_dir), "1 hour", "15 minutes")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("long").alias("sum_value_milli"),
+    )
+
+
+def _q_running_user_totals(spark, sf_dir):
+    """Stateful running per-user totals — the batch expression of the
+    applyInPandasWithState streaming operator (tests assert stream==batch);
+    value sum is integer-milli so it is engine-exact."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").cast("long").alias("sum_value_milli"),
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+    )
+
+
+def _q_rollup_revenue(spark, sf_dir):
+    """Grouping-sets surface: ROLLUP(region, nation) order counts + revenue."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    price_c = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        o.join(dim, o.o_custkey == dim.c_custkey)
+        .select("r_name", "n_name", price_c.alias("price_c"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), F.sum("price_c").alias("revenue_c"))
+    )
+
+
+def _q_top_parts_per_supplier(spark, sf_dir):
+    """Window top-N per group: top-3 parts by revenue per supplier."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    revenue_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    per_part = li.groupBy(
+        F.col("l_suppkey").cast("long").alias("suppkey"),
+        F.col("l_partkey").cast("long").alias("partkey"),
+    ).agg(F.sum(revenue_c).alias("revenue_c"))
+    w = Window.partitionBy("suppkey").orderBy(F.desc("revenue_c"), F.asc("partkey"))
+    return (
+        per_part.withColumn("part_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("part_rank") <= 3)
+    )
+
+
+def _q_nations_except(spark, sf_dir):
+    """Set op EXCEPT: nations with customers but no suppliers."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.subtract(s)
+
+
+def _q_nations_intersect(spark, sf_dir):
+    """Set op INTERSECT: nations with both customers and suppliers."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+def _q_knn_ivf(spark, sf_dir):
+    from see_spark.operators.similarity import knn_ivf
+
+    vecs = _qvecs(spark, sf_dir)
+    queries_df = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_ivf(vecs, queries_df, k=10, n_centroids=8, nprobe=2).select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal feature extraction (mapInPandas over binary payloads,
+    deterministic fake decode): byte mean + 16-bin byte%16 histogram."""
+    from see_spark.operators.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(_documents(spark, sf_dir))
+    return extract_features(media, fake=True).select(
+        "media_id", "kind", "n_bytes", "byte_mean", "byte_histogram"
+    )
+
+
+QUERIES_BATCH3 = {
+    "robots_gate": _q_robots_gate,
+    "tfidf_search_multiset": _q_tfidf_search_multiset,
+    "asof_join_events": _q_asof_join,
+    "events_hopping": _q_events_hopping,
+    "running_user_totals": _q_running_user_totals,
+    "rollup_revenue": _q_rollup_revenue,
+    "top_parts_per_supplier": _q_top_parts_per_supplier,
+    "nations_except": _q_nations_except,
+    "nations_intersect": _q_nations_intersect,
+    "knn_ivf": _q_knn_ivf,
+    "media_features": _q_media_features,
+}
+
+
 QUERIES_BATCH2 = {
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -931,6 +1136,146 @@ ORACLES_BATCH2 = {
 }
 
 
+ORACLES_BATCH3 = {
+    "robots_gate": f"""
+        WITH frontier AS ({_FRONTIER_SQL})
+        SELECT url,
+               CASE WHEN state = 'unvisited'
+                         AND CAST(regexp_extract(host, 'host(\\d+)\\.test', 1)
+                                  AS BIGINT) % 5 = 0
+                    THEN 'robots_blocked' ELSE state END AS state,
+               CASE WHEN state = 'unvisited'
+                         AND CAST(regexp_extract(host, 'host(\\d+)\\.test', 1)
+                                  AS BIGINT) % 5 = 0
+                    THEN 'robots_disallow' ELSE NULL END AS detail
+        FROM frontier
+    """,
+    "tfidf_search_multiset": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        q AS (SELECT * FROM (VALUES ('table', 2), ('join', 1)) t(word, qcount)),
+        dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM postings GROUP BY word),
+        matched AS (
+          SELECT p.doc_id, p.term_count, p.doc_len, q.qcount, dfs.df
+          FROM postings p JOIN q USING (word) JOIN dfs USING (word)),
+        scored AS (
+          SELECT doc_id, COUNT(*) AS n_words,
+                 SUM(qcount * (term_count / doc_len)
+                     * ln((SELECT n_docs FROM n) / (1.0 + df))) AS score
+          FROM matched GROUP BY doc_id)
+        SELECT doc_id, ROUND(score, 6) AS score
+        FROM scored WHERE n_words = 2
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """,
+    "asof_join_events": """
+        WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+                           CAST(event_id AS BIGINT) AS event_id
+                    FROM events),
+        markers AS (
+          SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+                 MAX(CAST(event_id AS BIGINT)) AS marker_id
+          FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2)
+        SELECT e.user_id, epoch_us(e.ts) AS ts_us, e.event_id,
+               m.marker_id AS asof_marker_id, epoch_us(m.ts) AS asof_ts_us
+        FROM ev e ASOF LEFT JOIN markers m
+          ON e.user_id = m.user_id AND e.ts >= m.ts
+    """,
+    "events_hopping": """
+        WITH ev AS (SELECT ts, event_type,
+                           CAST(round(value*1000) AS BIGINT) AS value_m
+                    FROM events),
+        hopped AS (
+          SELECT (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000
+                   AS window_start_us,
+                 event_type, value_m
+          FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+        SELECT window_start_us, event_type, COUNT(*) AS n_events,
+               SUM(value_m) AS sum_value_milli
+        FROM hopped GROUP BY 1, 2
+    """,
+    "running_user_totals": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               COUNT(*) AS n_events,
+               SUM(CAST(round(value*1000) AS BIGINT)) AS sum_value_milli,
+               MAX(epoch_us(ts)) AS last_ts_us
+        FROM events GROUP BY 1
+    """,
+    "rollup_revenue": """
+        SELECT r_name, n_name, COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "top_parts_per_supplier": """
+        WITH per_part AS (
+          SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+                 CAST(l_partkey AS BIGINT) AS partkey,
+                 SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+                   AS revenue_c
+          FROM lineitem GROUP BY 1, 2)
+        SELECT suppkey, partkey, revenue_c,
+               CAST(row_number() OVER (PARTITION BY suppkey
+                    ORDER BY revenue_c DESC, partkey ASC) AS BIGINT) AS part_rank
+        FROM per_part QUALIFY part_rank <= 3
+    """,
+    "nations_except": """
+        SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    "nations_intersect": """
+        SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        INTERSECT
+        SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    "knn_ivf": _QNORM_SQL.format(qvec=_QVEC_SQL) + """
+        , cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+                   FROM nv WHERE vec_id < 8),
+        assign AS (
+          SELECT nv.vec_id, nv.v, nv.nrm, cent.centroid_id,
+                 CAST(list_sum(list_transform(range(1, len(nv.v)+1),
+                               i -> nv.v[i]*cent.cv[i])) AS DOUBLE)
+                   / (nv.nrm * cent.cnrm) AS cc
+          FROM nv CROSS JOIN cent),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cc DESC, centroid_id ASC) AS cr
+          FROM assign),
+        lists AS (SELECT vec_id, v, nrm, centroid_id FROM ranked WHERE cr = 1),
+        probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, centroid_id
+                   FROM ranked WHERE vec_id < 5 AND cr <= 2),
+        scored AS (
+          SELECT p.query_id, l.vec_id,
+                 CAST(list_sum(list_transform(range(1, len(p.qv)+1),
+                               i -> p.qv[i]*l.v[i])) AS DOUBLE)
+                   / (p.qnrm * l.nrm) AS cosine
+          FROM probes p JOIN lists l USING (centroid_id))
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored QUALIFY rank <= 10
+    """,
+    "media_features": """
+        WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                          string_split(text, '') AS chars,
+                          CAST(length(text) AS BIGINT) AS n_bytes
+                   FROM documents)
+        SELECT media_id, kind, n_bytes,
+               CAST(list_sum(list_transform(chars, c -> ascii(c))) AS DOUBLE)
+                 / n_bytes AS byte_mean,
+               list_transform(range(0, 16),
+                 b -> CAST(len(list_filter(chars, c -> ascii(c) % 16 = b))
+                           AS BIGINT)) AS byte_histogram
+        FROM m
+    """,
+}
+
+
 ORACLES_BATCH1 = {
     "frontier_checkout_window": f"""
         WITH frontier AS ({_FRONTIER_SQL})
@@ -1059,8 +1404,8 @@ ORACLES_BATCH1 = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**QUERIES_BATCH1, **QUERIES_BATCH2}
+    return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**ORACLES_BATCH1, **ORACLES_BATCH2}
+    return {**ORACLES_BATCH1, **ORACLES_BATCH2, **ORACLES_BATCH3}

@@ -90,6 +90,93 @@ def lsh_bucket(vec_col, n_planes: int, dim: int):
     return acc
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine
+    (tie-break pinned: cosine desc, centroid_id asc). Centroids are a tiny
+    broadcast dimension, so assignment is a map-side nested loop — the big
+    side never shuffles until the window, which AQE coalesces."""
+    c = F.broadcast(
+        centroids.select(
+            F.col("centroid_id"), F.col("cvec")
+        ).withColumn("cnorm", _norm(F.col("cvec")))
+    )
+    scored = (
+        vectors.withColumn("__vnorm", _norm(F.col(vec_col)))
+        .crossJoin(c)
+        .withColumn(
+            "centroid_cosine",
+            _dot(F.col(vec_col), F.col("cvec")) / (F.col("__vnorm") * F.col("cnorm")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("centroid_cosine"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= nprobe)
+        .drop("cvec", "cnorm", "__vnorm", "__cr")
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are inverted-listed under their nearest
+    centroid; a query probes its ``nprobe`` nearest centroids and ranks
+    exactly within those lists only.
+
+    Centroids here are the first ``n_centroids`` corpus vectors by id — a
+    deterministic stand-in for a k-means pass (which would just refine the
+    same table; the plan shape is identical). At 10^9 vectors the corpus
+    shuffles once by centroid_id; each query touches ~nprobe/n_centroids of
+    the data instead of all of it.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    centroids = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+    lists = ivf_assign(e, centroids, id_col="vec_id", vec_col="vec", nprobe=1).select(
+        "vec_id", "vec", "centroid_id"
+    ).withColumn("vnorm", _norm(F.col("vec")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
+    )
+    probes = F.broadcast(
+        ivf_assign(q, centroids, id_col="query_id", vec_col="qvec", nprobe=nprobe)
+        .select("query_id", "qvec", "centroid_id")
+        .withColumn("qnorm", _norm(F.col("qvec")))
+    )
+    scored = probes.join(lists, "centroid_id").select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("vnorm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def knn_lsh_bucketed(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -32,6 +32,27 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def hopping_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Per (window, event_type) count + value sum over HOPPING (sliding)
+    event-time windows: each event lands in width/slide overlapping
+    windows. Built on F.window's slideDuration — Catalyst expands the hop
+    set inline (no join, no UDF)."""
+    return (
+        events.groupBy(
+            F.window("ts", width, slide).alias("win"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap from
     the previous event exceeds ``gap_minutes``. Classic lag+cumsum; one
