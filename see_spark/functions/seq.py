@@ -3,29 +3,35 @@
 The crawl's determinism contract (SURVEY §7.0 hazard 1) needs a dense,
 total-order ``seq`` over newly discovered URLs each round. A naive
 ``row_number() OVER (ORDER BY ...)`` collapses to ONE partition — a
-non-starter at 10^10 rows. This is the classic two-pass alternative:
+non-starter at 10^10 rows. This is the classic two-pass alternative, kept
+fully JVM-side (no Arrow round-trip of row data through Python):
 
   1. range-repartition + sort locally on the order key (a normal
-     distributed sort — Spark handles it at any scale);
+     distributed sort — Spark handles it at any scale), stamp each row with
+     ``spark_partition_id`` and ``monotonically_increasing_id`` (which is
+     ``(pid << 33) + local_row_index`` in row-production order, i.e. sorted
+     order here — the projection sits above the sort and nondeterministic
+     expressions are never reordered below it);
   2. count rows per physical partition (tiny driver collect: one long per
      partition);
-  3. mapInPandas adds ``offset[pid] + local position``.
+  3. broadcast-join the per-partition offsets and compute
+     ``seq = offset[pid] + (mid - (pid << 33))`` — pure Catalyst
+     arithmetic, whole-stage codegen, zero Python.
 
 Global order is preserved regardless of partition count because range
 partitioning keeps key ranges disjoint and cumulative offsets follow
 partition order — so the assigned sequence is invariant across parallelism
-levels (asserted by tests/test_seq.py), which is exactly what the
-two-cluster-size scaling rule requires of crawl ordering.
+levels (asserted by tests), which is exactly what the two-cluster-size
+scaling rule requires of crawl ordering. (Range-boundary sampling only
+moves partition *edges*; the global rank each row receives is unchanged.)
 """
 
 from __future__ import annotations
 
-from typing import Iterator, List
+from typing import List
 
-import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def with_dense_sequence(
@@ -47,32 +53,33 @@ def with_dense_sequence(
         df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
     )
     ordered = ordered.localCheckpoint(eager=True)  # pin partitioning for both passes
     counts = {
         r["__pid"]: r["cnt"]
         for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets = {}
+    offsets = []
     acc = start
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
+    if not offsets:
+        return ordered.drop("__pid", "__mid").withColumn(
+            out_col, F.lit(start).cast("long")
+        ).filter(F.lit(False))
 
-    out_schema = T.StructType(
-        [f for f in ordered.schema.fields if f.name != "__pid"]
-        + [T.StructField(out_col, T.LongType(), False)]
+    offsets_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    return (
+        ordered.join(F.broadcast(offsets_df), "__pid")
+        .withColumn(
+            out_col,
+            (
+                F.col("__off")
+                + F.col("__mid")
+                - F.shiftleft(F.col("__pid").cast("long"), 33)
+            ).cast("long"),
+        )
+        .drop("__pid", "__mid", "__off")
     )
-
-    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for batch in batches:
-            if len(batch) == 0:
-                continue
-            pid = int(batch["__pid"].iloc[0])
-            batch = batch.drop(columns=["__pid"])
-            batch[out_col] = range(offsets[pid] + local, offsets[pid] + local + len(batch))
-            local += len(batch)
-            yield batch
-
-    return ordered.mapInPandas(_assign, schema=out_schema)

@@ -84,13 +84,22 @@ def seen_filter(
 
 def dedup_within_batch(candidates: DataFrame, order_col: str = "link_rank") -> DataFrame:
     """First-enqueue-wins inside one round's discoveries (O2 applied to a
-    batch): keep the minimum ``order_col`` row per url_hash."""
-    w = Window.partitionBy("url_hash").orderBy(order_col)
-    return (
-        candidates.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    batch): keep the minimum ``order_col`` row per url_hash.
+
+    Expressed as min(struct(order, rest)) per key rather than a row_number
+    window: struct comparison is field-ordered so the minimum IS the
+    first-enqueued row, and a hash aggregate gets map-side partial
+    aggregation (the shuffle carries one row per key per map partition)
+    where a window would shuffle + sort every candidate row."""
+    others = [c for c in candidates.columns if c not in ("url_hash", order_col)]
+    packed = candidates.groupBy("url_hash").agg(
+        F.min(F.struct(order_col, *others)).alias("__first")
     )
+    return packed.select(
+        "url_hash",
+        F.col(f"__first.{order_col}").alias(order_col),
+        *[F.col(f"__first.{c}").alias(c) for c in others],
+    ).select(*candidates.columns)
 
 
 def as_frontier_rows(
