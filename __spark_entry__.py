@@ -785,7 +785,100 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot(spark, sf_dir):
+    """Pivot: per-day event-type count matrix (wide schema)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day_us", F.unix_micros(F.date_trunc("day", F.col("ts")))
+    )
+    out = ev.groupBy("day_us").pivot("event_type", _EVENT_TYPES).agg(
+        F.count(F.lit(1))
+    )
+    return out.select(
+        "day_us",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+def _q_events_cube(spark, sf_dir):
+    """CUBE grouping sets over (event_type, user bucket)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 4).cast("long").alias("user_bucket"),
+        F.col("value"),
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").cast("long").alias("sum_value_milli"),
+    )
+
+
+def _q_events_median(spark, sf_dir):
+    """Exact interpolated percentiles per event type (integer-milli values
+    so the (a+b)/2 interpolation is engine-exact)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("median_milli"),
+        F.percentile("value", F.lit(0.25)).alias("p25_milli"),
+        F.percentile("value", F.lit(0.75)).alias("p75_milli"),
+    )
+
+
+def _q_postings_idf(spark, sf_dir):
+    """O11 as a standalone surface: idf = ln(N / (1 + df)), natural log,
+    1+df smoothing, N = all docs — negative for words in every doc
+    (see_rank_tfidf.erl:13-15; negative case asserted in
+    see_rank_tfidf_test.erl:18-25)."""
+    postings = _doc_postings(spark, sf_dir)
+    n_docs = _documents(spark, sf_dir).count()
+    df = postings.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    return df.select(
+        "word",
+        "df",
+        F.round(
+            F.log(F.lit(float(n_docs)) / (F.lit(1.0) + F.col("df"))), 6
+        ).alias("idf"),
+    )
+
+
+def _q_parse_spans(spark, sf_dir):
+    """O18-O21: tolerant HTML parse -> interleaved span sequence, exercised
+    over HTML synthesized from the documents corpus. The span shape is
+    closed-form for this construction (title emits both a title span and a
+    text span — title children ARE data nodes, see_html.erl:39-52), so the
+    oracle enumerates it exactly."""
+    from see_spark.functions.udfs import parse_html_udf
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit("<html><title>doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><body>"), F.col("text"),
+        F.lit(' <a href="http://x.test/'), F.col("doc_id").cast("string"),
+        F.lit('">anchor</a></body></html>'),
+    )
+    parsed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        parse_html_udf(html).alias("p"),
+    )
+    return parsed.select(
+        "doc_id", F.explode("p.spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 QUERIES_BATCH3 = {
+    "parse_spans": _q_parse_spans,
+    "events_pivot": _q_events_pivot,
+    "events_cube": _q_events_cube,
+    "events_median": _q_events_median,
+    "postings_idf": _q_postings_idf,
     "robots_gate": _q_robots_gate,
     "tfidf_search_multiset": _q_tfidf_search_multiset,
     "asof_join_events": _q_asof_join,
@@ -1137,6 +1230,53 @@ ORACLES_BATCH2 = {
 
 
 ORACLES_BATCH3 = {
+    "parse_spans": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                   FROM documents WHERE doc_id < 300)
+        SELECT doc_id, CAST(0 AS BIGINT) AS offset, 'title' AS kind,
+               'doc ' || doc_id AS text, NULL AS media_ref FROM d
+        UNION ALL
+        SELECT doc_id, 1, 'text', 'doc ' || doc_id, NULL FROM d
+        UNION ALL
+        SELECT doc_id, 2, 'text', text || ' ', NULL FROM d
+        UNION ALL
+        SELECT doc_id, 3, 'text', 'anchor', NULL FROM d
+        UNION ALL
+        SELECT doc_id, 4, 'link', NULL, 'http://x.test/' || doc_id FROM d
+    """,
+    "events_pivot": """
+        SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+               COUNT(*) FILTER (event_type = 'click') AS n_click,
+               COUNT(*) FILTER (event_type = 'error') AS n_error,
+               COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+               COUNT(*) FILTER (event_type = 'view') AS n_view
+        FROM events GROUP BY 1
+    """,
+    "events_cube": """
+        SELECT event_type, CAST(user_id % 4 AS BIGINT) AS user_bucket,
+               COUNT(*) AS n_events,
+               SUM(CAST(round(value*1000) AS BIGINT)) AS sum_value_milli
+        FROM events GROUP BY CUBE(event_type, user_id % 4)
+    """,
+    "events_median": """
+        WITH ev AS (SELECT event_type,
+                           CAST(round(value*1000) AS BIGINT) AS v
+                    FROM events)
+        SELECT event_type,
+               quantile_cont(v, 0.5) AS median_milli,
+               quantile_cont(v, 0.25) AS p25_milli,
+               quantile_cont(v, 0.75) AS p75_milli
+        FROM ev GROUP BY event_type
+    """,
+    "postings_idf": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT word, COUNT(DISTINCT doc_id) AS df,
+               ROUND(ln((SELECT n_docs FROM n) / (1.0 + COUNT(DISTINCT doc_id))), 6)
+                 AS idf
+        FROM postings GROUP BY word
+    """,
     "robots_gate": f"""
         WITH frontier AS ({_FRONTIER_SQL})
         SELECT url,

@@ -82,19 +82,25 @@ def bench_frontier_scheduling(spark, n_frontier: int, n_candidates: int, reps: i
     }
 
 
-def bench_crawl_round(spark, n_frontier: int):
+def bench_crawl_round(spark, n_frontier: int, n_hosts: int | None = None):
     """fetched-docs/sec over one full round: checkout -> synthetic fetch ->
-    route -> parse spans -> postings -> link discovery -> commits."""
+    route -> parse spans -> postings -> link discovery -> commits.
+
+    ``n_hosts`` scales the fetched-batch size (budget x hosts) with the
+    frontier so bigger runs do proportionally more fetch/parse/index work
+    instead of just scanning a bigger frontier."""
     from see_spark.operators.crawl import CrawlConfig, run_round
     from see_spark.sources.catalog import SnapshotCatalog
     from see_spark.sources.fetcher import SyntheticFetcher
     from see_spark.sources.synth import synth_frontier
 
+    if n_hosts is None:
+        n_hosts = max(2000, n_frontier // 125)
     config = CrawlConfig(host_budget=50, use_bloom=True, bloom_bits=1 << 24)
 
     def run():
         catalog = SnapshotCatalog(tempfile.mkdtemp(prefix="see_bench_"), spark)
-        frontier = synth_frontier(spark, n_frontier, n_hosts=2000)
+        frontier = synth_frontier(spark, n_frontier, n_hosts=n_hosts)
         catalog.commit(
             "frontier", frontier,
             {"round": -1, "next_seq": n_frontier, "fetched_total": 0},
@@ -154,7 +160,8 @@ def main():
         query_secs[name] = round(sec, 3)
 
     sched = bench_frontier_scheduling(spark, frontier_n, frontier_n // 2)
-    crawl = bench_crawl_round(spark, min(frontier_n // 4, 200_000))
+    crawl_n = int(os.environ.get("SEE_BENCH_CRAWL_N", str(min(frontier_n // 4, 500_000))))
+    crawl = bench_crawl_round(spark, crawl_n)
 
     total = round(sum(query_secs.values()) + sched["sec"] + crawl["sec"], 3)
     result = {

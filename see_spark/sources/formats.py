@@ -1,0 +1,101 @@
+"""File-format sources/sinks beyond parquet (SURVEY §2.2: the reference has
+NO file formats at all — ETS is RAM, Mnesia disc_copies is opaque; any
+interchange surface is an engine addition).
+
+Design rules applied here for the 100 TB case:
+
+- schemas are ALWAYS explicit — ``inferSchema``/sampling passes re-read the
+  whole input at scale and can flip types between runs (a determinism
+  hazard), so every reader takes/declares a StructType;
+- writes partition by a low-cardinality column (``lang``) so downstream
+  per-language pipelines (lang-ID training splits, per-locale dedup) get
+  partition pruning for free;
+- JSONL is the interchange format for nested span documents (CSV cannot
+  carry array<struct>); text-dir ingest assigns doc ids from file+line
+  lineage, not from ordering (order of file listing is not a contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .tables import SPAN_TYPE
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+SPAN_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("spans", T.ArrayType(SPAN_TYPE)),
+    ]
+)
+
+
+def write_documents_csv(docs: DataFrame, path: str) -> None:
+    """Flat corpus -> CSV, gzip'd, partitioned by lang. Quoting handles
+    embedded delimiters/newlines; header on so the file is self-describing
+    (the reader still never infers)."""
+    (
+        docs.write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .partitionBy("lang")
+        .csv(path)
+    )
+
+
+def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
+    df = (
+        spark.read.schema(
+            # lang comes back from the partition directory, not the file
+            T.StructType([f for f in DOCUMENTS_SCHEMA.fields if f.name != "lang"])
+        )
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", True)  # quoted embedded newlines in text
+        .csv(path)
+    )
+    return df.select(*[f.name for f in DOCUMENTS_SCHEMA.fields])
+
+
+def write_documents_jsonl(docs: DataFrame, path: str) -> None:
+    """Nested span documents -> JSON lines (the only text format here that
+    can carry array<struct>); zstd-compressed."""
+    docs.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType = SPAN_DOCS_SCHEMA
+) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_text_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text-file ingest: one row per line with (file, line_no) lineage.
+    doc_id = xxhash64(file:line) — content-addressed, independent of
+    partition/iteration order, so re-ingesting yields identical ids."""
+    lines = spark.read.text(path).select(
+        F.col("value").alias("text"),
+        F.input_file_name().alias("src_file"),
+    )
+    w_key = F.concat_ws(":", F.col("src_file"), F.col("text"))
+    return lines.select(
+        F.xxhash64(w_key).alias("doc_id"),
+        "text",
+        "src_file",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )

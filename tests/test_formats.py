@@ -1,0 +1,66 @@
+"""Round-trip tests for the CSV / JSONL / text-dir sources and sinks."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = [
+        (1, 'plain text', "en", "s0", 10),
+        (2, 'comma, "quote" and\nnewline', "en", "s1", 26),
+        (3, "zażółć unicode", "pl", "s2", 14),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_csv_roundtrip_with_quoting_and_partitioning(spark, tmp_path):
+    from see_spark.sources.formats import read_documents_csv, write_documents_csv
+
+    path = str(tmp_path / "csv")
+    write_documents_csv(_docs(spark), path)
+    back = read_documents_csv(spark, path)
+    orig = {r["doc_id"]: r.asDict() for r in _docs(spark).collect()}
+    got = {r["doc_id"]: r.asDict() for r in back.collect()}
+    assert got == orig
+    # partition pruning surface: lang=pl subdir exists
+    import os
+    assert any(d.startswith("lang=") for d in os.listdir(path))
+
+
+def test_jsonl_roundtrip_nested_spans(spark, tmp_path):
+    from see_spark.sources.formats import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "u1",
+                "t1",
+                [("text", "hello", None, 0), ("media", None, "m.png", 1)],
+            )
+        ],
+        "doc_id string, title string, "
+        "spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    path = str(tmp_path / "jsonl")
+    write_documents_jsonl(docs, path)
+    back = read_documents_jsonl(spark, path).collect()[0]
+    assert [tuple(s) for s in back["spans"]] == [
+        ("text", "hello", None, 0),
+        ("media", None, "m.png", 1),
+    ]
+
+
+def test_text_dir_ingest_ids_are_content_addressed(spark, tmp_path):
+    from see_spark.sources.formats import read_text_dir
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    first = read_text_dir(spark, str(d)).orderBy("text").collect()
+    second = read_text_dir(spark, str(d)).orderBy("text").collect()
+    assert [r["doc_id"] for r in first] == [r["doc_id"] for r in second]
+    assert {r["text"] for r in first} == {"line one", "line two"}
