@@ -82,27 +82,29 @@ def run_crawl_order(cores: int) -> dict:
 
 def main():
     frontier_n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n4_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
     results = {}
-    for cores in (8, 32):
+    for cores in (n_cores, n4_cores):
         results[cores] = run_bench(cores, frontier_n)
         print(f"local[{cores}]: {json.dumps(results[cores]['throughput'])}")
 
-    t8 = results[8]["throughput"]
-    t32 = results[32]["throughput"]
+    t8 = results[n_cores]["throughput"]
+    t32 = results[n4_cores]["throughput"]
     eff_sched = (t32["frontier_urls_per_sec"] / t8["frontier_urls_per_sec"]) / 4
     eff_fetch = (t32["fetch_docs_per_sec"] / t8["fetch_docs_per_sec"]) / 4
 
     orders = {}
-    for cores in (8, 32):
+    for cores in (n_cores, n4_cores):
         orders[cores] = run_crawl_order(cores)
-    order_match = orders[8]["visit_order"] == orders[32]["visit_order"]
-    seen_match = orders[8]["seen"] == orders[32]["seen"]
+    order_match = orders[n_cores]["visit_order"] == orders[n4_cores]["visit_order"]
+    seen_match = orders[n_cores]["seen"] == orders[n4_cores]["seen"]
 
     md = f"""# BENCH/BASELINE — measured results
 
-Protocol: BASELINE.md — same job, two parallelism levels (local[8] = N,
-local[32] = 4N), identical input (synthetic frontier n={frontier_n:,},
+Protocol: BASELINE.md — same job, two parallelism levels (local[{n_cores}] = N,
+local[{n4_cores}] = 4N), identical input (synthetic frontier n={frontier_n:,},
 seeded; candidates = n/2 with 50% overlap). Each level runs in its own JVM.
 Efficiency = T(4N) / (4 x T(N)), T = throughput.
 
@@ -110,8 +112,8 @@ Efficiency = T(4N) / (4 x T(N)), T = throughput.
 
 | cores | urls/sec | wall sec |
 |---|---|---|
-| 8 (N) | {t8['frontier_urls_per_sec']:,} | {t8['frontier_detail']['sec']} |
-| 32 (4N) | {t32['frontier_urls_per_sec']:,} | {t32['frontier_detail']['sec']} |
+| {n_cores} (N) | {t8['frontier_urls_per_sec']:,} | {t8['frontier_detail']['sec']} |
+| {n4_cores} (4N) | {t32['frontier_urls_per_sec']:,} | {t32['frontier_detail']['sec']} |
 
 **Scaling efficiency: {eff_sched:.2f}** (target >= 0.8)
 
@@ -119,29 +121,31 @@ Efficiency = T(4N) / (4 x T(N)), T = throughput.
 
 | cores | docs/sec | fetched | wall sec |
 |---|---|---|---|
-| 8 (N) | {t8['fetch_docs_per_sec']:,} | {t8['fetch_detail']['fetched']:,} | {t8['fetch_detail']['sec']} |
-| 32 (4N) | {t32['fetch_docs_per_sec']:,} | {t32['fetch_detail']['fetched']:,} | {t32['fetch_detail']['sec']} |
+| {n_cores} (N) | {t8['fetch_docs_per_sec']:,} | {t8['fetch_detail']['fetched']:,} | {t8['fetch_detail']['sec']} |
+| {n4_cores} (4N) | {t32['fetch_docs_per_sec']:,} | {t32['fetch_detail']['fetched']:,} | {t32['fetch_detail']['sec']} |
 
 **Scaling efficiency: {eff_fetch:.2f}** (target >= 0.8)
 
 ## Determinism across parallelism (north-rule correctness gate)
 
-Fixture-site crawl in separate processes at local[8] and local[32]:
-- visit order byte-identical: **{order_match}** ({len(orders[8]['visit_order'])} visits)
-- URL-seen set identical: **{seen_match}** ({len(orders[8]['seen'])} URLs)
-
-## Headline queries (sec, sf={results[32]['sf']})
-
-| query | local[8] | local[32] |
-|---|---|---|
+Fixture-site crawl in separate processes at local[{n_cores}] and local[{n4_cores}]:
+- visit order byte-identical: **{order_match}** ({len(orders[n_cores]['visit_order'])} visits)
+- URL-seen set identical: **{seen_match}** ({len(orders[n_cores]['seen'])} URLs)
 """
-    for name in results[32]["queries"]:
-        md += f"| {name} | {results[8]['queries'][name]} | {results[32]['queries'][name]} |\n"
+    if results[n4_cores]["queries"]:
+        md += f"\n## Headline queries (sec, sf={results[n4_cores]['sf']})\n\n"
+        md += f"| query | local[{n_cores}] | local[{n4_cores}] |\n|---|---|---|\n"
+        for name in results[n4_cores]["queries"]:
+            md += (
+                f"| {name} | {results[n_cores]['queries'][name]} "
+                f"| {results[n4_cores]['queries'][name]} |\n"
+            )
     md += "\nRaw JSON:\n\n```json\n"
     md += json.dumps({str(k): v for k, v in results.items()}, indent=2)
     md += "\n```\n"
 
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    suffix = "" if (n_cores, n4_cores) == (8, 32) else f"_{n_cores}v{n4_cores}"
+    out_path = os.path.join(REPO, "BENCH", f"BASELINE{suffix}.md")
     with open(out_path, "w") as fh:
         fh.write(md)
     print(f"wrote {out_path}")
