@@ -873,7 +873,70 @@ def _q_parse_spans(spark, sf_dir):
     )
 
 
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split — the scalable form of dataset
+    sampling: a pure hash of the key, no RNG state, stable under
+    re-partitioning and re-runs. Mix = splitmix-ish multiply-shift in
+    63-bit space (engine-portable integer arithmetic)."""
+    d = _documents(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    mixed = F.pmod(
+        (F.col("doc_id") + 1) * F.lit(2654435761) + F.lit(40503),
+        F.lit(2147483647),
+    )
+    bucket = F.pmod(mixed, F.lit(100))
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+def _q_span_tokens(spark, sf_dir):
+    """Interleaved-spans surface (the input_hint table shape): documents
+    re-expressed as (text, media, text) span arrays, then token stats
+    derived from the text spans only — all JVM-side array ops
+    (tokens_from_spans is the same kernel the crawl indexer uses)."""
+    from see_spark.functions.udfs import tokens_from_spans
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    first = F.array_join(F.slice(words, 1, (n / 2).cast("int")), " ")
+    second = F.array_join(
+        F.slice(words, (n / 2).cast("int") + 1, n), " "
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"), first.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"), F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"), F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
+            F.lit(1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"), second.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"), F.lit(2).alias("offset"),
+        ),
+    )
+    with_spans = d.select("doc_id", spans.alias("spans"))
+    joined = tokens_from_spans(F.col("spans"))
+    return with_spans.select(
+        "doc_id",
+        F.size(F.filter("spans", lambda s: s["kind"] == "text"))
+        .cast("long").alias("n_text_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "media"))
+        .cast("long").alias("n_media_spans"),
+        F.size(F.split(joined, " ")).cast("long").alias("ws_tokens"),
+        F.length(joined).cast("long").alias("n_chars"),
+    )
+
+
 QUERIES_BATCH3 = {
+    "dataset_split": _q_dataset_split,
+    "span_tokens": _q_span_tokens,
     "parse_spans": _q_parse_spans,
     "events_pivot": _q_events_pivot,
     "events_cube": _q_events_cube,
@@ -1230,6 +1293,34 @@ ORACLES_BATCH2 = {
 
 
 ORACLES_BATCH3 = {
+    "dataset_split": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+        m AS (SELECT doc_id,
+                     ((doc_id + 1) * 2654435761 + 40503) % 2147483647 AS mixed
+              FROM d)
+        SELECT doc_id, mixed % 100 AS bucket,
+               CASE WHEN mixed % 100 < 90 THEN 'train'
+                    WHEN mixed % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM m
+    """,
+    "span_tokens": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          string_split(text, ' ') AS w
+                   FROM documents),
+        halves AS (
+          SELECT doc_id,
+                 array_to_string(w[1:len(w)//2], ' ') AS first_half,
+                 array_to_string(w[len(w)//2+1:len(w)], ' ') AS second_half
+          FROM d)
+        SELECT doc_id,
+               CAST(2 AS BIGINT) AS n_text_spans,
+               CAST(1 AS BIGINT) AS n_media_spans,
+               CAST(len(string_split(first_half || ' ' || second_half, ' '))
+                    AS BIGINT) AS ws_tokens,
+               CAST(length(first_half || ' ' || second_half) AS BIGINT) AS n_chars
+        FROM halves
+    """,
     "parse_spans": """
         WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
                    FROM documents WHERE doc_id < 300)
