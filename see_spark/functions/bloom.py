@@ -108,6 +108,105 @@ def build_bloom(
     return merged
 
 
+def build_bloom_shards(
+    df: DataFrame,
+    hash_col: str = "url_hash",
+    n_shards: int = 64,
+    bits_per_shard: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """Sharded bloom build — the 10^10-row path (SCALE.md §3).
+
+    The bitmap is split by ``shard = pmod(hash, n_shards)`` into one
+    independent bloom per shard, materialized as a small DataFrame
+    ``(shard int, bitmap binary)``. No single machine ever holds the full
+    filter: the build aggregates per (input-partition, shard) partials and
+    OR-merges them per shard in a normal shuffle — at 10^10 rows with 1024
+    shards each bitmap is ~12 MB and the whole table is an ordinary
+    distributed dataset, not a driver object.
+    """
+    schema = T.StructType(
+        [T.StructField("shard", T.IntegerType()), T.StructField("bitmap", T.BinaryType())]
+    )
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blooms: dict = {}
+        for batch in batches:
+            hashes = batch[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+            shards = (hashes % np.uint64(n_shards)).astype(np.int64)
+            for s in np.unique(shards):
+                blooms.setdefault(int(s), Bloom(bits_per_shard, k)).add_many(
+                    hashes[shards == s]
+                )
+        if blooms:
+            yield pd.DataFrame(
+                {"shard": list(blooms), "bitmap": [b.words.tobytes() for b in blooms.values()]}
+            )
+
+    partials = df.select(hash_col).mapInPandas(_partials, schema=schema)
+
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(bits_per_shard // 64, dtype=np.uint64)
+        for buf in pdf["bitmap"]:
+            merged |= np.frombuffer(buf, dtype=np.uint64)
+        return pd.DataFrame({"shard": [key[0]], "bitmap": [merged.tobytes()]})
+
+    return partials.groupBy("shard").applyInPandas(_merge, schema=schema)
+
+
+def seen_filter_sharded(
+    candidates: DataFrame,
+    frontier: DataFrame,
+    bloom_shards: DataFrame,
+    n_shards: int = 64,
+    bits_per_shard: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """URL-seen dedup with a CO-PARTITIONED sharded bloom: candidates and
+    shard bitmaps meet in a cogroup on ``shard`` — each task reads exactly
+    ONE shard's bitmap, so per-executor bloom memory is bits_per_shard/8
+    regardless of total filter size. Definite-misses skip the exact
+    anti-join, which (as in ``seen_filter``) keeps exactness for suspects.
+
+    The candidates→shard shuffle is the same hash distribution as the
+    frontier's bucket(url_hash) layout, so under Iceberg storage-partitioned
+    joins it coincides with the anti-join's own exchange — the bloom gate
+    adds no extra shuffle, it just thins the probe side between them.
+    """
+    out_schema = T.StructType(
+        list(candidates.schema.fields)
+        + [T.StructField("__maybe", T.BooleanType(), False)]
+    )
+
+    cand_shard = candidates.withColumn(
+        "__shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
+    )
+
+    def _probe(key, cands_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        body = cands_pdf.drop(columns=["__shard"])
+        if len(bloom_pdf) == 0:  # no frontier rows in this shard: all fresh
+            body["__maybe"] = False
+            return body
+        bloom = Bloom(
+            bits_per_shard, k, np.frombuffer(bloom_pdf["bitmap"].iloc[0], dtype=np.uint64)
+        )
+        hashes = body["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        body["__maybe"] = bloom.contains_many(hashes)
+        return body
+
+    probed = (
+        cand_shard.groupBy("__shard")
+        .cogroup(bloom_shards.groupBy("shard"))
+        .applyInPandas(_probe, schema=out_schema)
+        .localCheckpoint(eager=False)  # one cogroup pass feeds both branches
+    )
+    fresh = probed.filter(~F.col("__maybe")).drop("__maybe")
+    deduped_suspects = probed.filter(F.col("__maybe")).drop("__maybe").join(
+        frontier.select("url_hash"), "url_hash", "left_anti"
+    )
+    return fresh.unionByName(deduped_suspects)
+
+
 def maybe_seen_udf(spark, bloom: Bloom):
     """Probe UDF over a broadcast bloom: True = possibly seen (needs the
     exact anti-join), False = definitely new."""
