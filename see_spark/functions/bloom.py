@@ -145,7 +145,7 @@ def build_bloom_shards(
 
     partials = df.select(hash_col).mapInPandas(_partials, schema=schema)
 
-    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         merged = np.zeros(bits_per_shard // 64, dtype=np.uint64)
         for buf in pdf["bitmap"]:
             merged |= np.frombuffer(buf, dtype=np.uint64)
@@ -182,7 +182,9 @@ def seen_filter_sharded(
         "__shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
     )
 
-    def _probe(key, cands_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+    def _probe(
+        key: tuple, cands_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
         body = cands_pdf.drop(columns=["__shard"])
         if len(bloom_pdf) == 0:  # no frontier rows in this shard: all fresh
             body["__maybe"] = False
