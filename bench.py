@@ -72,12 +72,15 @@ def bench_frontier_scheduling(spark, n_frontier: int, n_candidates: int, reps: i
         return batch.count()
 
     runs = [_timed(run) for _ in range(reps)]
-    sec, n_scheduled = min(runs, key=lambda r: r[0])
+    sec, n_batch = min(runs, key=lambda r: r[0])
     return {
         "sec": round(sec, 3),
         "all_secs": [round(s, 3) for s, _ in runs],
+        # urls_in candidates are ALL scheduled (deduped + seq-stamped into
+        # the frontier); checked_out_batch is the politeness-bounded slice
+        # the round would then fetch (budget x hosts)
         "urls_in": n_candidates,
-        "scheduled": n_scheduled,
+        "checked_out_batch": n_batch,
         "urls_per_sec": round(n_candidates / sec),
     }
 
