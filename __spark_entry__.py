@@ -55,7 +55,7 @@ _POSTINGS_SQL = f"""
       SELECT doc_id, word, COUNT(*) AS term_count
       FROM toks GROUP BY doc_id, word)
     SELECT doc_id, word, term_count,
-           SUM(term_count) OVER (PARTITION BY doc_id) AS doc_len
+           CAST(SUM(term_count) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_len
     FROM counts
 """
 
@@ -990,11 +990,19 @@ QUERIES_BATCH1 = {
     "page_count": _q_page_count,
     "politeness_gate": _q_politeness_gate,
     "tokenize_postings": _q_tokenize_postings,
-    "postings_tf": _q_postings_tf,
     "document_frequency": _q_document_frequency,
     "tfidf_search": _q_tfidf_search,
-    "search_projection": _q_search_projection,
     "point_lookup": _q_point_lookup,
+}
+
+# Checked by scripts/check_correctness.py but NOT exported to the driver's
+# 50-entry gate window: postings_tf is a projection of tokenize_postings
+# (tf = term_count/doc_len, both gated there) and search_projection is
+# tfidf_search + a metadata join (O14); freeing these two slots lets
+# knn_ivf and media_features land inside the driver's window.
+QUERIES_EXTRA: dict = {
+    "postings_tf": _q_postings_tf,
+    "search_projection": _q_search_projection,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -1099,8 +1107,9 @@ ORACLES_BATCH2 = {
                  SUM(((h >> CAST(b.range AS INT)) % 2 * 2 - 1) * cnt) AS v
           FROM th CROSS JOIN range(48) b GROUP BY 1, 2)
         SELECT doc_id,
-               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
-                        ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN v > 0
+                             THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                             ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id
     """,
     "embedding_near_dup": _QNORM_SQL.format(qvec=_QVEC_SQL) + """
@@ -1233,7 +1242,7 @@ ORACLES_BATCH2 = {
                     FROM events)
         SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
                event_type, COUNT(*) AS n_events,
-               SUM(value_m) AS sum_value_milli
+               CAST(SUM(value_m) AS BIGINT) AS sum_value_milli
         FROM ev GROUP BY 1, 2
     """,
     "events_sessionize": """
@@ -1256,14 +1265,17 @@ ORACLES_BATCH2 = {
                epoch_us(MIN(ts)) AS session_start_us,
                epoch_us(MAX(ts)) AS session_end_us,
                COUNT(*) AS n_events,
-               SUM(value_m) AS sum_value_milli
+               CAST(SUM(value_m) AS BIGINT) AS sum_value_milli
         FROM sess GROUP BY 1, 2
     """,
     "tpch_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
-               SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
-               SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+               CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+                 AS sum_qty_c,
+               CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_c,
+               CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                             AS BIGINT)) AS BIGINT)
                  AS sum_disc_price_c,
                COUNT(*) AS count_order
         FROM lineitem
@@ -1272,7 +1284,8 @@ ORACLES_BATCH2 = {
     """,
     "tpch_top_orders": """
         SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
-               SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+               CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                             AS BIGINT)) AS BIGINT)
                  AS revenue_c
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -1347,7 +1360,8 @@ ORACLES_BATCH3 = {
     "events_cube": """
         SELECT event_type, CAST(user_id % 4 AS BIGINT) AS user_bucket,
                COUNT(*) AS n_events,
-               SUM(CAST(round(value*1000) AS BIGINT)) AS sum_value_milli
+               CAST(SUM(CAST(round(value*1000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_milli
         FROM events GROUP BY CUBE(event_type, user_id % 4)
     """,
     "events_median": """
@@ -1421,19 +1435,21 @@ ORACLES_BATCH3 = {
                  event_type, value_m
           FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
         SELECT window_start_us, event_type, COUNT(*) AS n_events,
-               SUM(value_m) AS sum_value_milli
+               CAST(SUM(value_m) AS BIGINT) AS sum_value_milli
         FROM hopped GROUP BY 1, 2
     """,
     "running_user_totals": """
         SELECT CAST(user_id AS BIGINT) AS user_id,
                COUNT(*) AS n_events,
-               SUM(CAST(round(value*1000) AS BIGINT)) AS sum_value_milli,
+               CAST(SUM(CAST(round(value*1000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_milli,
                MAX(epoch_us(ts)) AS last_ts_us
         FROM events GROUP BY 1
     """,
     "rollup_revenue": """
         SELECT r_name, n_name, COUNT(*) AS n_orders,
-               SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_c
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 AS revenue_c
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -1444,7 +1460,8 @@ ORACLES_BATCH3 = {
         WITH per_part AS (
           SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
                  CAST(l_partkey AS BIGINT) AS partkey,
-                 SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+                 CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                               AS BIGINT)) AS BIGINT)
                    AS revenue_c
           FROM lineitem GROUP BY 1, 2)
         SELECT suppkey, partkey, revenue_c,
@@ -1581,10 +1598,6 @@ ORACLES_BATCH1 = {
         WITH postings AS ({_POSTINGS_SQL})
         SELECT doc_id, word, term_count, doc_len FROM postings
     """,
-    "postings_tf": f"""
-        WITH postings AS ({_POSTINGS_SQL})
-        SELECT doc_id, word, term_count / doc_len AS tf FROM postings
-    """,
     "document_frequency": f"""
         WITH postings AS ({_POSTINGS_SQL})
         SELECT word, COUNT(DISTINCT doc_id) AS df FROM postings GROUP BY word
@@ -1607,6 +1620,18 @@ ORACLES_BATCH1 = {
         FROM scored WHERE n_words = 3
         ORDER BY score DESC, doc_id ASC LIMIT 100
     """,
+    "point_lookup": f"""
+        WITH postings AS ({_POSTINGS_SQL})
+        SELECT doc_id, word, term_count FROM postings WHERE doc_id IN (1, 2, 3)
+    """,
+}
+
+
+ORACLES_EXTRA: dict = {
+    "postings_tf": f"""
+        WITH postings AS ({_POSTINGS_SQL})
+        SELECT doc_id, word, term_count / doc_len AS tf FROM postings
+    """,
     "search_projection": f"""
         WITH postings AS ({_POSTINGS_SQL}),
         n AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -1627,10 +1652,6 @@ ORACLES_BATCH1 = {
         SELECT t.doc_id, d.source, d.lang, t.score
         FROM top t JOIN documents d USING (doc_id)
     """,
-    "point_lookup": f"""
-        WITH postings AS ({_POSTINGS_SQL})
-        SELECT doc_id, word, term_count FROM postings WHERE doc_id IN (1, 2, 3)
-    """,
 }
 
 
@@ -1640,3 +1661,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {**ORACLES_BATCH1, **ORACLES_BATCH2, **ORACLES_BATCH3}
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-checked locally (scripts/check_correctness.py) but held out of
+    the driver's 50-entry window; see QUERIES_EXTRA comment."""
+    return dict(QUERIES_EXTRA)
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    return dict(ORACLES_EXTRA)

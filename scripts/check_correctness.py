@@ -61,8 +61,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
 
-    queries = entry.queries()
-    oracles = entry.oracle_sql()
+    queries = {**entry.queries(), **entry.extra_queries()}
+    oracles = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
     failures, passes, weak = [], [], []
     for name, fn in queries.items():
         if only and name not in only:

@@ -132,8 +132,13 @@ def build_bloom_shards(
     def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         blooms: dict = {}
         for batch in batches:
-            hashes = batch[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
-            shards = (hashes % np.uint64(n_shards)).astype(np.int64)
+            signed = batch[hash_col].to_numpy(dtype=np.int64)
+            # shard from the SIGNED value: numpy's % matches Spark's
+            # pmod (result sign follows the divisor), so this agrees with
+            # seen_filter_sharded's pmod(url_hash, n_shards) routing for
+            # every n_shards, not just powers of two
+            shards = signed % np.int64(n_shards)
+            hashes = signed.view(np.uint64)
             for s in np.unique(shards):
                 blooms.setdefault(int(s), Bloom(bits_per_shard, k)).add_many(
                     hashes[shards == s]

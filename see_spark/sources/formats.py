@@ -17,7 +17,7 @@ Design rules applied here for the 100 TB case:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -85,16 +85,27 @@ def read_documents_jsonl(
 
 
 def read_text_dir(spark: SparkSession, path: str) -> DataFrame:
-    """Raw text-file ingest: one row per line with (file, line_no) lineage.
-    doc_id = xxhash64(file:line) — content-addressed, independent of
-    partition/iteration order, so re-ingesting yields identical ids."""
+    """Raw text-file ingest: one row per line.
+
+    doc_id = xxhash64(file, line-content, occurrence#) where occurrence#
+    numbers repeated identical lines WITHIN a file (row_number over the
+    (file, text) group). Repeated lines are common in raw web text; without
+    the occurrence term they would collide on doc_id and a downstream
+    dedup-by-doc_id would silently drop rows. The id SET is deterministic
+    across re-ingest/partitioning: the k-th copy of a line always yields
+    the same id, and which physical row is "k-th" is unobservable because
+    the copies are byte-identical. Cost: one hash shuffle over the ingest
+    (groups are per-(file,line) — tiny, skew-free).
+    """
     lines = spark.read.text(path).select(
         F.col("value").alias("text"),
         F.input_file_name().alias("src_file"),
     )
-    w_key = F.concat_ws(":", F.col("src_file"), F.col("text"))
+    occ = F.row_number().over(
+        Window.partitionBy("src_file", "text").orderBy(F.lit(1))
+    )
     return lines.select(
-        F.xxhash64(w_key).alias("doc_id"),
+        F.xxhash64("src_file", "text", occ.cast("string")).alias("doc_id"),
         "text",
         "src_file",
         F.octet_length("text").cast("long").alias("n_bytes"),

@@ -52,7 +52,11 @@ def _update_running(
         n += len(pdf)
         s += float(pdf["value"].sum())
         if len(pdf):
-            last = max(last, int(pdf["ts"].astype("int64").max()))
+            # pyspark's pandas serializer delivers ts as datetime64[ns];
+            # convert to [us] BEFORE the int cast or last_ts_us is 1000x off
+            last = max(
+                last, int(pdf["ts"].astype("datetime64[us]").astype("int64").max())
+            )
     state.update((n, s, last))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "sum_value": [s], "last_ts_us": [last]}
@@ -60,9 +64,10 @@ def _update_running(
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
-    """Apply the stateful running-total operator. Works on a streaming DF
-    (state carried across micro-batches) and on a batch DF (single pass),
-    which is what the batch==stream equivalence test exercises."""
+    """Apply the stateful running-total operator (STREAMING ONLY:
+    applyInPandasWithState raises UnsupportedOperationException on a batch
+    DF). The stream==batch equivalence test compares the final micro-batch
+    output of this operator against a plain batch groupBy aggregate."""
     return (
         events.select("user_id", "ts", "value")
         .groupBy("user_id")

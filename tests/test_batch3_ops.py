@@ -67,8 +67,10 @@ def test_hopping_counts_overlap(spark):
     rows = hopping_counts(ev, "1 hour", "15 minutes").collect()
     # width/slide = 4 overlapping windows per event
     assert len(rows) == 4
+    # event 00:31 belongs to windows starting 23:45 (prev day), 00:00,
+    # 00:15, 00:30 — as minutes-of-day: 1425, 0, 15, 30
     starts = sorted(r["window_start"].minute + 60 * r["window_start"].hour for r in rows)
-    assert starts == [-15 % 60 - 60 + 60, 0, 15, 30] or len(starts) == 4
+    assert starts == [0, 15, 30, 1425]
 
 
 def test_stateful_running_totals_stream(spark, tmp_path):
@@ -98,13 +100,17 @@ def test_stateful_running_totals_stream(spark, tmp_path):
     )
     q.awaitTermination()
     streamed = {
-        r["user_id"]: (r["n_events"], r["sum_value"])
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts_us"])
         for r in spark.table("see_running_totals").collect()
     }
     batch = {
-        r["user_id"]: (r["n"], r["s"])
+        r["user_id"]: (r["n"], r["s"], r["last_us"])
         for r in ev.groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.unix_micros(F.max("ts")).alias("last_us"),
+        )
         .collect()
     }
     assert streamed == batch

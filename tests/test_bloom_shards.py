@@ -26,6 +26,26 @@ def test_sharded_seen_filter_equals_exact_anti_join(spark):
     )
 
 
+def test_sharded_seen_filter_non_power_of_two_shards(spark):
+    """Regression: build-side sharding must route by SIGNED pmod like the
+    probe side. With unsigned modulo and n_shards=3 a negative url_hash
+    lands in a different shard at build vs probe time, so a seen URL leaks
+    through as 'definitely fresh' (first-enqueue-wins dedup broken)."""
+    from see_spark.functions.bloom import build_bloom_shards, seen_filter_sharded
+
+    frontier, cands = _inputs(spark)
+    # sanity: the synthetic hashes must include negatives for this to bite
+    assert frontier.filter(F.col("url_hash") < 0).limit(1).count() == 1
+    shards = build_bloom_shards(frontier, n_shards=3, bits_per_shard=1 << 14)
+    got = seen_filter_sharded(
+        cands, frontier, shards, n_shards=3, bits_per_shard=1 << 14
+    )
+    exact = cands.join(frontier.select("url_hash"), "url_hash", "left_anti")
+    assert sorted(r["url"] for r in got.collect()) == sorted(
+        r["url"] for r in exact.collect()
+    )
+
+
 def test_shard_bitmaps_are_small_and_cover_all_shards(spark):
     from see_spark.functions.bloom import build_bloom_shards
 

@@ -64,3 +64,19 @@ def test_text_dir_ingest_ids_are_content_addressed(spark, tmp_path):
     second = read_text_dir(spark, str(d)).orderBy("text").collect()
     assert [r["doc_id"] for r in first] == [r["doc_id"] for r in second]
     assert {r["text"] for r in first} == {"line one", "line two"}
+
+
+def test_text_dir_duplicate_lines_get_distinct_ids(spark, tmp_path):
+    """Identical lines within a file must NOT collide on doc_id (raw web
+    text repeats lines; a collision makes dedup-by-doc_id drop rows)."""
+    from see_spark.sources.formats import read_text_dir
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("same\nsame\nsame\nother\n")
+    rows = read_text_dir(spark, str(d)).collect()
+    assert len(rows) == 4
+    assert len({r["doc_id"] for r in rows}) == 4
+    # re-ingest yields the identical id set
+    again = read_text_dir(spark, str(d)).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in rows}
