@@ -49,15 +49,23 @@ def bench_frontier_scheduling(spark, n_frontier: int, n_candidates: int, reps: i
     cands = synth_candidates(spark, n_candidates, n_frontier).localCheckpoint(
         eager=True
     )
+    # sharded bloom: bitmaps are built and merged executor-side and meet
+    # candidates in a cogroup — no driver-side OR-merge (which is a fixed
+    # serial cost that caps scaling efficiency; see SCALE.md §3/§8)
+    n_shards = 64
+    bits_per_shard = max(1 << 16, bloomlib.bits_for(n_frontier) // n_shards)
 
     def run():
-        bloom = bloomlib.build_bloom(
+        shard_bitmaps = bloomlib.build_bloom_shards(
             frontier.select("url_hash"),
-            n_bits=bloomlib.bits_for(n_frontier), k=7,
+            n_shards=n_shards, bits_per_shard=bits_per_shard,
         )
-        probe = bloomlib.maybe_seen_udf(spark, bloom)
         fresh = fops.dedup_within_batch(
-            fops.seen_filter(cands, frontier, probe), "link_rank"
+            bloomlib.seen_filter_sharded(
+                cands, frontier, shard_bitmaps,
+                n_shards=n_shards, bits_per_shard=bits_per_shard,
+            ),
+            "link_rank",
         )
         batch = fops.checkout(
             frontier.unionByName(

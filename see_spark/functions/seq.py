@@ -55,7 +55,9 @@ def with_dense_sequence(
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__mid", F.monotonically_increasing_id())
     )
-    ordered = ordered.localCheckpoint(eager=True)  # pin partitioning for both passes
+    # pin partitioning + mid values for both passes; lazy so the
+    # materialization rides the counts job below instead of its own job
+    ordered = ordered.localCheckpoint(eager=False)
     counts = {
         r["__pid"]: r["cnt"]
         for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()

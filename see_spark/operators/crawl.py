@@ -58,6 +58,15 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_bits: int = 1 << 22
     build_index: bool = True          # postings maintenance per round
+    # URL-seen bloom topology. The flat bloom is OR-merged through the
+    # driver and broadcast — fine for small frontiers, a fixed serial cost
+    # that dominates at scale (10^10 URLs => ~12 GB bitmap). Above the
+    # threshold the sharded bloom (bloom.build_bloom_shards /
+    # seen_filter_sharded) is used: bitmaps stay distributed, candidates
+    # meet their shard in a cogroup, nothing flows through the driver.
+    use_sharded_bloom: Optional[bool] = None   # None = auto by frontier size
+    sharded_bloom_min_frontier: int = 1_000_000
+    bloom_shards: int = 64
 
 
 @dataclass
@@ -97,11 +106,16 @@ def ingest_seeds(
     rows = frontier_ops.as_frontier_rows(
         fresh, depth_col=F.lit(0), round_no=0, seq_start=seq_start
     ).localCheckpoint(eager=True)
-    merged = frontier.unionByName(rows)
-    catalog.commit(
+    # seeds only grow the unvisited partition; terminal partitions carry
+    # forward untouched
+    unvisited_next = frontier.filter(
+        F.col("state") == STATE_UNVISITED
+    ).unionByName(rows)
+    catalog.commit_delta(
         "frontier",
-        merged,
-        {
+        partition_col="state",
+        replaced={STATE_UNVISITED: unvisited_next},
+        meta={
             "round": -1,
             "op": "ingest_seeds",
             "next_seq": seq_start + rows.count(),
@@ -137,12 +151,19 @@ def run_round(
     frontier = catalog.read("frontier")
     frontier = frontier_ops.expire_leases(frontier, round_no, config.lease_rounds)
 
+    # state partitions are the storage unit (commit_delta): terminal rows
+    # never change, so the robots gate + checkout only touch the mutable
+    # unvisited slice — and only that partition is rewritten at commit.
     robots = catalog.read("robots")
-    frontier = frontier_ops.robots_block(frontier, robots)
+    unvisited = frontier.filter(F.col("state") == STATE_UNVISITED)
+    gated = frontier_ops.robots_block(unvisited, robots)
+    newly_blocked = gated.filter(F.col("state") != STATE_UNVISITED)
+    still_unvisited = gated.filter(F.col("state") == STATE_UNVISITED)
 
     hoststats = catalog.read("hoststats")
     batch = frontier_ops.checkout(
-        frontier, hoststats, round_no, config.host_budget, config.min_gap_rounds
+        still_unvisited, hoststats, round_no, config.host_budget,
+        config.min_gap_rounds,
     )
     # fetch_order is global across rounds for crawl-order parity
     prior_fetches = _fetched_total(catalog, frontier)
@@ -151,14 +172,26 @@ def run_round(
     ).localCheckpoint(eager=True)
     metrics.checked_out = batch.count()
     if metrics.checked_out == 0:
-        catalog.commit("frontier", frontier, _frontier_meta(round_no, catalog, frontier))
+        # usually nothing changed, so no frontier commit (the round
+        # checkpoint alone records completion) — unless the robots gate
+        # just blocked freshly discovered rows, which must still persist
+        if not robots.isEmpty() and not newly_blocked.isEmpty():
+            catalog.commit_delta(
+                "frontier",
+                partition_col="state",
+                replaced={STATE_UNVISITED: still_unvisited},
+                appended=newly_blocked,
+                meta=_frontier_meta(round_no, catalog, frontier),
+            )
         catalog.commit_round(round_no, {"done": True})
         return metrics
 
     # ---- fetch + route (O17, O23) -------------------------------------
     fetched = fetcher.fetch(
-        batch.select("url", "url_hash", "host", "depth", "seq", "fetch_order")
-        .repartition("host")
+        batch.select(
+            "url", "url_hash", "host", "depth", "seq", "fetch_order",
+            "discovered_in_round",
+        ).repartition("host")
     )
     routed = fetched.withColumn(
         "routed",
@@ -167,6 +200,7 @@ def run_round(
         ),
     ).select(
         "url", "url_hash", "host", "depth", "seq", "fetch_order",
+        "discovered_in_round",
         F.col("routed.kind").alias("kind"),
         F.col("routed.body").alias("ok_body"),
         F.col("routed.location").alias("location"),
@@ -198,20 +232,15 @@ def run_round(
         ).alias("spans"),
         F.lit(round_no).cast("int").alias("fetched_in_round"),
     )
+    # Each URL is fetched exactly once (unvisited -> terminal, and the
+    # URL-seen filter blocks re-enqueue), so docs and postings are pure
+    # appends — the existing table is never read or rewritten at commit.
     new_docs = text_docs.unionByName(media_docs).localCheckpoint(eager=True)
-    old_docs = catalog.read("docs")
-    docs_merged = old_docs.join(
-        new_docs.select("doc_id"), "doc_id", "left_anti"
-    ).unionByName(new_docs)
 
     # ---- postings delta (O3 index maintenance + O10 tf precompute) -----
-    if config.build_index:
-        old_postings = catalog.read("postings")
-        kept = old_postings.join(new_docs.select("doc_id"), "doc_id", "left_anti")
-        fresh_postings = indexer.postings_from_docs(text_docs)
-        postings_merged = kept.unionByName(fresh_postings)
-    else:
-        postings_merged = None
+    fresh_postings = (
+        indexer.postings_from_docs(text_docs) if config.build_index else None
+    )
 
     # ---- new links (O22 -> O15 -> O16 -> O2) ----------------------------
     page_links = parsed.filter(
@@ -243,16 +272,38 @@ def run_round(
         domain_filter=config.domain_filter,
     ).filter(F.col("ingest_status") == "ok").drop("ingest_status")
 
-    bloom_probe = None
-    if config.use_bloom:
+    seq_start = _next_seq(catalog, frontier)
+    # next_seq counts every URL ever enqueued == frontier row count (rows
+    # are never deleted), so it is a free frontier-size estimate for the
+    # bloom-topology switch.
+    sharded = (
+        config.use_sharded_bloom
+        if config.use_sharded_bloom is not None
+        else seq_start >= config.sharded_bloom_min_frontier
+    )
+    if config.use_bloom and sharded:
+        bits_per_shard = max(
+            1 << 16, bloomlib.bits_for(max(seq_start, 1)) // config.bloom_shards
+        )
+        shard_bitmaps = bloomlib.build_bloom_shards(
+            frontier.select("url_hash"),
+            n_shards=config.bloom_shards,
+            bits_per_shard=bits_per_shard,
+        )
+        deduped = bloomlib.seen_filter_sharded(
+            candidates, frontier, shard_bitmaps,
+            n_shards=config.bloom_shards, bits_per_shard=bits_per_shard,
+        )
+    elif config.use_bloom:
         bloom = bloomlib.build_bloom(
             frontier.select("url_hash"), n_bits=config.bloom_bits
         )
-        bloom_probe = bloomlib.maybe_seen_udf(spark, bloom)
-    fresh = frontier_ops.dedup_within_batch(
-        frontier_ops.seen_filter(candidates, frontier, bloom_probe), "link_rank"
-    )
-    seq_start = _next_seq(catalog, frontier)
+        deduped = frontier_ops.seen_filter(
+            candidates, frontier, bloomlib.maybe_seen_udf(spark, bloom)
+        )
+    else:
+        deduped = frontier_ops.seen_filter(candidates, frontier)
+    fresh = frontier_ops.dedup_within_batch(deduped, "link_rank")
     new_rows = frontier_ops.as_frontier_rows(
         fresh,
         depth_col=F.col("parent_depth") + 1,
@@ -260,38 +311,33 @@ def run_round(
         seq_start=seq_start,
     ).drop("parent_depth", "link_rank").localCheckpoint(eager=True)
 
-    # ---- frontier MERGE (state transitions + appends) -------------------
-    updates = parsed.select(
-        "url_hash",
+    # ---- frontier state transitions (terminal rows are append-only) -----
+    # parsed carries the checked-out row's full identity, so the terminal
+    # row is built directly from the fetch outcome — no join back against
+    # the frontier, and the untouched terminal partitions are never read
+    # or rewritten (commit_delta carries their files forward).
+    terminal = parsed.select(
+        "url", "url_hash", "host", "depth", "seq",
         F.when(F.col("kind") == "text", F.lit(STATE_VISITED))
         .when(F.col("kind") == "binary", F.lit(STATE_BINARY))
         .when(F.col("kind") == "redirect", F.lit(STATE_REDIRECT))
         .otherwise(F.lit(STATE_ERROR))
-        .alias("new_state"),
+        .alias("state"),
         F.coalesce(
             F.when(
                 F.col("kind") == "redirect",
                 absolute_link_udf(F.col("url"), F.col("location")),
             ),
             F.col("error"),
-        ).alias("new_detail"),
-        F.col("fetch_order").alias("new_fetch_order"),
+        ).alias("detail"),
+        "discovered_in_round",
+        F.lit(round_no).cast("int").alias("fetched_in_round"),
+        "fetch_order",
+        F.lit(None).cast("int").alias("checkout_round"),
     )
-    frontier_next = (
-        frontier.join(updates, "url_hash", "left")
-        .select(
-            "url", "url_hash", "host", "depth", "seq",
-            F.coalesce("new_state", "state").alias("state"),
-            F.coalesce("new_detail", "detail").alias("detail"),
-            "discovered_in_round",
-            F.when(
-                F.col("new_state").isNotNull(), F.lit(round_no)
-            ).otherwise(F.col("fetched_in_round")).alias("fetched_in_round"),
-            F.coalesce("new_fetch_order", "fetch_order").alias("fetch_order"),
-            "checkout_round",
-        )
-        .unionByName(new_rows)
-    )
+    unvisited_next = still_unvisited.join(
+        batch.select("url_hash"), "url_hash", "left_anti"
+    ).unionByName(new_rows)
 
     # ---- hoststats -------------------------------------------------------
     fetched_hosts = parsed.groupBy("host").agg(F.count("*").alias("n"))
@@ -320,10 +366,18 @@ def run_round(
         "next_seq": seq_start + metrics.discovered,
         "fetched_total": prior_fetches + metrics.checked_out,
     }
-    catalog.commit("frontier", frontier_next, frontier_meta)
-    catalog.commit("docs", docs_merged, {"round": round_no})
-    if postings_merged is not None:
-        catalog.commit("postings", postings_merged, {"round": round_no})
+    catalog.commit_delta(
+        "frontier",
+        partition_col="state",
+        replaced={STATE_UNVISITED: unvisited_next},
+        appended=terminal.unionByName(newly_blocked),
+        meta=frontier_meta,
+    )
+    catalog.commit_delta("docs", appended=new_docs, meta={"round": round_no})
+    if fresh_postings is not None:
+        catalog.commit_delta(
+            "postings", appended=fresh_postings, meta={"round": round_no}
+        )
     catalog.commit("hoststats", hoststats_next, {"round": round_no})
     catalog.commit_round(round_no, {"metrics": metrics.__dict__})
     metrics.frontier_size = None  # filled by caller if wanted

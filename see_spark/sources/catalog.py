@@ -51,14 +51,33 @@ class SnapshotCatalog:
             json.dump(meta, fh)
         os.replace(tmp, path)
 
-    # ---- read ----------------------------------------------------------
-    def read(self, table: str, snapshot: Optional[int] = None) -> DataFrame:
+    def _snapshot_entry(self, table: str, snap: int) -> dict:
+        for entry in self._load_meta(table)["snapshots"]:
+            if entry["id"] == snap:
+                return entry
+        return {}
+
+    def parts(self, table: str, snapshot: Optional[int] = None) -> dict:
+        """Partition-value -> [relative data dirs] manifest for a snapshot.
+        Flat (non-delta) snapshots resolve to {"__all__": [snap dir]}."""
         meta = self._load_meta(table)
         snap = meta["current"] if snapshot is None else snapshot
         if snap is None:
+            return {}
+        entry = self._snapshot_entry(table, snap)
+        return entry.get("parts") or {"__all__": [f"snap-{snap:06d}"]}
+
+    # ---- read ----------------------------------------------------------
+    def read(self, table: str, snapshot: Optional[int] = None) -> DataFrame:
+        parts = self.parts(table, snapshot)
+        paths = [
+            os.path.join(self.root, table, rel)
+            for dirs in parts.values()
+            for rel in dirs
+        ]
+        if not paths:
             return self.spark.createDataFrame([], SCHEMAS[table])
-        path = os.path.join(self.root, table, f"snap-{snap:06d}")
-        return self.spark.read.schema(SCHEMAS[table]).parquet(path)
+        return self.spark.read.schema(SCHEMAS[table]).parquet(*paths)
 
     def current_snapshot(self, table: str) -> Optional[int]:
         return self._load_meta(table)["current"]
@@ -86,6 +105,136 @@ class SnapshotCatalog:
         table_meta["current"] = snap
         self._store_meta(table, table_meta)
         return snap
+
+    # how many delta dirs a partition may accumulate before the commit
+    # rewrites it into one dir (bounds read fan-in and small-file count)
+    COMPACT_AFTER = 32
+
+    def commit_delta(
+        self,
+        table: str,
+        partition_col: Optional[str] = None,
+        replaced: Optional[dict] = None,
+        appended: Optional[DataFrame] = None,
+        meta: Optional[dict] = None,
+    ) -> int:
+        """Partition-aware commit: write ONLY changed partitions; unchanged
+        partitions carry forward as manifest references to earlier
+        snapshots' files (zero I/O — the Iceberg MERGE INTO shape that
+        ``tables.iceberg_ddl`` declares for production).
+
+        ``replaced``: {partition value: full replacement DataFrame} — the
+        partition's new complete contents (one write job per value; the
+        crawl uses exactly one, the mutable 'unvisited' state).
+        ``appended``: rows to add, any mix of partition values — written in
+        ONE partitionBy job; the dirs that materialize are appended to
+        their partitions' manifests (append-only terminal states).
+        ``partition_col`` None = unpartitioned append-only table (docs,
+        postings): appended rows land under the single '__rows__' part.
+
+        Round-commit I/O is O(rows written), never O(table). A partition
+        whose dir list exceeds COMPACT_AFTER is rewritten into one dir
+        (amortized compaction, same contents).
+        """
+        table_meta = self._load_meta(table)
+        snap = (table_meta["current"] or 0) + 1
+        snap_rel = f"snap-{snap:06d}"
+        snap_path = os.path.join(self.root, table, snap_rel)
+        if os.path.exists(snap_path):  # leftover from a crashed commit
+            shutil.rmtree(snap_path)
+        prev_parts = self.parts(table) if table_meta["current"] else {}
+        cols = [f.name for f in SCHEMAS[table].fields]
+        replaced = replaced or {}
+
+        new_parts = {k: list(v) for k, v in prev_parts.items()}
+        if "__all__" in new_parts:
+            # migrate a flat snapshot: split the carried-forward remainder
+            # (everything outside the replaced partitions) by partition
+            # value in one partitionBy job — paid once per catalog
+            if partition_col is None:
+                raise ValueError(
+                    f"cannot delta-commit unpartitioned rows onto flat "
+                    f"table {table!r} without replacing it; use commit()"
+                )
+            from pyspark.sql import functions as F
+
+            del new_parts["__all__"]
+            remainder = self.read(table)
+            if replaced:
+                remainder = remainder.filter(
+                    ~F.col(partition_col).isin(list(replaced))
+                )
+            mig_rel = f"{snap_rel}/migrate"
+            self._write_partitioned(
+                remainder, cols, partition_col,
+                os.path.join(self.root, table, mig_rel),
+            )
+            for value in self._list_part_dirs(table, mig_rel):
+                new_parts[value] = [f"{mig_rel}/__part={value}"]
+
+        for value, df in replaced.items():
+            rel = f"{snap_rel}/replace-{value}"
+            df.select(*cols).write.mode("overwrite").parquet(
+                os.path.join(self.root, table, rel)
+            )
+            new_parts[value] = [rel]
+
+        if appended is not None:
+            if partition_col is None:
+                rel = f"{snap_rel}/append"
+                appended.select(*cols).write.mode("overwrite").parquet(
+                    os.path.join(self.root, table, rel)
+                )
+                new_parts.setdefault("__rows__", []).append(rel)
+            else:
+                delta_rel = f"{snap_rel}/delta"
+                self._write_partitioned(
+                    appended, cols, partition_col,
+                    os.path.join(self.root, table, delta_rel),
+                )
+                for value in self._list_part_dirs(table, delta_rel):
+                    new_parts.setdefault(value, []).append(
+                        f"{delta_rel}/__part={value}"
+                    )
+
+        for value, dirs in new_parts.items():
+            if len(dirs) > self.COMPACT_AFTER:
+                rel = f"{snap_rel}/compact-{value}"
+                self.spark.read.schema(SCHEMAS[table]).parquet(
+                    *[os.path.join(self.root, table, d) for d in dirs]
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self.root, table, rel)
+                )
+                new_parts[value] = [rel]
+
+        table_meta["snapshots"].append(
+            {"id": snap, "meta": meta or {}, "parts": new_parts}
+        )
+        table_meta["current"] = snap
+        self._store_meta(table, table_meta)
+        return snap
+
+    def _write_partitioned(
+        self, df: DataFrame, cols: list, partition_col: str, path: str
+    ) -> None:
+        """partitionBy under a duplicated '__part' column so the data files
+        keep the real partition column; reading a leaf '__part=x' dir
+        directly therefore needs no partition-value recovery."""
+        from pyspark.sql import functions as F
+
+        df.select(*cols).withColumn(
+            "__part", F.col(partition_col)
+        ).write.partitionBy("__part").mode("overwrite").parquet(path)
+
+    def _list_part_dirs(self, table: str, rel: str) -> list:
+        base = os.path.join(self.root, table, rel)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(base)
+            if d.startswith("__part=")
+        )
 
     def rollback(self, table: str, snapshot: int) -> None:
         meta = self._load_meta(table)

@@ -17,13 +17,15 @@ shape — the politeness gate upstream already bounds per-host concurrency.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..core.fetch import MAX_LENGTH, TEXT_MIMES
 
 FETCH_RESULT_FIELDS = [
     T.StructField("url", T.StringType()),
@@ -78,6 +80,103 @@ class FixtureFetcher:
                     if col != "url":
                         out[col] = frame[col].to_numpy()
                 yield out
+
+        return batch.mapInPandas(_run, schema=schema)
+
+
+USER_AGENT = "see-spark (PySpark crawl engine)"
+
+
+def http_get(
+    session, url: str, timeout: float = 10.0
+) -> Tuple[Optional[int], Optional[str], Optional[str], Optional[str]]:
+    """One raw GET with the reference's fetch semantics
+    (/root/reference/apps/crawler/src/see_http.erl:13-24,26-32):
+
+    - redirects NOT followed (the crawler absolutizes + re-queues Location);
+    - body read ONLY when content-type's MIME (before ';') is text/html or
+      text/plain, streamed and capped at 10 MB — binaries are never pulled;
+    - network/protocol failures -> (None, None, None, None), the
+      connection-refused analog that routes to the error state.
+
+    Returns (status, content_type, body, redirect_location) — the raw
+    four-tuple that ``core.fetch.route_response`` classifies; routing
+    policy stays in exactly one place.
+    """
+    import requests
+
+    try:
+        resp = session.get(
+            url,
+            headers={"user-agent": USER_AGENT},
+            allow_redirects=False,
+            stream=True,
+            timeout=timeout,
+        )
+    except requests.RequestException:
+        return (None, None, None, None)
+    try:
+        content_type = resp.headers.get("content-type")
+        location = resp.headers.get("location")
+        body = None
+        if resp.status_code == 200 and content_type:
+            mime = content_type.split(";", 1)[0].strip()
+            if mime in TEXT_MIMES:
+                raw = b""
+                try:
+                    for chunk in resp.iter_content(chunk_size=1 << 16):
+                        raw += chunk
+                        if len(raw) >= MAX_LENGTH:
+                            break
+                except requests.RequestException:
+                    return (None, None, None, None)
+                body = raw[:MAX_LENGTH].decode(
+                    resp.encoding or "utf-8", errors="replace"
+                )
+        return (resp.status_code, content_type, body, location)
+    finally:
+        resp.close()
+
+
+class RequestsFetcher:
+    """Production HTTP fetcher in the same mapInPandas shape as the
+    deterministic fetchers: the checked-out batch arrives host-partitioned
+    (checkout repartitions by host), so one requests.Session per task gets
+    connection reuse against few hosts, and the politeness gate upstream
+    already bounds per-host batch size. Sequential within a task — fetch
+    concurrency at scale comes from partition parallelism, which the
+    politeness window already shaped.
+    """
+
+    def __init__(self, timeout: float = 10.0):
+        self.timeout = timeout
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        schema = _fetch_schema(batch.schema)
+        timeout = self.timeout
+
+        def _run(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import requests
+
+            with requests.Session() as session:
+                for frame in frames:
+                    if len(frame) == 0:
+                        continue
+                    rows = [
+                        (url, *http_get(session, url, timeout))
+                        for url in frame["url"]
+                    ]
+                    out = pd.DataFrame(
+                        rows,
+                        columns=[
+                            "url", "status", "content_type", "body", "redirect_to",
+                        ],
+                    )
+                    out["status"] = out["status"].astype("Int32")
+                    for col in frame.columns:
+                        if col != "url":
+                            out[col] = frame[col].to_numpy()
+                    yield out
 
         return batch.mapInPandas(_run, schema=schema)
 

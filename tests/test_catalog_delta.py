@@ -1,0 +1,170 @@
+"""Partition-aware snapshot commits (SnapshotCatalog.commit_delta): the
+sandbox stand-in for Iceberg MERGE INTO. Pins the scale property VERDICT
+demanded: round-commit I/O is O(changed rows) — an unchanged partition's
+data files are carried forward byte-identical (never rewritten), appends
+write only the delta, and a flat snapshot migrates once."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from see_spark.sources.catalog import SnapshotCatalog
+
+
+@pytest.fixture()
+def catalog(spark):
+    return SnapshotCatalog(tempfile.mkdtemp(prefix="see_delta_"), spark)
+
+
+def _frontier_rows(spark, rows):
+    """rows: [(url, state)] -> frontier-schema DF."""
+    return spark.createDataFrame(
+        [
+            (u, hash(u), "h.test", 0, i, s, None, 0, None, None, None)
+            for i, (u, s) in enumerate(rows)
+        ],
+        "url string, url_hash long, host string, depth int, seq long, "
+        "state string, detail string, discovered_in_round int, "
+        "fetched_in_round int, fetch_order long, checkout_round int",
+    )
+
+
+def _data_files(catalog, table):
+    """{relative parquet file path: (size, mtime)} across the table dir."""
+    out = {}
+    base = os.path.join(catalog.root, table)
+    for dirpath, _, files in os.walk(base):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, base)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_replace_append_carry_forward(spark, catalog):
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, [("a", "unvisited"),
+                                                      ("b", "unvisited")])},
+    )
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, [("b", "unvisited")])},
+        appended=_frontier_rows(spark, [("a", "visited")]),
+    )
+    got = {(r["url"], r["state"]) for r in catalog.read("frontier").collect()}
+    assert got == {("a", "visited"), ("b", "unvisited")}
+
+
+def test_unchanged_partition_files_untouched(spark, catalog):
+    """The core O(changed) property: committing a round that only touches
+    'unvisited' leaves the 'visited' partition's files byte-identical
+    (same paths, sizes, mtimes — carried forward by manifest reference)."""
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, [("a", "unvisited")])},
+        appended=_frontier_rows(spark, [("v1", "visited"), ("v2", "visited")]),
+    )
+    visited_dirs = catalog.parts("frontier")["visited"]
+    before = {
+        p: s for p, s in _data_files(catalog, "frontier").items()
+        if any(p.startswith(d) for d in visited_dirs)
+    }
+    assert before  # the visited partition has real files
+
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, [("c", "unvisited")])},
+    )
+    assert catalog.parts("frontier")["visited"] == visited_dirs
+    after = {
+        p: s for p, s in _data_files(catalog, "frontier").items()
+        if any(p.startswith(d) for d in visited_dirs)
+    }
+    assert after == before
+    got = {(r["url"], r["state"]) for r in catalog.read("frontier").collect()}
+    assert got == {("c", "unvisited"), ("v1", "visited"), ("v2", "visited")}
+
+
+def test_flat_snapshot_migrates_once(spark, catalog):
+    """A plain commit() snapshot (tests/bench bootstrap path) splits into
+    per-state partitions on the first delta commit, preserving contents."""
+    catalog.commit(
+        "frontier",
+        _frontier_rows(spark, [("a", "unvisited"), ("v", "visited"),
+                               ("e", "error")]),
+    )
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, [("b", "unvisited")])},
+        appended=_frontier_rows(spark, [("a", "visited")]),
+    )
+    parts = catalog.parts("frontier")
+    assert "__all__" not in parts
+    assert set(parts) >= {"unvisited", "visited", "error"}
+    got = {(r["url"], r["state"]) for r in catalog.read("frontier").collect()}
+    assert got == {("b", "unvisited"), ("a", "visited"), ("v", "visited"),
+                   ("e", "error")}
+
+
+def test_empty_replacement_partition_reads_back_empty(spark, catalog):
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, [("a", "unvisited")])},
+    )
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, []).limit(0)},
+        appended=_frontier_rows(spark, [("a", "visited")]),
+    )
+    got = {(r["url"], r["state"]) for r in catalog.read("frontier").collect()}
+    assert got == {("a", "visited")}
+
+
+def test_append_only_table_without_partition_col(spark, catalog):
+    d1 = spark.createDataFrame(
+        [("u1", "t1", [], 0)],
+        "doc_id string, title string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "fetched_in_round int",
+    )
+    d2 = d1.select(F.lit("u2").alias("doc_id"), "title", "spans",
+                   "fetched_in_round")
+    catalog.commit_delta("docs", appended=d1)
+    files_after_first = _data_files(catalog, "docs")
+    catalog.commit_delta("docs", appended=d2)
+    assert {r["doc_id"] for r in catalog.read("docs").collect()} == {"u1", "u2"}
+    # the first append's files are untouched by the second
+    now = _data_files(catalog, "docs")
+    assert all(now[p] == s for p, s in files_after_first.items())
+
+
+def test_compaction_bounds_dir_count(spark, catalog, monkeypatch):
+    monkeypatch.setattr(SnapshotCatalog, "COMPACT_AFTER", 3)
+    for i in range(6):
+        catalog.commit_delta(
+            "frontier", partition_col="state",
+            appended=_frontier_rows(spark, [(f"v{i}", "visited")]),
+        )
+    assert len(catalog.parts("frontier")["visited"]) <= 4
+    got = {r["url"] for r in catalog.read("frontier").collect()}
+    assert got == {f"v{i}" for i in range(6)}
+
+
+def test_rollback_restores_old_manifest(spark, catalog):
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, [("a", "unvisited")])},
+    )
+    snap1 = catalog.current_snapshot("frontier")
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, [("b", "unvisited")])},
+        appended=_frontier_rows(spark, [("a", "visited")]),
+    )
+    catalog.rollback("frontier", snap1)
+    got = {(r["url"], r["state"]) for r in catalog.read("frontier").collect()}
+    assert got == {("a", "unvisited")}

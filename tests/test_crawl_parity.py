@@ -128,6 +128,39 @@ def test_politeness_budget_respected(crawl_result):
     assert all(r["count"] <= 2 for r in per_round_host)
 
 
+def test_sharded_bloom_crawl_matches_flat(spark, crawl_result):
+    """The bloom topology (flat broadcast vs sharded cogroup) is a physical
+    choice only: forcing the sharded path (non-power-of-two shard count to
+    exercise signed pmod routing) must reproduce the byte-identical
+    frontier — url-seen set, states, seq, and fetch order."""
+    import tempfile
+
+    from see_spark.operators.crawl import CrawlConfig, run_crawl
+    from see_spark.sources.catalog import SnapshotCatalog
+    from see_spark.sources.fetcher import FixtureFetcher
+    from see_spark.sources.fixtures import (
+        DOMAIN_FILTER,
+        SEED_URLS,
+        fixture_robots,
+        fixture_site,
+    )
+
+    config = CrawlConfig(
+        domain_filter=DOMAIN_FILTER, host_budget=2, max_rounds=30,
+        use_sharded_bloom=True, bloom_shards=5,
+    )
+    catalog = SnapshotCatalog(tempfile.mkdtemp(prefix="see_spark_shard_"), spark)
+    run_crawl(
+        spark, catalog, FixtureFetcher(spark, fixture_site()), config,
+        seeds=SEED_URLS, robots=fixture_robots(),
+    )
+    flat_catalog, _, _ = crawl_result
+    key = lambda r: (r["url"], r["state"], r["seq"], r["fetch_order"])  # noqa: E731
+    assert sorted(map(key, catalog.read("frontier").collect())) == sorted(
+        map(key, flat_catalog.read("frontier").collect())
+    )
+
+
 def test_lineage_columns_populated(crawl_result):
     catalog, _, _ = crawl_result
     rows = _frontier_rows(catalog)
