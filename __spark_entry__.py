@@ -1480,14 +1480,47 @@ ORACLES_BATCH3 = {
         SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
     """,
     "knn_ivf": _QNORM_SQL.format(qvec=_QVEC_SQL) + """
-        , cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
-                   FROM nv WHERE vec_id < 8),
-        assign AS (
-          SELECT nv.vec_id, nv.v, nv.nrm, cent.centroid_id,
+        -- one deterministic Lloyd iteration (ivf_train_centroids):
+        -- init = first-8 vectors; assign; centroid = exact-rational mean
+        -- (integer SUM / COUNT over the milli-quantized vectors)
+        , cent0 AS (SELECT vec_id AS centroid_id,
+                           list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+                    FROM nv WHERE vec_id < 8),
+        cn0 AS (SELECT centroid_id, cv,
+                       sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
+                FROM cent0),
+        a0 AS (
+          SELECT nv.vec_id, nv.v, nv.nrm, c.centroid_id,
                  CAST(list_sum(list_transform(range(1, len(nv.v)+1),
-                               i -> nv.v[i]*cent.cv[i])) AS DOUBLE)
-                   / (nv.nrm * cent.cnrm) AS cc
-          FROM nv CROSS JOIN cent),
+                               i -> nv.v[i]*c.cv[i])) AS DOUBLE)
+                   / (nv.nrm * c.cnrm) AS cc
+          FROM nv CROSS JOIN cn0 c),
+        m0 AS (
+          SELECT vec_id, v, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cc DESC, centroid_id ASC) AS cr
+          FROM a0 QUALIFY cr = 1),
+        sums AS (
+          SELECT centroid_id, pos, SUM(x) AS s, COUNT(*) AS n
+          FROM (SELECT centroid_id, unnest(v) AS x,
+                       generate_subscripts(v, 1) AS pos
+                FROM m0)
+          GROUP BY 1, 2),
+        cent1 AS (
+          SELECT c0.centroid_id, COALESCE(nc.cv, c0.cv) AS cv
+          FROM cent0 c0 LEFT JOIN
+               (SELECT centroid_id,
+                       list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cv
+                FROM sums GROUP BY centroid_id) nc USING (centroid_id)),
+        cn1 AS (SELECT centroid_id, cv,
+                       sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
+                FROM cent1),
+        assign AS (
+          SELECT nv.vec_id, nv.v, nv.nrm, c.centroid_id,
+                 CAST(list_sum(list_transform(range(1, len(nv.v)+1),
+                               i -> nv.v[i]*c.cv[i])) AS DOUBLE)
+                   / (nv.nrm * c.cnrm) AS cc
+          FROM nv CROSS JOIN cn1 c),
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY cc DESC, centroid_id ASC) AS cr

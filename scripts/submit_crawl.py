@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     p.add_argument("--domain-filter", default=None)
     p.add_argument("--synthetic-frontier", type=int, default=0,
                    help="bootstrap a synthetic frontier of N rows instead of seeds (bench mode)")
+    p.add_argument("--fetcher", choices=["synthetic", "http"], default="synthetic",
+                   help="'http' = real network via RequestsFetcher; "
+                        "'synthetic' = deterministic hash-derived content")
+    p.add_argument("--timeout", type=float, default=10.0,
+                   help="per-request timeout for --fetcher http")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -62,10 +67,15 @@ def main(argv=None) -> int:
         with open(args.seeds) as fh:
             seeds = [line.strip() for line in fh if line.strip()]
 
-    # the sandbox has no network; SyntheticFetcher stands in. Swap in a
-    # requests-backed fetcher (same mapInPandas contract, see
-    # sources/fetcher.py docstring) for a real crawl.
-    history = run_crawl(spark, catalog, SyntheticFetcher(), config, seeds=seeds)
+    if args.fetcher == "http":
+        from see_spark.sources.fetcher import RequestsFetcher
+
+        fetcher = RequestsFetcher(timeout=args.timeout)
+    else:
+        # the sandbox has no network; SyntheticFetcher stands in (same
+        # mapInPandas contract, see sources/fetcher.py docstring)
+        fetcher = SyntheticFetcher()
+    history = run_crawl(spark, catalog, fetcher, config, seeds=seeds)
     print(json.dumps([m.__dict__ for m in history]))
     return 0
 

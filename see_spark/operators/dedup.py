@@ -65,14 +65,29 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
     text_col: str = "text", id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with n-gram Jaccard >= threshold (exact).
+    """Near-dup pairs with n-gram Jaccard >= threshold.
 
-    Self-join on shingle; |A ∪ B| = |A| + |B| - |A ∩ B|. Scale note: the
-    join key is the shingle — at corpus scale, cap ubiquitous shingles
-    (document-frequency cut) before the join; at sandbox scale exact is fine.
+    Self-join on shingle; |A ∪ B| = |A| + |B| - |A ∩ B|. The join fan-out
+    per shingle is its document frequency SQUARED, so one boilerplate
+    shingle shared by 10^6 docs would emit 10^12 join rows —
+    ``max_shingle_df`` drops shingles whose df exceeds the cap before the
+    join (and from the sizes, so Jaccard is computed consistently over the
+    capped shingle vocabulary — the standard stop-shingle cut). With the
+    cap, per-key fan-out is bounded by max_shingle_df^2 regardless of
+    corpus skew. None = exact over all shingles (the oracle-checked
+    default at sandbox scale).
     """
     sh = word_shingles(docs, n, text_col, id_col)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     common = (
         sh.alias("a")
@@ -95,14 +110,16 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_seeds(spark, num_hashes: int) -> DataFrame:
-    """Deterministic (seed_id, a, b) with 0 < a,b < 2^31-1 — same closed
-    form the oracle SQL generates with range()."""
-    return spark.range(num_hashes).select(
-        F.col("id").alias("seed_id"),
-        ((F.lit(1103515245) * (F.col("id") + 1) + 12345) % MERSENNE31 + 1).alias("a"),
-        ((F.col("id") * 7919 + 13) % MERSENNE31).alias("b"),
-    )
+def _minhash_seeds(num_hashes: int) -> list:
+    """Deterministic (a, b) with 0 < a,b < 2^31-1 — same closed form the
+    oracle SQL generates with range()."""
+    return [
+        (
+            (1103515245 * (i + 1) + 12345) % MERSENNE31 + 1,
+            (i * 7919 + 13) % MERSENNE31,
+        )
+        for i in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -112,18 +129,26 @@ def minhash_signatures(
     """(doc_id, seed_id, minhash): MinHash signature rows.
 
     h(shingle) reduced mod 2^31-1, then k universal hashes (a*h+b) mod p.
-    Shuffle shape: shingles x seeds is a broadcast nested-loop against a
-    k-row dim (cheap), then one groupBy (doc_id, seed_id) with map-side min.
-    """
-    spark = docs.sparkSession
+    The k mins are computed as k parallel min-aggregates over projected
+    columns of the ONE shingle row — no shingles x seeds row blow-up, no
+    crossJoin; the shuffle carries one k-wide row per doc per map
+    partition (map-side combine). The (doc_id, seed_id, minhash) row shape
+    is restored afterwards by exploding |docs| x k rows (tiny)."""
     sh = word_shingles(docs, n, text_col, id_col).withColumn(
         "h", hash60(F.col("shingle")) % MERSENNE31
     )
-    seeds = F.broadcast(_minhash_seeds(spark, num_hashes))
-    return (
-        sh.crossJoin(seeds)
-        .groupBy("doc_id", "seed_id")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MERSENNE31).alias("minhash"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_seeds(num_hashes))
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    return wide.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(num_hashes)])),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("seed_id"),
+        F.col("col").alias("minhash"),
     )
 
 
@@ -200,34 +225,28 @@ def simhash(
     Token-frequency-weighted votes per bit of the token's 60-bit hash;
     bit set iff the vote sum is positive. 48 bits so the assembled
     fingerprint stays well inside a signed 64-bit int in both engines.
-    Shape: tokens x bits explode (48x) -> one groupBy (doc_id, bit) ->
-    one groupBy doc_id; all map-side combinable.
+    Shape: ONE groupBy (doc_id, tok) for counts, then the 48 bit-votes as
+    48 parallel sum-aggregates over projected columns of the same row —
+    no tokens x bits row blow-up, one map-side-combinable shuffle; the
+    fingerprint assembles in a final projection.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
     hashed = toks.withColumn("h", hash60(F.col("tok")))
-    bits = F.broadcast(
-        docs.sparkSession.range(num_bits).select(F.col("id").alias("bit"))
-    )
-    votes = (
-        hashed.crossJoin(bits)
-        # shiftright/shiftleft need F.expr for a column shift amount
-        .withColumn(
-            "vote",
-            F.expr("((shiftright(h, cast(bit as int)) % 2) * 2 - 1) * cnt"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.expr(
-                "case when v > 0 then shiftleft(cast(1 as bigint), cast(bit as int)) else cast(0 as bigint) end"
-            )
-        ).alias("simhash")
-    )
+    votes = [
+        F.sum(F.expr(f"((shiftright(h, {b}) % 2) * 2 - 1) * cnt")).alias(f"v{b}")
+        for b in range(num_bits)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for b in range(num_bits):
+        bit = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return wide.select("doc_id", fingerprint.alias("simhash"))
 
 
 def embedding_near_dup_pairs(

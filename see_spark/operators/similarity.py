@@ -124,12 +124,69 @@ def ivf_assign(
     )
 
 
+def ivf_train_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Deterministic Lloyd (k-means) refinement for the IVF coarse
+    quantizer. Init = the first ``n_centroids`` vectors by id (a
+    deterministic seed, no RNG); each iteration assigns every vector to
+    its nearest centroid by cosine (pinned tie-break) and moves each
+    centroid to its members' element-wise mean; an emptied cluster keeps
+    its previous position.
+
+    Determinism across engines/summation orders: with integer-quantized
+    inputs (the engine's vector-oracle convention, ``_qvecs``) the mean is
+    an exact rational — integer SUM (order-independent) / COUNT — so the
+    DuckDB oracle reproduces the centroids bit-for-bit. Float inputs
+    train fine but are only reproducible up to float-sum ordering.
+
+    Cost per iteration: one broadcast-centroid assignment pass over the
+    corpus + one (centroid, dim)-keyed aggregate of the exploded elements
+    (map-side combinable) — no all-pairs, no driver-side math.
+    """
+    e = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("vec").cast("array<double>").alias("cvec"),
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(
+            e, cents, id_col="vec_id", vec_col="vec", nprobe=1
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg((F.sum("x") / F.count("*")).alias("val"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("new_cvec")
+            )
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("new_cvec", "cvec").alias("cvec"),
+            )
+            .localCheckpoint(eager=False)  # cut the growing lineage per iter
+        )
+    return cents
+
+
 def knn_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 2,
+    train_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -139,17 +196,16 @@ def knn_ivf(
     centroid; a query probes its ``nprobe`` nearest centroids and ranks
     exactly within those lists only.
 
-    Centroids here are the first ``n_centroids`` corpus vectors by id — a
-    deterministic stand-in for a k-means pass (which would just refine the
-    same table; the plan shape is identical). At 10^9 vectors the corpus
-    shuffles once by centroid_id; each query touches ~nprobe/n_centroids of
-    the data instead of all of it.
+    Centroids are k-means-trained (``ivf_train_centroids``: deterministic
+    first-N init + ``train_iters`` Lloyd refinements; 0 = raw first-N
+    seeds). At 10^9 vectors the corpus shuffles once by centroid_id; each
+    query touches ~nprobe/n_centroids of the data instead of all of it.
     """
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
-    centroids = e.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    centroids = ivf_train_centroids(
+        e, n_centroids, iters=train_iters, id_col="vec_id", vec_col="vec"
     )
     lists = ivf_assign(e, centroids, id_col="vec_id", vec_col="vec", nprobe=1).select(
         "vec_id", "vec", "centroid_id"

@@ -42,6 +42,95 @@ def test_ngram_jaccard_exact_values(docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """The document-frequency cut drops ubiquitous shingles from the join
+    AND the sizes: fan-out per shingle is bounded by max_shingle_df^2, and
+    on a corpus whose near-dups share rare shingles the reported pair set
+    is unchanged."""
+    from see_spark.operators.dedup import ngram_jaccard_pairs
+
+    # every doc shares the boilerplate bigram "boiler plate" (df=4)
+    corpus = spark.createDataFrame(
+        [
+            (1, "boiler plate alpha beta gamma"),
+            (2, "boiler plate alpha beta delta"),   # near dup of 1
+            (3, "boiler plate zebra yak xylo"),
+            (4, "boiler plate quark lepton muon"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def pairset(**kw):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(
+                corpus, n=2, threshold=0.5, **kw
+            ).collect()
+        }
+
+    uncapped = pairset()
+    assert uncapped == {(1, 2)}
+    # cap=3 drops only "boiler plate" (df=4): same pairs survive
+    assert pairset(max_shingle_df=3) == uncapped
+    # cap=0 drops every shingle: the join is empty, not erroring
+    assert pairset(max_shingle_df=0) == set()
+    # consistency: capped jaccard is computed over the capped vocabulary
+    # (d1: 3 of 4 shingles kept, 2 shared with d2 -> 2/(3+3-2) = 0.5)
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            corpus, n=2, threshold=0.5, max_shingle_df=3
+        ).collect()
+    }
+    assert capped[(1, 2)] == pytest.approx(0.5)
+
+
+def test_ivf_kmeans_centroids_move_and_recall(spark):
+    """ivf_train_centroids: one Lloyd pass moves seeds to cluster means
+    (deterministically), empty clusters keep their position, and trained
+    IVF recall@k vs brute force stays high on a clustered corpus."""
+    from see_spark.operators.similarity import (
+        ivf_train_centroids,
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    # two tight clusters around +x and +y (integer vectors, exact means)
+    vecs = spark.createDataFrame(
+        [
+            (0, [10, 0]), (1, [0, 10]),            # seeds (first-2 by id)
+            (2, [8, 2]), (3, [12, 1]), (4, [9, 0]),
+            (5, [1, 9]), (6, [0, 12]), (7, [2, 11]),
+        ],
+        "vec_id long, embedding array<long>",
+    )
+    cents = {
+        r["centroid_id"]: r["cvec"]
+        for r in ivf_train_centroids(
+            vecs, 2, iters=1, vec_col="embedding"
+        ).collect()
+    }
+    # cluster 0 = {0,2,3,4} -> mean (39/4, 3/4); cluster 1 = {1,5,6,7}
+    assert cents[0] == pytest.approx([39 / 4, 3 / 4])
+    assert cents[1] == pytest.approx([3 / 4, 42 / 4])
+
+    q = spark.createDataFrame(
+        [(0, [10, 1]), (1, [1, 10])], "query_id long, query_vec array<long>"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_bruteforce(vecs, q, k=4).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_ivf(
+            vecs, q, k=4, n_centroids=2, nprobe=1, train_iters=1
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall == 1.0  # clean clusters: nprobe=1 after training suffices
+
+
 def test_minhash_lsh_finds_dups_and_verifies(docs):
     from see_spark.operators.dedup import minhash_lsh_pairs
 
