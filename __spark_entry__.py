@@ -420,6 +420,14 @@ def _q_embedding_near_dup(spark, sf_dir):
     ).select("vec_a", "vec_b", "cosine")
 
 
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    from see_spark.operators.dedup import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(
+        _qvecs(spark, sf_dir), threshold=0.45, n_planes=6, dim=64
+    ).select("vec_a", "vec_b", "cosine")
+
+
 def _q_knn_bruteforce(spark, sf_dir):
     from see_spark.operators.similarity import knn_bruteforce
 
@@ -1000,9 +1008,12 @@ QUERIES_BATCH1 = {
 # (tf = term_count/doc_len, both gated there) and search_projection is
 # tfidf_search + a metadata join (O14); freeing these two slots lets
 # knn_ivf and media_features land inside the driver's window.
+# embedding_near_dup_lsh is the bucketed scale path of the gated
+# embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
     "postings_tf": _q_postings_tf,
     "search_projection": _q_search_projection,
+    "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -1661,6 +1672,23 @@ ORACLES_BATCH1 = {
 
 
 ORACLES_EXTRA: dict = {
+    "embedding_near_dup_lsh": _QNORM_SQL.format(qvec=_QVEC_SQL) + """
+        , bucketed AS (
+          SELECT vec_id, v, nrm,
+                 list_sum(list_transform(range(0, 6), j ->
+                   CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+                          i -> v[i] * ((i*(j+7)) % 3 - 1))) > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)) AS bucket
+          FROM nv)
+        SELECT * FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 CAST(list_sum(list_transform(range(1, len(a.v)+1),
+                               i -> a.v[i]*b.v[i])) AS DOUBLE)
+                   / (a.nrm * b.nrm) AS cosine
+          FROM bucketed a JOIN bucketed b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        WHERE cosine >= 0.45
+    """,
     "postings_tf": f"""
         WITH postings AS ({_POSTINGS_SQL})
         SELECT doc_id, word, term_count / doc_len AS tf FROM postings

@@ -249,6 +249,49 @@ def simhash(
     return wide.select("doc_id", fingerprint.alias("simhash"))
 
 
+def embedding_near_dup_lsh(
+    embeddings: DataFrame, threshold: float = 0.95,
+    n_planes: int = 6, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs — the scale path for
+    ``embedding_near_dup_pairs``: candidates are only pairs sharing a
+    sign-bit hyperplane bucket (equi-join on bucket, never all-pairs), so
+    the corpus shuffles once by bucket and per-bucket fan-out is ~N/2^b.
+    Recall < 1 by design (near-dups that straddle a hyperplane are
+    missed); the all-pairs variant is the exact baseline. The bucketing
+    uses the deterministic integer hyperplanes of
+    ``similarity.lsh_bucket``, so with integer-quantized vectors the
+    bucket ids — and therefore the result — are bit-exact in any engine.
+    """
+    from .similarity import lsh_bucket
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), n_planes, dim)).withColumn(
+        "norm", F.sqrt(dot(F.col("vec"), F.col("vec")))
+    )
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "bucket")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            (dot(F.col("a.vec"), F.col("b.vec"))
+             / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -188,10 +188,16 @@ def checkout(
     crawl-order parity). Returns frontier-schema rows plus fetch_order.
 
     Scale shape: the filter prunes to the unvisited slice (partition-pruned
-    under Iceberg's state partitioning), ONE shuffle by host for the window,
-    and hoststats/robots are broadcast dims. Skew containment: host_budget
-    caps any host's contribution per round, so the window's per-host groups
-    are bounded regardless of frontier skew.
+    under Iceberg's state partitioning), and hoststats/robots are broadcast
+    dims. Skew containment is two-phase (salted) top-k: the per-host
+    window would otherwise sort a giant host's entire row set in ONE task
+    (the zipf head — profiling showed this stage capped at ~0.39 scaling
+    efficiency). Phase 1 ranks within (host, salt) — every window group is
+    bounded by the host's rows / ``salt_buckets`` — and keeps ``budget``
+    rows per salt; phase 2 ranks the surviving ≤ salt_buckets x budget
+    rows per host exactly. Any row in a host's true top-``budget`` by
+    (depth, seq) is necessarily in its salt group's top-``budget``, so the
+    result is identical to the single-window plan.
     """
     eligible = frontier.filter(F.col("state") == STATE_UNVISITED)
     if min_gap_rounds > 1:
@@ -200,9 +206,19 @@ def checkout(
             F.col("last_fetch_round").isNull()
             | (F.col("last_fetch_round") <= F.lit(round_no - min_gap_rounds))
         ).drop("last_fetch_round")
+    salt_buckets = 16
+    w1 = Window.partitionBy("host", "__salt").orderBy("depth", "seq")
+    pre = (
+        eligible.withColumn(
+            "__salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int")
+        )
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= host_budget)
+        .drop("__salt", "__r1")
+    )
     w = Window.partitionBy("host").orderBy("depth", "seq")
     batch = (
-        eligible.withColumn("__rank", F.row_number().over(w))
+        pre.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= host_budget)
         .drop("__rank")
     )

@@ -131,6 +131,35 @@ def test_ivf_kmeans_centroids_move_and_recall(spark):
     assert recall == 1.0  # clean clusters: nprobe=1 after training suffices
 
 
+def test_embedding_lsh_pairs_subset_of_exact(spark):
+    """Bucketed near-dup pairs are a subset of the all-pairs exact result
+    (same threshold), and co-located identical vectors are always found
+    (identical vectors share every sign bit)."""
+    from see_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    rows = [
+        (i, [((i % 4) + 1) * 100, ((i * 7) % 5) * 100 - 200, 300])
+        for i in range(10)
+    ]
+    rows += [(100, [500, 500, 500]), (101, [500, 500, 500])]  # exact dups
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<long>")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(vecs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_lsh(
+            vecs, threshold=0.9, n_planes=4, dim=3
+        ).collect()
+    }
+    assert lsh <= exact
+    assert (100, 101) in lsh  # identical vectors share every sign bit
+
+
 def test_minhash_lsh_finds_dups_and_verifies(docs):
     from see_spark.operators.dedup import minhash_lsh_pairs
 
