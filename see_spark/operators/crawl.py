@@ -98,6 +98,22 @@ def ingest_seeds(
     )
     status = cand.select(F.col("url"), F.col("ingest_status"))
     ok = cand.filter(F.col("ingest_status") == "ok").drop("ingest_status")
+    append_ok_candidates(catalog, ok, op="ingest_seeds")
+    return status
+
+
+def append_ok_candidates(
+    catalog: SnapshotCatalog, ok: DataFrame, op: str = "ingest"
+) -> int:
+    """Shared ingestion tail (seed list, streamed URL batches): URL-seen
+    dedup against the whole frontier + first-enqueue-wins within the batch,
+    stamp dense seq at depth 0, append to the unvisited partition only
+    (delta commit; terminal partitions untouched). Returns rows appended.
+
+    Safe to replay the same batch: every URL it added is then caught by
+    the seen filter, so a re-run appends nothing — this is what makes the
+    streaming foreachBatch sink idempotent without epoch bookkeeping.
+    """
     frontier = catalog.read("frontier")
     fresh = frontier_ops.dedup_within_batch(
         frontier_ops.seen_filter(ok, frontier), "link_rank"
@@ -106,6 +122,7 @@ def ingest_seeds(
     rows = frontier_ops.as_frontier_rows(
         fresh, depth_col=F.lit(0), round_no=0, seq_start=seq_start
     ).localCheckpoint(eager=True)
+    n_new = rows.count()
     # seeds only grow the unvisited partition; terminal partitions carry
     # forward untouched
     unvisited_next = frontier.filter(
@@ -117,12 +134,12 @@ def ingest_seeds(
         replaced={STATE_UNVISITED: unvisited_next},
         meta={
             "round": -1,
-            "op": "ingest_seeds",
-            "next_seq": seq_start + rows.count(),
+            "op": op,
+            "next_seq": seq_start + n_new,
             "fetched_total": _fetched_total(catalog, frontier),
         },
     )
-    return status
+    return n_new
 
 
 def _next_seq(catalog: SnapshotCatalog, frontier: DataFrame) -> int:

@@ -57,6 +57,19 @@ class SnapshotCatalog:
                 return entry
         return {}
 
+    @staticmethod
+    def _publish(table_meta: dict, entry: dict) -> None:
+        """Install a snapshot entry: any existing entries at or above its
+        id are torn leftovers from a crash + rollback replay (the replayed
+        round re-uses the rolled-back id) — they must be dropped, or
+        manifest lookups would resolve the STALE first match and a
+        crash-replay would read the torn snapshot's files."""
+        table_meta["snapshots"] = [
+            e for e in table_meta["snapshots"] if e["id"] < entry["id"]
+        ]
+        table_meta["snapshots"].append(entry)
+        table_meta["current"] = entry["id"]
+
     def parts(self, table: str, snapshot: Optional[int] = None) -> dict:
         """Partition-value -> [relative data dirs] manifest for a snapshot.
         Flat (non-delta) snapshots resolve to {"__all__": [snap dir]}."""
@@ -101,8 +114,7 @@ class SnapshotCatalog:
         # enforce declared schema + column order on every commit
         cols = [f.name for f in SCHEMAS[table].fields]
         df.select(*cols).write.mode("overwrite").parquet(path)
-        table_meta["snapshots"].append({"id": snap, "meta": meta or {}})
-        table_meta["current"] = snap
+        self._publish(table_meta, {"id": snap, "meta": meta or {}})
         self._store_meta(table, table_meta)
         return snap
 
@@ -207,10 +219,9 @@ class SnapshotCatalog:
                 )
                 new_parts[value] = [rel]
 
-        table_meta["snapshots"].append(
-            {"id": snap, "meta": meta or {}, "parts": new_parts}
+        self._publish(
+            table_meta, {"id": snap, "meta": meta or {}, "parts": new_parts}
         )
-        table_meta["current"] = snap
         self._store_meta(table, table_meta)
         return snap
 
@@ -240,6 +251,41 @@ class SnapshotCatalog:
         meta = self._load_meta(table)
         meta["current"] = snapshot
         self._store_meta(table, meta)
+
+    def vacuum(self, table: str, keep_snapshots: int = 2) -> list:
+        """Expire old snapshots (Iceberg ``expire_snapshots`` analogue):
+        keep the newest ``keep_snapshots`` manifest entries ending at
+        ``current`` and delete every data dir no kept snapshot references.
+        With delta commits, terminal-partition dirs are shared across many
+        snapshots — reference counting via the kept manifests makes this
+        safe. Returns the deleted relative dirs. Time travel to expired
+        snapshots is gone afterwards (the point: bound disk growth)."""
+        meta = self._load_meta(table)
+        if meta["current"] is None:
+            return []
+        kept_entries = [
+            e for e in meta["snapshots"] if e["id"] <= meta["current"]
+        ][-keep_snapshots:]
+        kept_ids = {e["id"] for e in kept_entries}
+        referenced = set()
+        for entry in kept_entries:
+            parts = entry.get("parts") or {"__all__": [f"snap-{entry['id']:06d}"]}
+            for dirs in parts.values():
+                # a dir like snap-000003/delta/__part=visited is rooted at
+                # its snapshot dir; keep the whole root referenced
+                referenced.update(d.split("/", 1)[0] for d in dirs)
+        deleted = []
+        table_dir = os.path.join(self.root, table)
+        for name in sorted(os.listdir(table_dir)):
+            if not name.startswith("snap-"):
+                continue
+            if name in referenced:
+                continue
+            shutil.rmtree(os.path.join(table_dir, name))
+            deleted.append(name)
+        meta["snapshots"] = [e for e in meta["snapshots"] if e["id"] in kept_ids]
+        self._store_meta(table, meta)
+        return deleted
 
     # ---- round checkpointing -------------------------------------------
     CHECKPOINT = "_checkpoint.json"

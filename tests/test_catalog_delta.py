@@ -154,6 +154,57 @@ def test_compaction_bounds_dir_count(spark, catalog, monkeypatch):
     assert got == {f"v{i}" for i in range(6)}
 
 
+def test_vacuum_deletes_unreferenced_snapshots_only(spark, catalog):
+    """vacuum keeps the newest N manifests and every data dir they
+    reference (delta snapshots share dirs across manifests), deletes the
+    rest, and the table still reads back exactly."""
+    import os
+
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, [("a", "unvisited")])},
+        appended=_frontier_rows(spark, [("v0", "visited")]),
+    )
+    for i in range(1, 4):
+        catalog.commit_delta(
+            "frontier", partition_col="state",
+            replaced={"unvisited": _frontier_rows(spark, [(f"u{i}", "unvisited")])},
+        )
+    deleted = catalog.vacuum("frontier", keep_snapshots=2)
+    # snaps 2,3 replaced unvisited and are expired; snap 1 holds the
+    # still-referenced visited append and must survive
+    assert "snap-000002" in deleted and "snap-000001" not in deleted
+    table_dir = os.path.join(catalog.root, "frontier")
+    assert not os.path.exists(os.path.join(table_dir, "snap-000002"))
+    got = {(r["url"], r["state"]) for r in catalog.read("frontier").collect()}
+    assert got == {("u3", "unvisited"), ("v0", "visited")}
+
+
+def test_torn_commit_replay_reads_replayed_snapshot(spark, catalog):
+    """Crash between table commits: the torn snapshot's manifest entry is
+    superseded when the replayed round re-commits the same id — reads must
+    resolve the REPLAYED files, not the stale first-match entry."""
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, [("good", "unvisited")])},
+        meta={"round": 1},
+    )
+    good = catalog.current_snapshot("frontier")
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, [("torn", "unvisited")])},
+        meta={"round": 2},
+    )
+    catalog.rollback("frontier", good)
+    catalog.commit_delta(
+        "frontier", partition_col="state",
+        replaced={"unvisited": _frontier_rows(spark, [("replayed", "unvisited")])},
+        meta={"round": 2},
+    )
+    got = {r["url"] for r in catalog.read("frontier").collect()}
+    assert got == {"replayed"}
+
+
 def test_rollback_restores_old_manifest(spark, catalog):
     catalog.commit_delta(
         "frontier", partition_col="state",
