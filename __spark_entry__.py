@@ -83,14 +83,15 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Postings via the engine's tokenizer UDF (O8) — the Spark side the
-    SQL oracle re-derives with the same regex pipeline."""
-    from see_spark.functions.udfs import tokenize_udf
+    """Postings via the engine's tokenizer (O8) — the Catalyst fast path
+    (pinned equivalent to the extract_words kernel); the SQL oracle
+    re-derives the same regex pipeline."""
+    from see_spark.functions.udfs import tokenize_expr
 
     docs = _documents(spark, sf_dir)
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(tokenize_udf(F.col("text"))).alias("word"),
+        F.explode(tokenize_expr(F.col("text"))).alias("word"),
     )
     counts = toks.groupBy("doc_id", "word").agg(F.count("*").alias("term_count"))
     return counts.withColumn(

@@ -24,10 +24,16 @@ from typing import Iterable, List, Union
 Iodata = Union[str, Iterable["Iodata"]]
 
 # see_text.erl:13 — exact separator class, replaced by " " globally.
-_SEPARATORS = re.compile(r"[@!#$%^&*()\-_=+\]\[\\{}|;:\"',.<>/?]")
+# Exported as the SOURCE pattern strings: the Catalyst fast path
+# (functions.udfs.tokenize_expr) compiles the same strings under Java
+# regex, and the character class is valid and identical in both engines.
+SEPARATOR_PATTERN = r"[@!#$%^&*()\-_=+\]\[\\{}|;:\"',.<>/?]"
+SPLIT_PATTERN = r"[ \t\n\r]"
+
+_SEPARATORS = re.compile(SEPARATOR_PATTERN)
 
 # see_text.erl:18 — split on single whitespace chars (no run-collapsing).
-_SPLIT = re.compile(r"[ \t\n\r]")
+_SPLIT = re.compile(SPLIT_PATTERN)
 
 
 def flatten_iodata(data: Iodata) -> str:

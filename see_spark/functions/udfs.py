@@ -62,8 +62,38 @@ def absolute_link_udf(base: pd.Series, link: pd.Series) -> pd.Series:
 
 @pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_udf(texts: pd.Series) -> pd.Series:
-    """O8: see_text:extract_words over a text column."""
+    """O8: see_text:extract_words over a text column (the reference
+    kernel, byte-for-byte). Hot paths use ``tokenize_expr`` below; this
+    wrapper remains the semantic anchor the fast path is pinned against
+    (tests/test_core_text.py::test_tokenize_expr_matches_kernel)."""
     return texts.map(lambda t: extract_words(t) if t is not None else [])
+
+
+def tokenize_expr(col):
+    """O8 as a pure-Catalyst expression — extract_words without Python.
+
+    Same pipeline as the kernel, stage for stage, compiled from the SAME
+    pattern strings (core.text.SEPARATOR_PATTERN/SPLIT_PATTERN, valid and
+    identical under Python and Java regex):
+
+      replace separator class by " "  ->  split on single whitespace
+      (empties kept, like re.split)   ->  drop tokens under 2 UTF-8 bytes
+      (octet_length)                  ->  Unicode lowercase.
+
+    The kernel's "lowercase failure drops token" branch is unreachable for
+    valid strings in both engines. Whole-stage codegen end to end: no
+    Arrow transfer, no Python workers — this is what makes index builds
+    and the tokenize-bearing queries JVM-only.
+    """
+    from ..core.text import SEPARATOR_PATTERN, SPLIT_PATTERN
+
+    stripped = F.regexp_replace(col, SEPARATOR_PATTERN, " ")
+    toks = F.split(stripped, SPLIT_PATTERN, -1)
+    kept = F.filter(toks, lambda x: F.octet_length(x) >= 2)
+    # null text -> [] like the kernel wrapper (not null)
+    return F.coalesce(
+        F.transform(kept, F.lower), F.array().cast("array<string>")
+    )
 
 
 PARSED_TYPE = T.StructType(

@@ -22,14 +22,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.udfs import tokenize_udf, tokens_from_spans
+from ..functions.udfs import tokenize_expr, tokens_from_spans
 
 
 def postings_from_docs(text_docs: DataFrame) -> DataFrame:
-    """text_docs: (doc_id, title, spans, ...) for text pages only."""
+    """text_docs: (doc_id, title, spans, ...) for text pages only.
+    Tokenization is the Catalyst fast path (``tokenize_expr`` — pinned
+    equivalent to the ``extract_words`` kernel), so the whole index build
+    is JVM-side: no Python workers between the parsed spans and the
+    postings shuffle."""
     tokens = text_docs.select(
         "doc_id",
-        F.explode(tokenize_udf(tokens_from_spans(F.col("spans")))).alias("word"),
+        F.explode(tokenize_expr(tokens_from_spans(F.col("spans")))).alias("word"),
     )
     counts = tokens.groupBy("doc_id", "word").agg(
         F.count("*").alias("term_count")

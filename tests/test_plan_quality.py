@@ -26,7 +26,11 @@ def test_similarity_and_dedup_have_no_python_in_row_path(spark, entry):
     """Dot products / minhash / simhash are Catalyst expressions; a Python
     eval node appearing in these DAGs means someone reintroduced a UDF on
     the hot path (input_hint: no per-row Python)."""
-    for name in ["knn_bruteforce", "knn_ivf", "dedup_simhash", "embedding_near_dup"]:
+    for name in [
+        "knn_bruteforce", "knn_ivf", "dedup_simhash", "embedding_near_dup",
+        # tokenize_expr made the whole postings pipeline JVM-side too
+        "tokenize_postings", "document_frequency", "tfidf_search",
+    ]:
         plan = _plan(entry.queries()[name](spark, SF))
         assert "EvalPython" not in plan, f"{name} has Python on the row path"
 
