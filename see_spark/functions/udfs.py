@@ -21,7 +21,6 @@ from ..core import htmlx
 from ..core.fetch import route_response
 from ..core.text import extract_words
 from ..core.urls import absolute_link as _absolute_link
-from ..core.urls import host_of as _host_of
 from ..core.urls import try_canonicalize
 
 
@@ -29,19 +28,6 @@ from ..core.urls import try_canonicalize
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     """O15: canonicalizer (see SURVEY §2.1). Null = reference ``url_error``."""
     return urls.map(lambda u: try_canonicalize(u) if u is not None else None)
-
-
-@pandas_udf(T.StringType())
-def host_udf(urls: pd.Series) -> pd.Series:
-    def _host(url: Optional[str]) -> Optional[str]:
-        if url is None:
-            return None
-        try:
-            return _host_of(url)
-        except Exception:
-            return None
-
-    return urls.map(_host)
 
 
 @pandas_udf(T.StringType())

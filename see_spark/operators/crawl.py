@@ -278,7 +278,13 @@ def run_round(
         F.col("location").alias("raw_link"),
     )
     all_links = page_links.unionByName(redirect_links).withColumn(
-        "abs_link", absolute_link_udf(F.col("base_url"), F.col("raw_link"))
+        # already-absolute links pass through verbatim in the kernel
+        # (see_crawler_worker.erl:92, pattern "[^/]+://" searched) — the
+        # same rlike keeps the Python resolver off the common case
+        "abs_link",
+        F.when(
+            F.col("raw_link").rlike(r"[^/]+://"), F.col("raw_link")
+        ).otherwise(absolute_link_udf(F.col("base_url"), F.col("raw_link"))),
     ).withColumn(
         "link_rank",
         F.shiftleft(F.col("parent_order"), _LINK_POS_BITS) + F.col("link_pos"),

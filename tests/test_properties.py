@@ -105,6 +105,46 @@ def test_rank_additive_over_query_concatenation(q1, q2, page):
 
 @SETTINGS
 @given(
+    st.text(alphabet="abz019.-", min_size=1, max_size=12),
+    st.lists(st.text(alphabet="abz019_~-", min_size=1, max_size=8), max_size=4),
+    st.booleans(),
+)
+def test_canonical_fast_path_class_is_fixpoint(host, segs, trailing):
+    """Every URL matching frontier._CANONICAL_FAST_RE must be a
+    canonicalize() fixpoint — the JVM fast path returns such URLs
+    untouched, so a non-fixpoint member would silently skip
+    canonicalization and fork the url_hash space."""
+    import re
+
+    from see_spark.operators.frontier import _CANONICAL_FAST_RE
+
+    url = "http://" + host + "/" + "/".join(segs)
+    if segs and trailing:
+        url += "/"
+    if not re.match(_CANONICAL_FAST_RE, url):
+        return  # outside the guarded class: the Python kernel handles it
+    assert try_canonicalize(url) == url
+
+
+@SETTINGS
+@given(st.text(max_size=60), st.text(max_size=60))
+def test_absolute_links_pass_through_verbatim(base, link):
+    """O22 kernel contract (see_crawler_worker.erl:92): a link containing
+    scheme:// passes through unchanged — the crawl loop's rlike guard
+    relies on exactly this."""
+    import re
+
+    from see_spark.core.urls import absolute_link
+
+    if re.search(r"[^/]+://", link):
+        try:
+            assert absolute_link(base, link) == link
+        except Exception:
+            pytest.fail("absolute pass-through raised")
+
+
+@SETTINGS
+@given(
     st.lists(
         st.integers(min_value=-(2**63), max_value=2**63 - 1),
         min_size=1,
