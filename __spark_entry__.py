@@ -421,6 +421,14 @@ def _q_embedding_near_dup(spark, sf_dir):
     ).select("vec_a", "vec_b", "cosine")
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    from see_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _dup_corpus(spark, sf_dir), max_hamming=3, num_bits=48, bands=4
+    )
+
+
 def _q_embedding_near_dup_lsh(spark, sf_dir):
     from see_spark.operators.dedup import embedding_near_dup_lsh
 
@@ -1015,6 +1023,7 @@ QUERIES_EXTRA: dict = {
     "postings_tf": _q_postings_tf,
     "search_projection": _q_search_projection,
     "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+    "dedup_simhash_pairs": _q_simhash_pairs,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -1673,6 +1682,37 @@ ORACLES_BATCH1 = {
 
 
 ORACLES_EXTRA: dict = {
+    "dedup_simhash_pairs": f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM corpus),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h, cnt
+               FROM tc),
+        votes AS (
+          SELECT doc_id, b.range AS bit,
+                 SUM(((h >> CAST(b.range AS INT)) % 2 * 2 - 1) * cnt) AS v
+          FROM th CROSS JOIN range(48) b GROUP BY 1, 2),
+        fp AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN v > 0
+                               THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                               ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, simhash, b.range AS band,
+                 (simhash >> CAST(b.range * 12 AS INT)) & 4095 AS band_key
+          FROM fp CROSS JOIN range(4) b),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
     "embedding_near_dup_lsh": _QNORM_SQL.format(qvec=_QVEC_SQL) + """
         , bucketed AS (
           SELECT vec_id, v, nrm,

@@ -249,6 +249,62 @@ def simhash(
     return wide.select("doc_id", fingerprint.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, num_bits: int = 48,
+    bands: int | None = None,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — EXACT at scale.
+
+    Banding with the pigeonhole guarantee: split the ``num_bits``
+    fingerprint into ``bands`` equal slices (default ``max_hamming + 1``).
+    Two fingerprints within Hamming ``max_hamming`` differ in at most
+    ``max_hamming`` bits, so with ``bands > max_hamming`` at least one
+    slice is IDENTICAL — candidates sharing any band slice (equi-join on
+    (band, slice value), never all-pairs) have 100% recall, and the
+    bit_count(xor) verification keeps precision exact. The same
+    banding-then-verify shape as MinHash-LSH but with a recall proof
+    instead of a probability.
+
+    Returns (doc_a, doc_b, hamming).
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if num_bits % bands:
+        raise ValueError("num_bits must divide evenly into bands")
+    bandw = num_bits // bands
+    mask = (1 << bandw) - 1
+    fp = simhash(docs, num_bits, text_col, id_col)
+    slices = F.array(*[
+        F.shiftright(F.col("simhash"), b * bandw).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ])
+    banded = fp.select(
+        "doc_id", "simhash",
+        F.posexplode(slices).alias("band", "band_key"),
+    )
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame, threshold: float = 0.95,
     n_planes: int = 6, dim: int = 64,

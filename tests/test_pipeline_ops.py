@@ -171,6 +171,36 @@ def test_minhash_lsh_finds_dups_and_verifies(docs):
     assert all(j >= 0.4 for j in pairs.values())  # exact verification holds
 
 
+def test_simhash_pairs_equal_bruteforce_hamming(spark):
+    """Pigeonhole exactness: banded simhash pairs == all-pairs Hamming
+    filter (recall is provably 1.0 for max_hamming < bands, precision via
+    the bit_count verify)."""
+    from see_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff"),
+            (2, "aa bb cc dd ee ff"),      # exact dup -> hamming 0
+            (3, "aa bb cc dd ee gg"),      # near dup
+            (4, "zz yy xx ww vv uu"),
+            (5, "qq rr ss tt uu vv"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(corpus, max_hamming=3).collect()
+    }
+    assert banded == brute
+    assert any(h == 0 for _, _, h in banded)  # the exact dup was found
+
+
 def test_simhash_identical_docs_equal_fingerprints(docs):
     from see_spark.operators.dedup import simhash
 
