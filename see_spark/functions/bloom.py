@@ -114,42 +114,91 @@ def build_bloom_shards(
     n_shards: int = 64,
     bits_per_shard: int = 1 << 20,
     k: int = 7,
+    max_build_partitions: int = 64,
+    strategy: str = "partials",
 ) -> DataFrame:
     """Sharded bloom build — the 10^10-row path (SCALE.md §3).
 
     The bitmap is split by ``shard = pmod(hash, n_shards)`` into one
     independent bloom per shard, materialized as a small DataFrame
     ``(shard int, bitmap binary)``. No single machine ever holds the full
-    filter.
+    filter, and nothing flows through the driver.
 
-    Build shape: shuffle the RAW HASHES by shard (8 bytes/row), then each
-    shard's single task folds its hashes into its bitmap once — no
-    per-input-partition partial bitmaps. The alternative (per-partition
-    partials OR-merged per shard) ships ``partitions x bits_per_shard``
-    bytes of bitmap through the shuffle, which GROWS with the partition
-    count: at 20M rows / 64 shards / 64 partitions that is ~2 GB of
-    partials vs 160 MB of raw hashes, and profiling showed it flatlines
-    scaling (more cores -> more partials). Raw-hash shuffling is smaller
-    whenever rows_per_partition < n_shards x bits_per_shard/8 — true at
-    every realistic (rows, shards) point including 10^10/1024.
+    Two build strategies (measured head-to-head at 20M rows / 64 shards;
+    both probe-compatible, identical outputs):
+
+    - ``"partials"`` (default): each input partition folds its rows into
+      per-shard partial bitmaps MAP-SIDE (no shuffle of row data), then a
+      bitmap-only shuffle OR-merges per shard. 2-3x faster here (6-8 s vs
+      17 s) because the rows never move — only
+      ``min(partitions, max_build_partitions) x n_shards`` bitmaps do.
+      The coalesce cap bounds that partial volume independently of the
+      cluster's natural partition count.
+    - ``"shuffle"``: repartition the raw 8-byte hashes by shard; each
+      shard's task builds its bitmap once. Asymptotically leaner when
+      ``cap x n_shards x bits_per_shard/8`` (partial bytes) exceeds
+      ``8 x n_rows`` (hash bytes) — the 10^10-row / 1024-shard / 12 MB-
+      bitmap regime, where partials would be terabytes but hashes are
+      ~80 GB. Slower at sandbox scale (the full row shuffle dominates).
     """
     schema = T.StructType(
         [T.StructField("shard", T.IntegerType()), T.StructField("bitmap", T.BinaryType())]
     )
 
-    def _build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        bloom = Bloom(bits_per_shard, k)
-        bloom.add_many(pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64))
-        return pd.DataFrame({"shard": [key[0]], "bitmap": [bloom.words.tobytes()]})
+    if strategy == "shuffle":
+        def _build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            bloom = Bloom(bits_per_shard, k)
+            bloom.add_many(pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64))
+            return pd.DataFrame(
+                {"shard": [key[0]], "bitmap": [bloom.words.tobytes()]}
+            )
 
-    # pmod matches the probe side (seen_filter_sharded) for every
-    # n_shards, not just powers of two
-    return (
+        # pmod matches the probe side (seen_filter_sharded) for every
+        # n_shards, not just powers of two
+        return (
+            df.select(hash_col)
+            .withColumn(
+                "shard", F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
+            )
+            .groupBy("shard")
+            .applyInPandas(_build, schema=schema)
+        )
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blooms: dict = {}
+        for batch in batches:
+            signed = batch[hash_col].to_numpy(dtype=np.int64)
+            # shard from the SIGNED value: numpy's % matches Spark's
+            # pmod (result sign follows the divisor), so this agrees with
+            # seen_filter_sharded's routing for every n_shards, not just
+            # powers of two
+            shards = signed % np.int64(n_shards)
+            hashes = signed.view(np.uint64)
+            for s in np.unique(shards):
+                blooms.setdefault(int(s), Bloom(bits_per_shard, k)).add_many(
+                    hashes[shards == s]
+                )
+        if blooms:
+            yield pd.DataFrame(
+                {
+                    "shard": list(blooms),
+                    "bitmap": [b.words.tobytes() for b in blooms.values()],
+                }
+            )
+
+    partials = (
         df.select(hash_col)
-        .withColumn("shard", F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int"))
-        .groupBy("shard")
-        .applyInPandas(_build, schema=schema)
+        .coalesce(max_build_partitions)
+        .mapInPandas(_partials, schema=schema)
     )
+
+    def _merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(bits_per_shard // 64, dtype=np.uint64)
+        for buf in pdf["bitmap"]:
+            merged |= np.frombuffer(buf, dtype=np.uint64)
+        return pd.DataFrame({"shard": [key[0]], "bitmap": [merged.tobytes()]})
+
+    return partials.groupBy("shard").applyInPandas(_merge, schema=schema)
 
 
 def seen_filter_sharded(

@@ -55,6 +55,28 @@ def test_shard_bitmaps_are_small_and_cover_all_shards(spark):
     assert all(len(r["bitmap"]) == (1 << 13) // 8 for r in rows)
 
 
+def test_build_strategies_produce_identical_bitmaps(spark):
+    """partials (map-side, default) and shuffle (raw-hash repartition)
+    builds must emit byte-identical shard bitmaps — they are one filter
+    with two physical plans."""
+    from see_spark.functions.bloom import build_bloom_shards
+
+    frontier, _ = _inputs(spark)
+    a = {
+        r["shard"]: bytes(r["bitmap"])
+        for r in build_bloom_shards(
+            frontier, n_shards=5, bits_per_shard=1 << 13
+        ).collect()
+    }
+    b = {
+        r["shard"]: bytes(r["bitmap"])
+        for r in build_bloom_shards(
+            frontier, n_shards=5, bits_per_shard=1 << 13, strategy="shuffle"
+        ).collect()
+    }
+    assert a == b
+
+
 def test_empty_frontier_shard_passes_all_candidates(spark):
     from see_spark.functions.bloom import build_bloom_shards, seen_filter_sharded
 
