@@ -793,12 +793,23 @@ def _q_knn_ivf(spark, sf_dir):
 
 def _q_media_features(spark, sf_dir):
     """Multimodal feature extraction (mapInPandas over binary payloads,
-    deterministic fake decode): byte mean + 16-bin byte%16 histogram."""
+    deterministic fake decode): byte mean + 16-bin byte%16 histogram.
+
+    The histogram is serialized to a CSV string: the driver's pandas
+    canonicalizer cannot hash list-valued columns, so gated queries must
+    return scalar columns only (asserted in tests/test_driver_contract.py).
+    """
     from see_spark.operators.multimodal import extract_features, media_from_documents
 
     media = media_from_documents(_documents(spark, sf_dir))
     return extract_features(media, fake=True).select(
-        "media_id", "kind", "n_bytes", "byte_mean", "byte_histogram"
+        "media_id",
+        "kind",
+        "n_bytes",
+        "byte_mean",
+        F.array_join(
+            F.transform("byte_histogram", lambda x: x.cast("string")), ","
+        ).alias("byte_histogram_csv"),
     )
 
 
@@ -1570,9 +1581,11 @@ ORACLES_BATCH3 = {
         SELECT media_id, kind, n_bytes,
                CAST(list_sum(list_transform(chars, c -> ascii(c))) AS DOUBLE)
                  / n_bytes AS byte_mean,
-               list_transform(range(0, 16),
-                 b -> CAST(len(list_filter(chars, c -> ascii(c) % 16 = b))
-                           AS BIGINT)) AS byte_histogram
+               list_aggregate(
+                 list_transform(range(0, 16),
+                   b -> CAST(len(list_filter(chars, c -> ascii(c) % 16 = b))
+                             AS VARCHAR)),
+                 'string_agg', ',') AS byte_histogram_csv
         FROM m
     """,
 }

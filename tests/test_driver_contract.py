@@ -29,3 +29,20 @@ def test_query_callables_are_lazy_plans(spark):
     for name, fn in e.queries().items():
         df = fn(spark, sf)
         assert df.schema is not None, name
+
+
+def test_gated_queries_return_scalar_columns_only(spark):
+    """The driver's canonicalizer sorts result frames with pandas, which
+    cannot factorize list/map/struct-valued columns (the r2 media_features
+    red was exactly this). Every gated query must project scalars only —
+    serialize arrays to strings (e.g. array_join) before returning."""
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in e.queries().items():
+        for field in fn(spark, sf).schema.fields:
+            assert not isinstance(
+                field.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ), f"{name}.{field.name} is non-scalar: {field.dataType}"
