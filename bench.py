@@ -33,6 +33,38 @@ def _timed(fn):
     return time.perf_counter() - t0, out
 
 
+def _calibration(spark, cpus: int) -> dict:
+    """Ambient-load calibration for cross-round comparability: this sandbox
+    is a shared host with 2-3x run-to-run swings (BENCH/BASELINE.md), so a
+    raw wall-clock comparison between rounds mostly measures the
+    measurement window. Two normalizers are recorded:
+
+    - loadavg (1/5/15 min) at bench time;
+    - a ~2 s inline cpu-ceiling micro-probe (the BENCH/cpu_ceiling.py job:
+      shuffle-free pure-JVM chained-hash sum — no plan property can limit
+      it, so its rows/sec tracks how much of the machine this process
+      actually got). Dividing a round's throughput numbers by its
+      probe_rows_per_sec cancels ambient contention to first order.
+    """
+    from pyspark.sql import functions as F
+
+    rows = 40_000_000
+    df = spark.range(0, rows, 1, cpus * 4)
+    expr = F.xxhash64(F.xxhash64(F.xxhash64(F.xxhash64("id"))))
+    df.limit(1000).select(F.sum(expr % 1000003)).collect()  # JIT warm-up
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df.select(F.sum(expr % 1000003)).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "probe_rows": rows,
+        "probe_sec": round(best, 3),
+        "probe_rows_per_sec": round(rows / best),
+    }
+
+
 def bench_frontier_scheduling(spark, n_frontier: int, n_candidates: int, reps: int = 2):
     """URLs scheduled+deduped/sec: candidates -> bloom pre-filter -> exact
     anti-join -> within-batch dedup -> stamp dense seq -> per-host budget
@@ -151,6 +183,9 @@ def main():
         tokenize_udf(F.lit("warm up words")).alias("w")
     ).count()
 
+    load_before = os.getloadavg()
+    calibration = _calibration(spark, cpus)
+
     skip_queries = os.environ.get("SEE_BENCH_SKIP_QUERIES") == "1"
     all_queries = entry.queries()
     headline = [] if skip_queries else [
@@ -189,6 +224,11 @@ def main():
             "fetch_docs_per_sec": crawl["docs_per_sec"],
             "fetch_detail": crawl,
         },
+        # ambient-load normalizers (see _calibration docstring): compare
+        # rounds via throughput / calibration.probe_rows_per_sec, not raw
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "calibration": calibration,
     }
     print(json.dumps(result))
 

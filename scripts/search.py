@@ -46,27 +46,18 @@ def main(argv=None) -> int:
     catalog = SnapshotCatalog(args.warehouse, spark)
 
     if args.add:
-        from see_spark.operators.crawl import CrawlConfig, ingest_seeds
+        from see_spark.serving import add_url
 
-        config = CrawlConfig(domain_filter=args.domain_filter)
-        status = ingest_seeds(spark, catalog, [args.add], config).collect()
-        result = status[0]["ingest_status"] if status else "url_error"
+        result = add_url(spark, catalog, args.add, args.domain_filter)
         print(json.dumps({"result": "ok" if result == "ok" else result}))
         return 0
 
-    from see_spark.operators.search import search
+    from see_spark.serving import search_results
 
-    postings = catalog.read("postings")
-    docs = catalog.read("docs")
-    page_count = catalog.read("frontier").count()
-    rows = search(
-        spark, args.query, postings, docs, page_count, k=args.k
-    ).collect()
     print(json.dumps({
-        "results": [
-            {"url": r["url"], "title": r["title"], "score": r["score"]}
-            for r in rows
-        ]
+        "results": search_results(
+            spark, catalog, args.query, k=args.k, with_score=True
+        )
     }))
     return 0
 

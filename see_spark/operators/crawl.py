@@ -255,8 +255,13 @@ def run_round(
     new_docs = text_docs.unionByName(media_docs).localCheckpoint(eager=True)
 
     # ---- postings delta (O3 index maintenance + O10 tf precompute) -----
+    # lazy localCheckpoint: materialized by the postings commit's write job,
+    # then the word_stats increment reuses the checkpointed blocks instead
+    # of re-tokenizing the round's docs (no extra eager barrier).
     fresh_postings = (
-        indexer.postings_from_docs(text_docs) if config.build_index else None
+        indexer.postings_from_docs(text_docs).localCheckpoint(eager=False)
+        if config.build_index
+        else None
     )
 
     # ---- new links (O22 -> O15 -> O16 -> O2) ----------------------------
@@ -389,6 +394,23 @@ def run_round(
         "next_seq": seq_start + metrics.discovered,
         "fetched_total": prior_fetches + metrics.checked_out,
     }
+    # Content tables (docs/postings/word_stats — pure appends) commit BEFORE
+    # the frontier flips the batch to terminal states: a crash between the
+    # two leaves fetched content committed but the URLs still unvisited, and
+    # resume_point() rolls every table with round > last-checkpointed back
+    # anyway, so replay is clean from either side of the gap. The reverse
+    # order had a window where terminal frontier rows (never refetched)
+    # existed without their content.
+    catalog.commit_delta("docs", appended=new_docs, meta={"round": round_no})
+    if fresh_postings is not None:
+        catalog.commit_delta(
+            "postings", appended=fresh_postings, meta={"round": round_no}
+        )
+        catalog.commit_delta(
+            "word_stats",
+            appended=indexer.word_stats_increment(fresh_postings),
+            meta={"round": round_no},
+        )
     catalog.commit_delta(
         "frontier",
         partition_col="state",
@@ -396,11 +418,6 @@ def run_round(
         appended=terminal.unionByName(newly_blocked),
         meta=frontier_meta,
     )
-    catalog.commit_delta("docs", appended=new_docs, meta={"round": round_no})
-    if fresh_postings is not None:
-        catalog.commit_delta(
-            "postings", appended=fresh_postings, meta={"round": round_no}
-        )
     catalog.commit("hoststats", hoststats_next, {"round": round_no})
     catalog.commit_round(round_no, {"metrics": metrics.__dict__})
     metrics.frontier_size = None  # filled by caller if wanted

@@ -153,7 +153,18 @@ def as_frontier_rows(
 
 
 def expire_leases(frontier: DataFrame, round_no: int, lease_rounds: int) -> DataFrame:
-    """O4: pending -> unvisited when the visit lease expired."""
+    """O4: pending -> unvisited when the visit lease expired.
+
+    NOTE on the batch crawl loop: run_round never PERSISTS pending rows —
+    a checked-out batch goes unvisited -> terminal inside one delta commit,
+    and crash recovery is replay-based (``catalog.resume_point`` rolls
+    every table back to the last fully committed round and re-runs the
+    round). This operator therefore only fires on frontiers written by
+    OTHER writers that do persist a pending state — e.g. a streaming /
+    multi-writer deployment where a checkout commit and its result commit
+    are separate transactions (the reference's visit-lease recovery,
+    see_db_srv.erl O4). It is kept as the reusable recovery primitive for
+    that mode and exercised by the gated `lease_expiry` query."""
     expired = (F.col("state") == STATE_PENDING) & (
         F.col("checkout_round") <= F.lit(round_no - lease_rounds)
     )

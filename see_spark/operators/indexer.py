@@ -51,3 +51,16 @@ def document_frequencies(postings: DataFrame) -> DataFrame:
     return postings.groupBy("word").agg(
         F.countDistinct("doc_id").alias("df")
     )
+
+
+def word_stats_increment(fresh_postings: DataFrame) -> DataFrame:
+    """Per-round df delta for the materialized word_stats table.
+
+    ``fresh_postings`` holds exactly one row per (word, doc_id) for docs
+    fetched THIS round, and every doc is fetched exactly once (URL-seen
+    blocks re-enqueue), so a plain per-word row count is the exact df
+    increment — df(word) = Σ increments, the reference's stored
+    posting-set size (see_db_storage_ets.erl:117-123) kept as an
+    append-only delta instead of a read-modify-write of the vocabulary.
+    Map-side combinable: one narrow shuffle on word per round."""
+    return fresh_postings.groupBy("word").agg(F.count("*").alias("df"))

@@ -40,8 +40,21 @@ def search(
     docs: DataFrame,
     page_count: int,
     k: int = MAX_RESULTS,
+    word_stats: DataFrame = None,
 ) -> DataFrame:
-    """Returns (url, title, score) — top-k by desc score, url tie-break."""
+    """Returns (url, title, score) — top-k by desc score, url tie-break.
+
+    ``word_stats``: optional materialized df table of (word, df) per-round
+    INCREMENTS (``tables.WORD_STATS_SCHEMA``; maintained by the crawl loop,
+    crawl.py) — df(word) = sum over the word's increment rows. When given,
+    the query never touches postings for document frequencies. When absent,
+    df is derived from postings — but postings are semi-joined to the
+    broadcast query words BEFORE the aggregate. Catalyst does not push a
+    later semi-join below an Aggregate (verified on the optimized plan in
+    round 2), so joining after groupBy silently aggregates the FULL
+    postings table per query — the shape this function must never produce
+    (plan-guarded in tests/test_plan_quality.py).
+    """
     words = extract_words(query)
     if not words:
         return spark.createDataFrame([], "url string, title string, score double")
@@ -55,13 +68,21 @@ def search(
     )
     n_distinct = len(counts)
 
-    df_by_word = postings.groupBy("word").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    matched = (
-        postings.join(qdf, "word")
-        .join(df_by_word.join(qdf.select("word"), "word", "left_semi"), "word")
-    )
+    if word_stats is not None:
+        df_by_word = (
+            word_stats.join(qdf.select("word"), "word", "left_semi")
+            .groupBy("word")
+            .agg(F.sum("df").alias("df"))
+        )
+    else:
+        df_by_word = (
+            postings.join(qdf.select("word"), "word", "left_semi")
+            .groupBy("word")
+            .agg(F.countDistinct("doc_id").alias("df"))
+        )
+    # ≤ |distinct query words| rows after the semi-join — broadcast it so
+    # the score join needs no shuffle on word.
+    matched = postings.join(qdf, "word").join(F.broadcast(df_by_word), "word")
     scored = (
         matched.groupBy("doc_id")
         .agg(

@@ -247,8 +247,19 @@ class SnapshotCatalog:
             if d.startswith("__part=")
         )
 
-    def rollback(self, table: str, snapshot: int) -> None:
+    def rollback(self, table: str, snapshot: Optional[int]) -> None:
+        """Set the table's current snapshot (None = empty/pre-first-commit).
+        Raises if the target was expired by vacuum(): silently accepting it
+        would leave ``current`` pointing at a trimmed manifest entry, and
+        read() would fall back to a flat snap dir path vacuum deleted."""
         meta = self._load_meta(table)
+        if snapshot is not None and not any(
+            e["id"] == snapshot for e in meta["snapshots"]
+        ):
+            raise ValueError(
+                f"cannot roll back {table!r} to snapshot {snapshot}: not in "
+                f"the manifest (expired by vacuum?)"
+            )
         meta["current"] = snapshot
         self._store_meta(table, meta)
 
@@ -274,6 +285,11 @@ class SnapshotCatalog:
                 # a dir like snap-000003/delta/__part=visited is rooted at
                 # its snapshot dir; keep the whole root referenced
                 referenced.update(d.split("/", 1)[0] for d in dirs)
+        # Publish the trimmed manifest BEFORE deleting data: a crash
+        # mid-vacuum then leaves orphan dirs (collected by the next vacuum)
+        # instead of manifest entries referencing deleted dirs.
+        meta["snapshots"] = [e for e in meta["snapshots"] if e["id"] in kept_ids]
+        self._store_meta(table, meta)
         deleted = []
         table_dir = os.path.join(self.root, table)
         for name in sorted(os.listdir(table_dir)):
@@ -283,8 +299,6 @@ class SnapshotCatalog:
                 continue
             shutil.rmtree(os.path.join(table_dir, name))
             deleted.append(name)
-        meta["snapshots"] = [e for e in meta["snapshots"] if e["id"] in kept_ids]
-        self._store_meta(table, meta)
         return deleted
 
     # ---- round checkpointing -------------------------------------------

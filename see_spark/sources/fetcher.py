@@ -130,9 +130,23 @@ def http_get(
                             break
                 except requests.RequestException:
                     return (None, None, None, None)
-                body = raw[:MAX_LENGTH].decode(
-                    resp.encoding or "utf-8", errors="replace"
+                # Trust the header charset only when the server actually
+                # sent one: requests defaults text/* to ISO-8859-1 per the
+                # old RFC 2616 rule, which mojibakes the common
+                # UTF-8-without-charset page. The reference processes raw
+                # bytes as UTF-8 (see_http.erl reads the body verbatim), so
+                # UTF-8 is the no-header default here too.
+                charset = (
+                    resp.encoding
+                    if "charset=" in content_type.lower()
+                    else "utf-8"
                 )
+                try:
+                    body = raw[:MAX_LENGTH].decode(
+                        charset or "utf-8", errors="replace"
+                    )
+                except LookupError:  # unknown charset token from the server
+                    body = raw[:MAX_LENGTH].decode("utf-8", errors="replace")
         return (resp.status_code, content_type, body, location)
     finally:
         resp.close()

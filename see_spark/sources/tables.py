@@ -81,6 +81,18 @@ HOSTSTATS_SCHEMA = T.StructType(
     ]
 )
 
+# Materialized document frequencies (the reference's posting-set size,
+# see_db_storage_ets.erl:117-123, which IS stored — the set itself). Kept as
+# append-only per-round increments: df(word) = sum(df) over the word's rows.
+# Reading aggregates AFTER a semi-join to the (broadcast, few-row) query
+# words, so a search never aggregates the table — O(query words) rows flow.
+WORD_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("word", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+    ]
+)
+
 ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
@@ -93,6 +105,7 @@ SCHEMAS = {
     "frontier": FRONTIER_SCHEMA,
     "docs": DOCS_SCHEMA,
     "postings": POSTINGS_SCHEMA,
+    "word_stats": WORD_STATS_SCHEMA,
     "hoststats": HOSTSTATS_SCHEMA,
     "robots": ROBOTS_SCHEMA,
 }
@@ -127,6 +140,11 @@ def iceberg_ddl(catalog: str = "crawl", db: str = "see") -> dict:
             CREATE TABLE {q}.postings (
               word string, doc_id string, term_count bigint, doc_len bigint,
               tf double)
+            USING iceberg
+            PARTITIONED BY (bucket(512, word))
+        """,
+        "word_stats": f"""
+            CREATE TABLE {q}.word_stats (word string, df bigint)
             USING iceberg
             PARTITIONED BY (bucket(512, word))
         """,

@@ -1,0 +1,103 @@
+"""HTTP serving parity: the stdlib listener speaks the reference's web
+contracts (see_web.erl:36-59) — golden result sets over GET /search, the
+three-way POST /add status, empty-query and missing-field shapes."""
+
+import json
+import threading
+import urllib.parse
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from see_spark.sources.fixtures import GOLDEN_QUERIES
+
+
+@pytest.fixture(scope="module")
+def server_url(spark, crawl_result):
+    from scripts.serve import make_handler
+
+    catalog, _, _ = crawl_result
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(spark, catalog, domain_filter=r".*\.test"),
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _post(url, data):
+    body = urllib.parse.urlencode(data).encode()
+    req = urllib.request.Request(
+        url, data=body,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+@pytest.mark.parametrize("query", sorted(GOLDEN_QUERIES))
+def test_golden_queries_over_http(server_url, query):
+    status, payload = _get(
+        f"{server_url}/search?query={urllib.parse.quote(query)}"
+    )
+    assert status == 200
+    assert {hit["url"] for hit in payload["results"]} == GOLDEN_QUERIES[query]
+    for hit in payload["results"]:  # wire shape: url + title only
+        assert set(hit) == {"url", "title"}
+
+
+def test_search_without_query_param_is_empty(server_url):
+    status, payload = _get(f"{server_url}/search")
+    assert status == 200
+    assert payload == {"results": []}
+
+
+def test_index_page_served(server_url):
+    with urllib.request.urlopen(f"{server_url}/", timeout=30) as resp:
+        assert resp.status == 200
+        assert b"/search?query=" in resp.read()
+
+
+def test_add_url_three_way_contract(server_url):
+    # filter mismatch: host outside the fixture domain filter
+    status, payload = _post(f"{server_url}/add", {"url": "http://other.org/x"})
+    assert (status, payload) == (200, {"result": "filter_mismatch"})
+    # url error: empty host is unparseable (schemeless strings like
+    # "not a url" instead get http:// prefixed and fail the domain filter)
+    status, payload = _post(f"{server_url}/add", {"url": "http://"})
+    assert (status, payload) == (200, {"result": "url_error"})
+    # missing field -> the reference's {"result": "error"} shape
+    status, payload = _post(f"{server_url}/add", {"other": "x"})
+    assert (status, payload) == (200, {"result": "error"})
+
+
+def test_add_ok_and_searchable_state(server_url, crawl_result):
+    """A fresh in-filter URL queues ok and lands in the frontier unvisited."""
+    from pyspark.sql import functions as F
+
+    catalog, _, _ = crawl_result
+    before = catalog.read("frontier").count()
+    status, payload = _post(
+        f"{server_url}/add", {"url": "http://brand-new.test/added-via-http"}
+    )
+    assert (status, payload) == (200, {"result": "ok"})
+    frontier = catalog.read("frontier")
+    assert frontier.count() == before + 1
+    row = frontier.filter(
+        F.col("url") == "http://brand-new.test/added-via-http"
+    ).collect()
+    assert len(row) == 1 and row[0]["state"] == "unvisited"
+
+
+def test_unknown_path_404(server_url):
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(f"{server_url}/nope")
+    assert err.value.code == 404

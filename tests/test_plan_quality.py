@@ -47,6 +47,34 @@ def test_tfidf_topk_is_take_ordered_not_global_sort(spark, entry):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_search_df_aggregate_is_word_restricted(spark, entry):
+    """search()'s df aggregate must sit ABOVE a query-word semi-join, never
+    over the bare postings relation: Catalyst does not push a later
+    semi-join below an Aggregate, so the r2 shape (join after groupBy)
+    silently aggregated the FULL postings table per query — a scale-killer
+    at the 100 TB read path. toString prints top-down, so the semi-join
+    must appear AFTER the distinct-count aggregate in the plan string."""
+    from pyspark.sql import functions as F
+    from see_spark.operators.search import search
+
+    postings = entry._doc_postings(spark, SF).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "word", "term_count", "doc_len",
+        (F.col("term_count") / F.col("doc_len")).alias("tf"),
+    )
+    docs = entry._documents(spark, SF).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("source").alias("title"),
+    )
+    plan = _plan(search(spark, "table join query", postings, docs, 500))
+    agg_pos = plan.find("distinct doc_id")
+    assert agg_pos != -1, "df aggregate (count distinct doc_id) not found"
+    assert "LeftSemi" in plan[agg_pos:], (
+        "no word semi-join below the df aggregate — it is scanning the "
+        "full postings table"
+    )
+
+
 def test_dimension_joins_are_broadcast(spark, entry):
     plan = _plan(entry.queries()["region_order_counts"](spark, SF))
     assert "BroadcastHashJoin" in plan

@@ -69,6 +69,37 @@ def test_results_ordered_desc_score_url_tiebreak(search_env):
     assert keys == sorted(keys)
 
 
+def test_search_with_word_stats_matches_derived(spark, crawl_result):
+    """Reading df from the materialized word_stats table must produce
+    byte-identical results to deriving df from postings per query."""
+    from pyspark.sql import functions as F
+
+    from see_spark.operators.indexer import document_frequencies
+
+    catalog, _, _ = crawl_result
+    postings = catalog.read("postings")
+    docs = catalog.read("docs")
+    page_count = catalog.read("frontier").count()
+    word_stats = catalog.read("word_stats")
+
+    # increments sum to the exact postings-derived df for every word
+    summed = {
+        r["word"]: r["df"]
+        for r in word_stats.groupBy("word").agg(F.sum("df").alias("df")).collect()
+    }
+    derived = {
+        r["word"]: r["df"] for r in document_frequencies(postings).collect()
+    }
+    assert summed == derived
+
+    for query in ("chopin", "Alan Turing", "chopin chopin liszt"):
+        via_table = search(
+            spark, query, postings, docs, page_count, word_stats=word_stats
+        ).collect()
+        via_postings = search(spark, query, postings, docs, page_count).collect()
+        assert [tuple(r) for r in via_table] == [tuple(r) for r in via_postings]
+
+
 def test_negative_idf_ranks_common_words_low(search_env):
     """A word on >half the indexed corpus gets negative IDF (ln(N/(1+df)))
     only if df+1 > N — with unvisited rows in N this is rare; assert the
