@@ -162,17 +162,29 @@ class RequestsFetcher:
     politeness window already shaped.
     """
 
-    def __init__(self, timeout: float = 10.0):
+    def __init__(self, timeout: float = 10.0, proxies: Optional[dict] = None):
+        """``proxies``: optional requests-style proxy map (e.g.
+        {"http": "http://proxy:3128"}) applied to every task's session —
+        the standard deployment shape for crawl fleets behind egress
+        proxies, and what lets tests route fetches to a local fixture
+        proxy without DNS. When set, environment proxy vars are ignored
+        (trust_env False) so behavior is identical on driver and
+        executors."""
         self.timeout = timeout
+        self.proxies = proxies
 
     def fetch(self, batch: DataFrame) -> DataFrame:
         schema = _fetch_schema(batch.schema)
         timeout = self.timeout
+        proxies = self.proxies
 
         def _run(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import requests
 
             with requests.Session() as session:
+                if proxies:
+                    session.trust_env = False
+                    session.proxies.update(proxies)
                 for frame in frames:
                     if len(frame) == 0:
                         continue
