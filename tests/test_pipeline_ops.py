@@ -296,6 +296,90 @@ def test_media_features_fake_decode_and_stub(spark):
     assert [(r["media_id"], r["frame_no"]) for r in frames] == [("2", 0)]
 
 
+def _make_wav(n_frames, rate=8000, n_channels=1, width=2, freq=440.0):
+    """Synthesize a PCM WAV entirely with stdlib wave + numpy."""
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(n_frames * n_channels, dtype="float64") / rate
+    wave_f = np.sin(2 * np.pi * freq * t)
+    if width == 1:
+        samples = (wave_f * 100 + 128).astype("uint8")
+    else:
+        samples = (wave_f * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue(), samples
+
+
+def test_audio_features_real_wav_decode(spark):
+    """The HONEST media decode path: real WAV containers decode through
+    the stdlib wave module inside mapInPandas; features must match a
+    direct numpy computation on the source samples, and corrupt payloads
+    must yield error rows, not job failure."""
+    import numpy as np
+
+    from see_spark.operators.multimodal import audio_features, decode_wav
+
+    wav16, s16 = _make_wav(4000, rate=8000, width=2)
+    wav8, s8 = _make_wav(1000, rate=4000, width=1)
+    stereo, _ = _make_wav(600, rate=8000, n_channels=2, width=2)
+
+    # kernel-level: decode returns the exact samples written
+    decoded, rate = decode_wav(wav16)
+    assert rate == 8000 and np.array_equal(decoded[:, 0], s16)
+
+    media = spark.createDataFrame(
+        [("a", wav16), ("b", wav8), ("c", stereo), ("bad", b"not a wav")],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+
+    norm = s16.astype("float64") / 32768.0
+    assert rows["a"]["n_channels"] == 1
+    assert rows["a"]["sample_rate_hz"] == 8000
+    assert rows["a"]["n_frames"] == 4000
+    assert rows["a"]["duration_s"] == pytest.approx(0.5)
+    assert rows["a"]["peak"] == pytest.approx(np.abs(norm).max())
+    assert rows["a"]["rms"] == pytest.approx(np.sqrt((norm ** 2).mean()))
+    assert rows["a"]["decode_error"] is None
+
+    norm8 = (s8.astype("float64") - 128.0) / 128.0
+    assert rows["b"]["sample_rate_hz"] == 4000
+    assert rows["b"]["rms"] == pytest.approx(np.sqrt((norm8 ** 2).mean()))
+
+    assert rows["c"]["n_channels"] == 2 and rows["c"]["n_frames"] == 600
+
+    assert rows["bad"]["decode_error"] is not None
+    assert rows["bad"]["n_frames"] is None
+
+
+def test_extract_features_fake_false_decodes_real_wav(spark):
+    """fake=False has one honest branch: RIFF audio payloads really decode
+    and the byte stats run over the decoded PCM buffer."""
+    import numpy as np
+
+    from see_spark.operators.multimodal import extract_features
+
+    wav16, s16 = _make_wav(500, rate=8000, width=2)
+    media = spark.createDataFrame(
+        [("a", "audio", wav16)], "media_id string, kind string, payload binary"
+    )
+    row = extract_features(media, fake=False).collect()[0]
+    pcm_bytes = np.frombuffer(s16.tobytes(), dtype=np.uint8)
+    assert row["n_bytes"] == len(pcm_bytes)
+    assert row["byte_mean"] == pytest.approx(pcm_bytes.mean())
+    assert row["byte_histogram"] == np.bincount(
+        pcm_bytes % 16, minlength=16
+    ).tolist()
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     """availableNow streamed tumbling counts == batch tumbling counts."""
     from see_spark.streaming.windows import stream_tumbling_counts, tumbling_counts
