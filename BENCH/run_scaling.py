@@ -56,6 +56,12 @@ def run_bench(cores: int, frontier_n: int) -> dict:
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
         ),
     )
+    # JVM heap scales with the parallelism level (1 GiB/core, floor 8):
+    # the rule compares N vs 4N EXECUTORS and 4N executors bring 4x
+    # memory; a fixed-size local JVM starves the 4N level to 1/4 the
+    # per-task memory instead (measured: 8x GC at the 8M input —
+    # BENCH/ATTRIBUTION_r3.md).
+    env.setdefault("SEE_SPARK_DRIVER_MEM", f"{max(8, cores)}g")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,

@@ -65,53 +65,66 @@ def _calibration(spark, cpus: int) -> dict:
     }
 
 
-def bench_frontier_scheduling(spark, n_frontier: int, n_candidates: int, reps: int = 2):
-    """URLs scheduled+deduped/sec: candidates -> bloom pre-filter -> exact
-    anti-join -> within-batch dedup -> stamp dense seq -> per-host budget
-    checkout window. Best of ``reps`` runs (this sandbox is a shared host
-    with nonzero CPU steal; best-of is the standard steady-state estimator
-    there — both reps are full, honest executions of the same DAG)."""
-    from pyspark.sql import functions as F
-
-    from see_spark.functions import bloom as bloomlib
-    from see_spark.operators import frontier as fops
+def setup_frontier_leg(spark, n_frontier: int, n_candidates: int):
+    """Untimed input creation for the frontier leg (shared by bench and
+    BENCH/profile_scaling.py so both time exactly the same region)."""
     from see_spark.sources.synth import synth_candidates, synth_frontier
 
     frontier = synth_frontier(spark, n_frontier).localCheckpoint(eager=True)
     cands = synth_candidates(spark, n_candidates, n_frontier).localCheckpoint(
         eager=True
     )
+    return frontier, cands
+
+
+def run_frontier_leg(spark, frontier, cands, n_frontier: int):
+    """One timed execution: candidates -> sharded-bloom pre-filter -> exact
+    anti-join -> within-batch dedup -> stamp dense seq -> per-host budget
+    checkout window. Returns the checked-out batch size."""
+    from pyspark.sql import functions as F
+
+    from see_spark.functions import bloom as bloomlib
+    from see_spark.operators import frontier as fops
+
     # sharded bloom: bitmaps are built and merged executor-side and meet
     # candidates in a cogroup — no driver-side OR-merge (which is a fixed
     # serial cost that caps scaling efficiency; see SCALE.md §3/§8)
     n_shards = 64
     bits_per_shard = max(1 << 16, bloomlib.bits_for(n_frontier) // n_shards)
-
-    def run():
-        shard_bitmaps = bloomlib.build_bloom_shards(
-            frontier.select("url_hash"),
+    shard_bitmaps = bloomlib.build_bloom_shards(
+        frontier.select("url_hash"),
+        n_shards=n_shards, bits_per_shard=bits_per_shard,
+    )
+    fresh = fops.dedup_within_batch(
+        bloomlib.seen_filter_sharded(
+            cands, frontier, shard_bitmaps,
             n_shards=n_shards, bits_per_shard=bits_per_shard,
-        )
-        fresh = fops.dedup_within_batch(
-            bloomlib.seen_filter_sharded(
-                cands, frontier, shard_bitmaps,
-                n_shards=n_shards, bits_per_shard=bits_per_shard,
-            ),
-            "link_rank",
-        )
-        batch = fops.checkout(
-            frontier.unionByName(
-                fops.as_frontier_rows(
-                    fresh, F.col("parent_depth") + 1, 1, n_frontier
-                )
-            ),
-            spark.createDataFrame([], "host string, last_fetch_round int, fetched_total long"),
-            round_no=1,
-            host_budget=8,   # realistic politeness budget, not drain-the-frontier
-        )
-        return batch.count()
+        ),
+        "link_rank",
+    )
+    batch = fops.checkout(
+        frontier.unionByName(
+            fops.as_frontier_rows(
+                fresh, F.col("parent_depth") + 1, 1, n_frontier
+            )
+        ),
+        spark.createDataFrame([], "host string, last_fetch_round int, fetched_total long"),
+        round_no=1,
+        host_budget=8,   # realistic politeness budget, not drain-the-frontier
+    )
+    return batch.count()
 
-    runs = [_timed(run) for _ in range(reps)]
+
+def bench_frontier_scheduling(spark, n_frontier: int, n_candidates: int, reps: int = 2):
+    """URLs scheduled+deduped/sec. Best of ``reps`` runs (this sandbox is a
+    shared host with nonzero CPU steal; best-of is the standard
+    steady-state estimator there — both reps are full, honest executions
+    of the same DAG)."""
+    frontier, cands = setup_frontier_leg(spark, n_frontier, n_candidates)
+    runs = [
+        _timed(lambda: run_frontier_leg(spark, frontier, cands, n_frontier))
+        for _ in range(reps)
+    ]
     sec, n_batch = min(runs, key=lambda r: r[0])
     return {
         "sec": round(sec, 3),
@@ -125,6 +138,39 @@ def bench_frontier_scheduling(spark, n_frontier: int, n_candidates: int, reps: i
     }
 
 
+def crawl_config():
+    from see_spark.operators.crawl import CrawlConfig
+
+    return CrawlConfig(host_budget=50, use_bloom=True, bloom_bits=1 << 24)
+
+
+def setup_crawl_leg(spark, n_frontier: int, n_hosts: int):
+    """Untimed input-table creation for the crawl-round leg: the metric is
+    fetched-docs/sec over checkout->fetch->parse->index->commit, and
+    charging the synthetic frontier's initial write to it both dilutes the
+    number and mixes a second scaling profile in."""
+    from see_spark.sources.catalog import SnapshotCatalog
+    from see_spark.sources.synth import synth_frontier
+
+    catalog = SnapshotCatalog(tempfile.mkdtemp(prefix="see_bench_"), spark)
+    frontier = synth_frontier(spark, n_frontier, n_hosts=n_hosts)
+    catalog.commit(
+        "frontier", frontier,
+        {"round": -1, "next_seq": n_frontier, "fetched_total": 0},
+    )
+    return catalog
+
+
+def run_crawl_leg(spark, catalog):
+    """One timed full round against a prepared catalog."""
+    from see_spark.operators.crawl import run_round
+    from see_spark.sources.fetcher import SyntheticFetcher
+
+    return run_round(
+        spark, catalog, SyntheticFetcher(), crawl_config(), round_no=0
+    )
+
+
 def bench_crawl_round(spark, n_frontier: int, n_hosts: int | None = None):
     """fetched-docs/sec over one full round: checkout -> synthetic fetch ->
     route -> parse spans -> postings -> link discovery -> commits.
@@ -132,25 +178,15 @@ def bench_crawl_round(spark, n_frontier: int, n_hosts: int | None = None):
     ``n_hosts`` scales the fetched-batch size (budget x hosts) with the
     frontier so bigger runs do proportionally more fetch/parse/index work
     instead of just scanning a bigger frontier."""
-    from see_spark.operators.crawl import CrawlConfig, run_round
-    from see_spark.sources.catalog import SnapshotCatalog
-    from see_spark.sources.fetcher import SyntheticFetcher
-    from see_spark.sources.synth import synth_frontier
-
     if n_hosts is None:
         n_hosts = max(2000, n_frontier // 125)
-    config = CrawlConfig(host_budget=50, use_bloom=True, bloom_bits=1 << 24)
 
-    def run():
-        catalog = SnapshotCatalog(tempfile.mkdtemp(prefix="see_bench_"), spark)
-        frontier = synth_frontier(spark, n_frontier, n_hosts=n_hosts)
-        catalog.commit(
-            "frontier", frontier,
-            {"round": -1, "next_seq": n_frontier, "fetched_total": 0},
-        )
-        return run_round(spark, catalog, SyntheticFetcher(), config, round_no=0)
-
-    runs = [_timed(run) for _ in range(2)]  # best-of-2, see scheduling note
+    catalogs = [
+        setup_crawl_leg(spark, n_frontier, n_hosts) for _ in range(2)
+    ]  # fresh catalog per rep
+    runs = [
+        _timed(lambda c=c: run_crawl_leg(spark, c)) for c in catalogs
+    ]  # best-of-2, see scheduling note
     sec, metrics = min(runs, key=lambda r: r[0])
     return {
         "sec": round(sec, 3),

@@ -252,7 +252,10 @@ def run_round(
     # Each URL is fetched exactly once (unvisited -> terminal, and the
     # URL-seen filter blocks re-enqueue), so docs and postings are pure
     # appends — the existing table is never read or rewritten at commit.
-    new_docs = text_docs.unionByName(media_docs).localCheckpoint(eager=True)
+    # No checkpoint here: new_docs derives from the already-checkpointed
+    # `parsed` and is consumed by exactly one write job (the docs commit),
+    # so a barrier would just add a full extra materialization per round.
+    new_docs = text_docs.unionByName(media_docs)
 
     # ---- postings delta (O3 index maintenance + O10 tf precompute) -----
     # lazy localCheckpoint: materialized by the postings commit's write job,

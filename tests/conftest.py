@@ -16,7 +16,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def spark():
     from see_spark.session import get_spark
 
-    spark = get_spark(cores=4, shuffle_partitions=4, app_name="see_spark_tests")
+    extra = {}
+    if os.environ.get("SEE_ICEBERG") == "1":
+        # Opt-in real-Iceberg mode: requires iceberg-spark-runtime on the
+        # classpath (absent in this sandbox — no jar, no Maven route; see
+        # see_spark/sources/iceberg.py). With the jar present, this makes
+        # the parametrized storage-contract suite run against real Iceberg.
+        extra = {
+            "spark.sql.extensions": (
+                "org.apache.iceberg.spark.extensions."
+                "IcebergSparkSessionExtensions"
+            ),
+            "spark.sql.catalog.local": "org.apache.iceberg.spark.SparkCatalog",
+            "spark.sql.catalog.local.type": "hadoop",
+            "spark.sql.catalog.local.warehouse": tempfile.mkdtemp(
+                prefix="see_iceberg_wh_"
+            ),
+        }
+    spark = get_spark(
+        cores=4, shuffle_partitions=4, app_name="see_spark_tests",
+        extra_conf=extra,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
 
