@@ -57,8 +57,14 @@ def main():
         # fixed TOTAL work across levels (strong scaling, like the bench)
         rows = rows_per_core_m * 1_000_000 * max(cores_list)
         code = SNIPPET.format(repo=REPO, cores=cores, rows=rows)
+        # Same core-pinning as profile_scaling.py: an N-core level is an
+        # honest N-core machine (JVM + GC threads confined), so the
+        # ceiling and the pipeline are measured on the same machine model.
+        cmd = [sys.executable, "-c", code]
+        if os.environ.get("SEE_PROFILE_NO_PIN") != "1":
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
+            cmd, capture_output=True, text=True,
             cwd=REPO, timeout=1800,
         )
         line = [ln for ln in out.stdout.splitlines() if ln.strip().startswith("{")]

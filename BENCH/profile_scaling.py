@@ -208,8 +208,19 @@ def run_level(cores: int, frontier_n: int, crawl_n: int) -> dict:
     # ~5x task-CPU inflation at the 8M-row input (profile_r3_big.json,
     # pre-fix) — which mismodels the cluster the rule describes.
     env.setdefault("SEE_SPARK_DRIVER_MEM", f"{max(8, cores)}g")
+    # Pin the whole process tree (JVM + its Python workers + GC/shuffle
+    # threads) to exactly N physical cores. Without this, local[8] on a
+    # 32-core host silently borrows the other 24 cores for Python workers,
+    # GC, and shuffle I/O threads — an "8-core" level with up to 32 cores
+    # of actual compute — which flatters the N leg and understates N→4N
+    # efficiency. A real N-core executor has no spare cores to borrow;
+    # taskset makes both levels honest N-core machines. (Host is 32
+    # distinct physical cores, no SMT, so 0..N-1 is a clean subset.)
+    cmd = [sys.executable, "-c", code]
+    if os.environ.get("SEE_PROFILE_NO_PIN") != "1":
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
+        cmd, capture_output=True, text=True,
         cwd=REPO, timeout=3600, env=env,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("PROFILE ")]
@@ -222,14 +233,40 @@ def run_level(cores: int, frontier_n: int, crawl_n: int) -> dict:
     return rec
 
 
+def _cpu_stat():
+    """(busy_jiffies, steal_jiffies, total_jiffies) from /proc/stat.
+
+    Steal is hypervisor time stolen by co-tenant VMs — the contention that
+    loadavg can NOT see (it only counts this VM's runnables). The deltas
+    let each level's window be labeled contaminated or clean."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    vals = [int(x) for x in f[1:]]
+    user, nice, system, idle, iowait, irq, softirq = vals[:7]
+    steal = vals[7] if len(vals) > 7 else 0
+    busy = user + nice + system + irq + softirq
+    return busy, steal, busy + idle + iowait + steal
+
+
+def _steal_frac(s0, s1):
+    dtotal = s1[2] - s0[2]
+    return dict(
+        steal_frac=round((s1[1] - s0[1]) / max(dtotal, 1), 4),
+        other_busy_frac=round((s1[0] - s0[0]) / max(dtotal, 1), 4),
+    )
+
+
 def main():
     frontier_n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     crawl_n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
     cores_a = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     cores_b = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     load0 = os.getloadavg()
+    steal0 = _cpu_stat()
     a = run_level(cores_a, frontier_n, crawl_n)
+    steal_mid = _cpu_stat()
     b = run_level(cores_b, frontier_n, crawl_n)
+    steal1 = _cpu_stat()
 
     def eff(leg):
         t_a, t_b = a[f"{leg}_sec"], b[f"{leg}_sec"]
@@ -257,6 +294,11 @@ def main():
         cores=[cores_a, cores_b],
         loadavg_start=[round(x, 2) for x in load0],
         loadavg_end=[round(x, 2) for x in os.getloadavg()],
+        pinned=os.environ.get("SEE_PROFILE_NO_PIN") != "1",
+        cpu_window={
+            f"level_{cores_a}": _steal_frac(steal0, steal_mid),
+            f"level_{cores_b}": _steal_frac(steal_mid, steal1),
+        },
         frontier=eff("frontier"),
         crawl=eff("crawl"),
         tasks={cores_a: a["tasks"], cores_b: b["tasks"]},

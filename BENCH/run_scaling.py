@@ -63,7 +63,7 @@ def run_bench(cores: int, frontier_n: int) -> dict:
     # BENCH/ATTRIBUTION_r3.md).
     env.setdefault("SEE_SPARK_DRIVER_MEM", f"{max(8, cores)}g")
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        _pin(cores) + [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -73,11 +73,23 @@ def run_bench(cores: int, frontier_n: int) -> dict:
     raise RuntimeError(f"bench at {cores} cores produced no JSON: {out.stderr[-2000:]}")
 
 
+def _pin(cores: int) -> list:
+    """taskset prefix confining the level's whole process tree (JVM task
+    threads, Python workers, GC/shuffle threads) to exactly N physical
+    cores. Unpinned, local[N] borrows the host's other idle cores for
+    Python workers and GC — an "N-core" level with up to 32 cores of real
+    compute, flattering N and understating N->4N efficiency. A real
+    N-core executor has no neighbors to borrow (see ATTRIBUTION_r3.md)."""
+    if os.environ.get("SEE_PROFILE_NO_PIN") == "1":
+        return []
+    return ["taskset", "-c", f"0-{cores - 1}"]
+
+
 def run_crawl_order(cores: int) -> dict:
     code = CRAWL_SNIPPET.format(repo=REPO, cores=cores)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        cwd=REPO, timeout=1800,
+        _pin(cores) + [sys.executable, "-c", code], capture_output=True,
+        text=True, cwd=REPO, timeout=1800,
     )
     for line in out.stdout.splitlines():
         line = line.strip()

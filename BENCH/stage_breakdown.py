@@ -40,7 +40,7 @@ def scopes(stage_info: dict) -> tuple:
 
 def breakdown(app_dir: str) -> dict:
     stage_sig = {}
-    task_agg = collections.defaultdict(lambda: [0, 0.0])
+    task_agg = collections.defaultdict(lambda: [0, 0.0, 0.0])
     for path in sorted(glob.glob(os.path.join(app_dir, "events_*"))) or [app_dir]:
         with open(path) as fh:
             for line in fh:
@@ -57,12 +57,18 @@ def breakdown(app_dir: str) -> dict:
                     agg = task_agg[ev["Stage ID"]]
                     agg[0] += 1
                     agg[1] += m.get("Executor Run Time", 0) / 1000.0
-    by_sig = collections.defaultdict(lambda: [0, 0.0, 0])
-    for sid, (n, sec) in task_agg.items():
+                    # CPU is ns; run is ms. run >> cpu means the task
+                    # thread was BLOCKED (python worker wait, disk I/O,
+                    # lock), not computing — the discriminator between
+                    # "machine ceiling" and "waiting on something".
+                    agg[2] += m.get("Executor CPU Time", 0) / 1e9
+    by_sig = collections.defaultdict(lambda: [0, 0.0, 0.0, 0])
+    for sid, (n, sec, cpu) in task_agg.items():
         agg = by_sig[stage_sig.get(sid, ("?",))]
         agg[0] += n
         agg[1] += sec
-        agg[2] += 1
+        agg[2] += cpu
+        agg[3] += 1
     return by_sig
 
 
@@ -70,13 +76,15 @@ def main():
     for app_dir in sys.argv[1:]:
         print(f"==== {app_dir}")
         by_sig = breakdown(app_dir)
-        for sig, (n, sec, st) in sorted(
+        for sig, (n, sec, cpu, st) in sorted(
             by_sig.items(), key=lambda kv: -kv[1][1]
         )[:20]:
             label = ",".join(sig)[:95]
             per_task = sec / n if n else 0.0
+            cpu_frac = cpu / sec if sec else 0.0
             print(
-                f"{sec:9.1f}s {n:5d}t {st:3d}st {per_task:7.3f}s/t  {label}"
+                f"{sec:9.1f}s {cpu_frac:4.0%}cpu {n:5d}t {st:3d}st "
+                f"{per_task:7.3f}s/t  {label}"
             )
 
 

@@ -33,6 +33,11 @@ from typing import List
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Offsets-per-partition count above which the literal create_map is
+# swapped for a SQL VALUES LocalRelation + broadcast join (very large
+# literal expressions stress codegen; a LocalRelation does not).
+_MAP_LITERAL_MAX = 4096
+
 
 def with_dense_sequence(
     df: DataFrame,
@@ -72,7 +77,35 @@ def with_dense_sequence(
             out_col, F.lit(start).cast("long")
         ).filter(F.lit(False))
 
-    offsets_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    # The offsets are driver-known and tiny (one entry per partition), so
+    # inject them as a LITERAL, never via createDataFrame(list): a Python
+    # list parallelizes into defaultParallelism slices, and EVERY slice is
+    # a Python-worker round-trip — profiled at N_cores tasks x ~0.3-1.4 s
+    # of pure blocked time per offsets table, ~450 s of task time per
+    # bench round at local[32] for a few dozen rows. A create_map literal
+    # compiles into the projection (zero extra stages, zero Python); past
+    # the expression-size comfort zone, a SQL VALUES LocalRelation keeps
+    # the broadcast join but still never touches a Python worker.
+    if len(offsets) <= _MAP_LITERAL_MAX:
+        pairs: List = []
+        for pid, off in offsets:
+            pairs += [F.lit(pid), F.lit(off)]
+        off_expr = F.element_at(F.create_map(*pairs), F.col("__pid"))
+        return (
+            ordered.withColumn(
+                out_col,
+                (
+                    off_expr
+                    + F.col("__mid")
+                    - F.shiftleft(F.col("__pid").cast("long"), 33)
+                ).cast("long"),
+            )
+            .drop("__pid", "__mid")
+        )
+    values = ",".join(f"({pid}, {off}L)" for pid, off in offsets)
+    offsets_df = df.sparkSession.sql(
+        f"SELECT col1 AS __pid, col2 AS __off FROM VALUES {values}"
+    )
     return (
         ordered.join(F.broadcast(offsets_df), "__pid")
         .withColumn(

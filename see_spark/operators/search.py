@@ -61,10 +61,27 @@ def search(
     counts: dict = {}
     for w in words:
         counts[w] = counts.get(w, 0) + 1
+    # Literal expression, NOT createDataFrame(list): parallelizing a
+    # Python list costs defaultParallelism Python-worker round-trip tasks
+    # per query (profiled: ~0.3-1.4 s of blocked task time EACH at high
+    # core counts). explode(array(struct(lit...))) stays entirely in
+    # Catalyst, and literals need no SQL-escaping of user query words.
     qdf = F.broadcast(
-        spark.createDataFrame(
-            [(w, c) for w, c in counts.items()], "word string, qcount int"
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).alias("word"),
+                            F.lit(c).cast("int").alias("qcount"),
+                        )
+                        for w, c in counts.items()
+                    ]
+                )
+            ).alias("__q")
         )
+        .select("__q.word", "__q.qcount")
     )
     n_distinct = len(counts)
 

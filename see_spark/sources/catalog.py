@@ -129,6 +129,7 @@ class SnapshotCatalog:
         replaced: Optional[dict] = None,
         appended: Optional[DataFrame] = None,
         meta: Optional[dict] = None,
+        compact_agg=None,
     ) -> int:
         """Partition-aware commit: write ONLY changed partitions; unchanged
         partitions carry forward as manifest references to earlier
@@ -212,9 +213,18 @@ class SnapshotCatalog:
         for value, dirs in new_parts.items():
             if len(dirs) > self.COMPACT_AFTER:
                 rel = f"{snap_rel}/compact-{value}"
-                self.spark.read.schema(SCHEMAS[table]).parquet(
+                merged = self.spark.read.schema(SCHEMAS[table]).parquet(
                     *[os.path.join(self.root, table, d) for d in dirs]
-                ).write.mode("overwrite").parquet(
+                )
+                # ``compact_agg``: optional row-merging transform applied
+                # during compaction — for increment tables (hoststats,
+                # word_stats) whose read path aggregates with DECOMPOSABLE
+                # functions (max/sum), folding rows here keeps the table
+                # O(keys) instead of O(keys x rounds) without changing the
+                # aggregated read result (agg of agg == agg).
+                if compact_agg is not None:
+                    merged = compact_agg(merged)
+                merged.select(*cols).write.mode("overwrite").parquet(
                     os.path.join(self.root, table, rel)
                 )
                 new_parts[value] = [rel]

@@ -154,6 +154,30 @@ def test_compaction_bounds_dir_count(spark, catalog, monkeypatch):
     assert got == {f"v{i}" for i in range(6)}
 
 
+def test_compact_agg_folds_increment_rows(spark, catalog, monkeypatch):
+    """Increment tables (hoststats, word_stats) compact through an
+    aggregation: row count drops to O(keys) while the decomposable
+    aggregate view (max/sum) is unchanged."""
+    from see_spark.operators.crawl import hoststats_agg
+
+    monkeypatch.setattr(SnapshotCatalog, "COMPACT_AFTER", 3)
+    for rnd in range(6):
+        inc = spark.createDataFrame(
+            [(f"h{i}", rnd, 2) for i in range(4)],
+            "host string, last_fetch_round int, fetched_total long",
+        )
+        catalog.commit_delta(
+            "hoststats", appended=inc, compact_agg=hoststats_agg
+        )
+    # compaction fired at least once -> far fewer than 6 rounds x 4 rows
+    assert catalog.read("hoststats").count() < 24
+    got = {
+        (r["host"], r["last_fetch_round"], r["fetched_total"])
+        for r in hoststats_agg(catalog.read("hoststats")).collect()
+    }
+    assert got == {(f"h{i}", 5, 12) for i in range(4)}
+
+
 def test_vacuum_deletes_unreferenced_snapshots_only(spark, catalog):
     """vacuum keeps the newest N manifests and every data dir they
     reference (delta snapshots share dirs across manifests), deletes the

@@ -79,3 +79,34 @@ def test_dense_sequence_invariant_across_partitioning(spark, parts):
 def test_dense_sequence_empty_df(spark):
     df = spark.range(0).select(F.col("id").alias("key"))
     assert with_dense_sequence(df, ["key"], "seq").count() == 0
+
+
+def test_dense_sequence_values_fallback_path(spark, monkeypatch):
+    """Past _MAP_LITERAL_MAX partitions the offsets go through the SQL
+    VALUES LocalRelation + broadcast join instead of the create_map
+    literal; both must assign identical ranks."""
+    import see_spark.functions.seq as seqmod
+
+    df = spark.range(0, 300).select(
+        (F.col("id") * 7919 % 300).alias("key")
+    ).repartition(4)
+    monkeypatch.setattr(seqmod, "_MAP_LITERAL_MAX", 2)
+    out = with_dense_sequence(df, ["key"], "seq", start=0, num_partitions=8)
+    assert {r["key"]: r["seq"] for r in out.collect()} == {
+        k: k for k in range(300)
+    }
+
+
+def test_dense_sequence_plan_has_no_python_stage(spark):
+    """The offsets join/literal must never parallelize a Python list —
+    that costs defaultParallelism Python-worker round-trip tasks per
+    call (the r3 profile's blocked-`parallelize` stages)."""
+    df = spark.range(0, 100).select(F.col("id").alias("key")).repartition(3)
+    out = with_dense_sequence(df, ["key"], "seq", num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the checkpointed input is an ExistingRDD scan (fine); the OFFSETS
+    # must not be one (that's the parallelized-Python-list shape)
+    import re
+
+    assert not re.search(r"Scan ExistingRDD\[[^\]]*__off", plan), plan
