@@ -23,6 +23,7 @@ because commits are per-table snapshots published after the round's work.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -429,15 +430,30 @@ def run_round(
         "next_seq": seq_start + metrics.discovered,
         "fetched_total": prior_fetches + metrics.checked_out,
     }
-    # Content tables (docs/postings/word_stats — pure appends) commit BEFORE
-    # the frontier flips the batch to terminal states: a crash between the
-    # two leaves fetched content committed but the URLs still unvisited, and
-    # resume_point() rolls every table with round > last-checkpointed back
-    # anyway, so replay is clean from either side of the gap. The reverse
-    # order had a window where terminal frontier rows (never refetched)
-    # existed without their content.
-    catalog.commit_delta("docs", appended=new_docs, meta={"round": round_no})
-    if fresh_postings is not None:
+    # Content tables (docs/postings/word_stats/hoststats — pure appends)
+    # commit BEFORE the frontier flips the batch to terminal states: a
+    # crash between the two leaves fetched content committed but the URLs
+    # still unvisited, and resume_point() rolls every table with round >
+    # last-checkpointed back anyway, so replay is clean from either side
+    # of the gap. The reverse order had a window where terminal frontier
+    # rows (never refetched) existed without their content.
+    #
+    # The four content commits target INDEPENDENT tables (separate meta
+    # files, separate snapshot dirs), so their write jobs run CONCURRENTLY
+    # from driver threads — Spark schedules jobs from multiple threads
+    # fine, and overlapping them collapses the round's serialized commit
+    # tail (a per-round fixed cost that caps N->4N scaling efficiency à la
+    # Amdahl; profiled at ~10-20% of round wall at bench sizes). The
+    # postings -> word_stats dependency stays ordered inside one thread so
+    # the lazy fresh_postings checkpoint is materialized exactly once.
+    # The frontier commit joins ALL of them first, keeping the crash
+    # invariant; any partially-committed subset rolls back on resume.
+    def _commit_docs():
+        catalog.commit_delta("docs", appended=new_docs, meta={"round": round_no})
+
+    def _commit_postings():
+        if fresh_postings is None:
+            return
         catalog.commit_delta(
             "postings", appended=fresh_postings, meta={"round": round_no}
         )
@@ -451,18 +467,28 @@ def run_round(
                 F.sum("df").alias("df")
             ),
         )
+
+    def _commit_hoststats():
+        catalog.commit_delta(
+            "hoststats",
+            appended=hoststats_inc,
+            meta={"round": round_no},
+            compact_agg=hoststats_agg,
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(fn)
+            for fn in (_commit_docs, _commit_postings, _commit_hoststats)
+        ]
+        for fut in futures:
+            fut.result()  # re-raise any commit failure BEFORE the flip
     catalog.commit_delta(
         "frontier",
         partition_col="state",
         replaced={STATE_UNVISITED: unvisited_next},
         appended=terminal.unionByName(newly_blocked),
         meta=frontier_meta,
-    )
-    catalog.commit_delta(
-        "hoststats",
-        appended=hoststats_inc,
-        meta={"round": round_no},
-        compact_agg=hoststats_agg,
     )
     catalog.commit_round(round_no, {"metrics": metrics.__dict__})
     metrics.frontier_size = None  # filled by caller if wanted
