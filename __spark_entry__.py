@@ -134,6 +134,31 @@ def _q_url_seen(spark, sf_dir):
     return cand.join(frontier, "url", "left_anti")
 
 
+def _q_url_seen_cuckoo(spark, sf_dir):
+    """O2 via the cuckoo pre-filter (north rule names both structures):
+    identical output to ``url_seen_anti_join`` — the sharded cuckoo only
+    short-circuits definite misses; suspects flow through the same exact
+    anti-join. Oracle: the plain SQL anti-join."""
+    from see_spark.functions import cuckoo as ck
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cand = li.select(
+        F.concat(
+            F.lit("http://host"), (F.col("l_suppkey") % N_HOSTS).cast("string"),
+            F.lit(".test/order/"),
+            (F.col("l_orderkey") * 4 + F.col("l_linenumber")).cast("string"),
+        ).alias("url")
+    ).distinct().withColumn("url_hash", F.xxhash64("url"))
+    frontier = _orders_frontier(spark, sf_dir).select("url").withColumn(
+        "url_hash", F.xxhash64("url")
+    )
+    shards = ck.build_cuckoo_shards(frontier, n_shards=7, buckets_per_shard=1 << 13)
+    out = ck.seen_filter_sharded_cuckoo(
+        cand, frontier, shards, n_shards=7, buckets_per_shard=1 << 13
+    )
+    return out.select("url")
+
+
 def _q_canonicalize(spark, sf_dir):
     """O15: canonicalizer UDF over messy constructed URLs; the oracle knows
     the closed-form canonical result."""
@@ -1035,6 +1060,7 @@ QUERIES_EXTRA: dict = {
     "search_projection": _q_search_projection,
     "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     "dedup_simhash_pairs": _q_simhash_pairs,
+    "url_seen_cuckoo": _q_url_seen_cuckoo,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -1695,6 +1721,15 @@ ORACLES_BATCH1 = {
 
 
 ORACLES_EXTRA: dict = {
+    "url_seen_cuckoo": f"""
+        WITH frontier AS ({_FRONTIER_SQL}),
+        cand AS (
+          SELECT DISTINCT 'http://host' || (l_suppkey % 97) || '.test/order/'
+                 || (l_orderkey * 4 + l_linenumber) AS url
+          FROM lineitem)
+        SELECT url FROM cand
+        WHERE NOT EXISTS (SELECT 1 FROM frontier f WHERE f.url = cand.url)
+    """,
     "dedup_simhash_pairs": f"""
         WITH corpus AS ({_DUP_CORPUS_SQL}),
         toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

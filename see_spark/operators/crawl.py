@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import bloom as bloomlib
+from ..functions import cuckoo as cuckoolib
 from ..functions.udfs import parse_html_udf, route_response_udf, absolute_link_udf
 from ..sources.catalog import SnapshotCatalog
 from ..sources.tables import (
@@ -68,6 +69,12 @@ class CrawlConfig:
     use_sharded_bloom: Optional[bool] = None   # None = auto by frontier size
     sharded_bloom_min_frontier: int = 1_000_000
     bloom_shards: int = 64
+    # Sharded pre-filter structure (north rule names both): "bloom"
+    # (OR-mergeable bitmaps, map-side partial build) or "cuckoo"
+    # (fingerprint table; shuffle-built since cuckoo tables don't merge;
+    # supports deletion for lease-recovery mode). Either yields the
+    # identical URL-seen set — the trailing anti-join is exact.
+    seen_structure: str = "bloom"
     # Partition count for the fetch->parse stage (None = 2x task slots).
     # Explicit so AQE's byte-based coalescing can't collapse the round's
     # Python-cost-dominated stage to a handful of tasks (see run_round).
@@ -351,7 +358,21 @@ def run_round(
         if config.use_sharded_bloom is not None
         else seq_start >= config.sharded_bloom_min_frontier
     )
-    if config.use_bloom and sharded:
+    if config.use_bloom and sharded and config.seen_structure == "cuckoo":
+        buckets_per_shard = max(
+            1 << 10,
+            cuckoolib.buckets_for(max(seq_start, 1) // config.bloom_shards + 1),
+        )
+        shard_tables = cuckoolib.build_cuckoo_shards(
+            frontier.select("url_hash"),
+            n_shards=config.bloom_shards,
+            buckets_per_shard=buckets_per_shard,
+        )
+        deduped = cuckoolib.seen_filter_sharded_cuckoo(
+            candidates, frontier, shard_tables,
+            n_shards=config.bloom_shards, buckets_per_shard=buckets_per_shard,
+        )
+    elif config.use_bloom and sharded:
         bits_per_shard = max(
             1 << 16, bloomlib.bits_for(max(seq_start, 1)) // config.bloom_shards
         )

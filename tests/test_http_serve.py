@@ -14,13 +14,30 @@ from see_spark.sources.fixtures import GOLDEN_QUERIES
 
 
 @pytest.fixture(scope="module")
-def server_url(spark, crawl_result):
-    from scripts.serve import make_handler
+def serve_catalog(spark, crawl_result):
+    """COPY of the session crawl catalog: POST /add commits new frontier
+    rows, and mutating the shared ``crawl_result`` fixture would corrupt
+    every later test that compares against it (the resume-parity test
+    reads it as the uninterrupted-run reference)."""
+    import shutil
+    import tempfile
+
+    from see_spark.sources.catalog import SnapshotCatalog
 
     catalog, _, _ = crawl_result
+    root = tempfile.mkdtemp(prefix="see_serve_")
+    shutil.rmtree(root)
+    shutil.copytree(catalog.root, root)
+    return SnapshotCatalog(root, spark)
+
+
+@pytest.fixture(scope="module")
+def server_url(spark, serve_catalog):
+    from scripts.serve import make_handler
+
     httpd = ThreadingHTTPServer(
         ("127.0.0.1", 0),
-        make_handler(spark, catalog, domain_filter=r".*\.test"),
+        make_handler(spark, serve_catalog, domain_filter=r".*\.test"),
     )
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
@@ -79,11 +96,11 @@ def test_add_url_three_way_contract(server_url):
     assert (status, payload) == (200, {"result": "error"})
 
 
-def test_add_ok_and_searchable_state(server_url, crawl_result):
+def test_add_ok_and_searchable_state(server_url, serve_catalog):
     """A fresh in-filter URL queues ok and lands in the frontier unvisited."""
     from pyspark.sql import functions as F
 
-    catalog, _, _ = crawl_result
+    catalog = serve_catalog
     before = catalog.read("frontier").count()
     status, payload = _post(
         f"{server_url}/add", {"url": "http://brand-new.test/added-via-http"}
