@@ -402,6 +402,14 @@ def _q_minhash_lsh(spark, sf_dir):
     ).select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from see_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _dup_corpus(spark, sf_dir), num_hashes=16, bands=4, n=3, threshold=0.5
+    )
+
+
 def _q_simhash(spark, sf_dir):
     from see_spark.operators.dedup import simhash
 
@@ -1061,6 +1069,7 @@ QUERIES_EXTRA: dict = {
     "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     "dedup_simhash_pairs": _q_simhash_pairs,
     "url_seen_cuckoo": _q_url_seen_cuckoo,
+    "dedup_clusters": _q_dedup_clusters,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -1721,6 +1730,66 @@ ORACLES_BATCH1 = {
 
 
 ORACLES_EXTRA: dict = {
+    # dedup_clusters: MinHash-LSH verified pairs (same math as the gated
+    # dedup_minhash_lsh oracle, over the dup-injected corpus) -> connected
+    # components via a recursive CTE propagating the min reachable node
+    # over the symmetrized edge list -> one canonical doc per cluster.
+    "dedup_clusters": f"""
+        WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, greatest(len(t)-2, 1)+1),
+                             i -> array_to_string(t[i:i+2], ' '))) AS shingle
+               FROM toks),
+        seeds AS (SELECT range AS seed_id,
+                         (1103515245*(range+1) + 12345) % 2147483647 + 1 AS a,
+                         (range*7919 + 13) % 2147483647 AS b
+                  FROM range(16)),
+        hashed AS (SELECT doc_id,
+                          ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                            % 2147483647 AS h
+                   FROM sh),
+        sig AS (SELECT doc_id, CAST(seed_id AS BIGINT) AS seed_id,
+                       MIN((a*h + b) % 2147483647) AS minhash
+                FROM hashed CROSS JOIN seeds GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, seed_id // 4 AS band,
+                 md5(string_agg(CAST(minhash AS VARCHAR), ','
+                     ORDER BY seed_id)) AS band_key
+          FROM sig GROUP BY doc_id, seed_id // 4),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        verified AS (
+          SELECT m.doc_a, m.doc_b
+          FROM common m
+          JOIN cands USING (doc_a, doc_b)
+          JOIN sizes sa ON sa.doc_id = m.doc_a
+          JOIN sizes sb ON sb.doc_id = m.doc_b
+          WHERE m.c / (sa.n + sb.n - m.c) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+                  UNION SELECT doc_b, doc_a FROM verified),
+        reach AS (SELECT src AS node, src AS root FROM edges
+                  UNION
+                  SELECT e.dst, r.root
+                  FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+                 FROM reach GROUP BY node),
+        lab AS (SELECT c.doc_id, COALESCE(p.cluster_id, c.doc_id) AS cluster_id
+                FROM corpus c LEFT JOIN comp p USING (doc_id))
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_canonical
+        FROM lab
+    """,
     "url_seen_cuckoo": f"""
         WITH frontier AS ({_FRONTIER_SQL}),
         cand AS (

@@ -375,3 +375,126 @@ def embedding_near_dup_pairs(
         )
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the operator
+    that turns near-dup PAIRS into duplicate CLUSTERS.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each phase is one
+    groupBy-min plus one join back (two shuffles), intermediate edge
+    count never exceeds the input, and the round count is O(log^2 n) on
+    ANY graph shape — plain min-label propagation needs O(diameter)
+    rounds, fine for near-dup cliques but pathological for chain-shaped
+    graphs at 10^10 nodes. Convergence is detected with a count+checksum
+    aggregate (never a driver-side collect of rows); each round is
+    localCheckpoint'ed so the iterative plan does not grow.
+
+    Returns (node, component) for every node incident to a non-self-loop
+    edge, component = the minimum node id in the component. Deterministic
+    at any parallelism.
+    """
+    def canon(df, a, b):
+        # undirected canonical form: (u < v), self-loops dropped
+        return (
+            df.filter(F.col(a) != F.col(b))
+            .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+            .distinct()
+        )
+
+    cur = canon(
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        ),
+        "a", "b",
+    ).localCheckpoint(eager=True)
+
+    def signature(df):
+        # one cheap aggregate: (edge count, order-insensitive hash sum).
+        # pmod bounds each term so the sum stays inside a long even at
+        # 10^10+ edges under ANSI arithmetic.
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_003))),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = signature(cur)
+    for _ in range(max_iter):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: connect every strictly-larger neighbor of u to
+        # min(N(u) ∪ {u})
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+        large = canon(
+            sym.join(lmin, "u").filter(F.col("v") > F.col("u")),
+            "v", "m",
+        )
+        # small-star: orient edges larger→smaller; connect each smaller
+        # neighbor AND u itself to the minimum neighbor
+        oriented = large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = canon(
+            oriented.join(smin, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(smin.select(F.col("u").alias("a"), F.col("m").alias("b"))),
+            "a", "b",
+        ).localCheckpoint(eager=True)
+        nsig = signature(nxt)
+        cur = nxt
+        if nsig == sig:  # fixpoint: edges form stars rooted at minima
+            break
+        sig = nsig
+    members = cur.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = cur.select(
+        F.col("u").alias("node"), F.col("u").alias("component")
+    ).distinct()
+    return members.union(roots)
+
+
+def dedup_clusters(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3,
+    threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH verified pairs → connected
+    components → one canonical doc (min id) per cluster.
+
+    This is the step a training-data pipeline actually runs after pair
+    finding — keep `is_canonical = 1`, drop the rest. Singleton docs keep
+    their own id as cluster_id. Columns: (doc_id, cluster_id,
+    cluster_size, is_canonical) — all scalars (driver-gate rule: no
+    ArrayType in gated results).
+    """
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes, bands, n, threshold, text_col, id_col
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    labeled = (
+        base.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select(
+            "doc_id", "cluster_id", "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id"))
+            .cast("long").alias("is_canonical"),
+        )
+    )
