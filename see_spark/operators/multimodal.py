@@ -4,13 +4,14 @@ Media documents flow through the engine as the input_hint prescribes —
 ``kind='media'`` spans carrying a ``media_ref`` — and as standalone media
 tables with a ``binary`` payload column. The Spark-side plumbing (schema,
 partitioning, Arrow batch shape, UDF signatures) is real and tested; the
-actual codec work (image decode, video frame extraction) needs libraries
-this container does not ship, so those decode kernels are STUBBED: they
-raise NotImplementedError unless ``fake=True``, in which case a
-clearly-marked deterministic fake (byte-level stats standing in for pixel
-stats) exercises the full pipeline. AUDIO is the honest exception:
-RIFF/WAVE payloads REALLY decode through the stdlib ``wave`` module
-(``decode_wav`` / ``audio_features``), no fake involved.
+actual codec work for formats that need external libraries (JPEG, video
+containers) is STUBBED: it raises NotImplementedError unless
+``fake=True``, in which case a clearly-marked deterministic fake
+(byte-level stats standing in for pixel stats) exercises the full
+pipeline. TWO paths are honest, stdlib-only REAL decodes: RIFF/WAVE audio
+through the ``wave`` module (``decode_wav`` / ``audio_features``) and
+8-bit non-interlaced PNG through ``core.png`` (``decode_png`` /
+``image_features``).
 
 Scale notes: payloads stay opaque binary until the last possible stage
 (column pruning keeps them out of every scan that doesn't need bytes);
@@ -89,10 +90,14 @@ def _decode_buffer(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     if kind == "audio" and payload[:4] == b"RIFF":
         samples, _ = decode_wav(payload)
         return np.frombuffer(samples.tobytes(), dtype=np.uint8)
+    if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from see_spark.core.png import decode_png
+
+        return decode_png(payload).reshape(-1)
     raise NotImplementedError(
         f"real {kind} decode requires codec libraries not present in this "
-        "environment (only RIFF/WAVE audio decodes natively); pass "
-        "fake=True for the deterministic stand-in"
+        "environment (RIFF/WAVE audio and 8-bit non-interlaced PNG decode "
+        "natively via stdlib); pass fake=True for the deterministic stand-in"
     )
 
 
@@ -198,6 +203,56 @@ def audio_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         _run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("pixel_mean", T.DoubleType()),
+        T.StructField("pixel_std", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction — no fake: every payload decodes
+    through the stdlib PNG path (``core.png.decode_png``) inside
+    mapInPandas; rows whose container fails to parse (or uses a PNG
+    feature outside the supported subset) carry the error instead of
+    killing the job. Same plumbing contract as ``audio_features``: column
+    pruning keeps the payload out of upstream scans, Arrow batch size
+    bounds peak memory, one Python worker per task."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from see_spark.core.png import decode_png
+
+        cols = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                try:
+                    px = decode_png(bytes(payload or b""))
+                except Exception as exc:
+                    rows.append(
+                        (media_id, None, None, None, None, None,
+                         f"{type(exc).__name__}: {exc}")
+                    )
+                    continue
+                h, w, ch = px.shape
+                flat = px.astype("float64")
+                rows.append(
+                    (media_id, int(w), int(h), int(ch),
+                     float(flat.mean()), float(flat.std()), None)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        _run, schema=IMAGE_FEATURES_SCHEMA
     )
 
 
