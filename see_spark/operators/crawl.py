@@ -30,9 +30,17 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import pandas as pd
+from pyspark.sql import types as T
+
 from ..functions import bloom as bloomlib
 from ..functions import cuckoo as cuckoolib
-from ..functions.udfs import parse_html_udf, route_response_udf, absolute_link_udf
+from ..functions.udfs import (
+    PARSED_TYPE,
+    absolute_link_udf,
+    parse_html_udf,
+    route_response_udf,
+)
 from ..sources.catalog import SnapshotCatalog
 from ..sources.tables import (
     ROBOTS_SCHEMA,
@@ -189,6 +197,75 @@ def _fetched_total(catalog: SnapshotCatalog, frontier: DataFrame) -> int:
     return frontier.filter(F.col("fetch_order").isNotNull()).count()
 
 
+def fetch_route_parse(fetcher, batch: DataFrame) -> Optional[DataFrame]:
+    """O17+O23+O18-O21 fused into ONE Python stage.
+
+    The unfused pipeline (fetch mapInPandas -> route pandas_udf -> parse
+    pandas_udf) moves every HTML body across the JVM<->Python Arrow
+    boundary four times and runs three Python-worker stages per round.
+    Fusing them composes the fetcher's per-partition frame transformer
+    (``fetcher.frame_fn()``) with the routing matrix and the span parser
+    inside a single mapInPandas, so bodies live and die inside one Python
+    worker and only the parsed result (title/spans/links, kind, location,
+    error) ever crosses back. At the bench's 32-thread level the
+    fetch+parse family is memory-bandwidth bound; quartering the bytes
+    through the boundary attacks exactly that term.
+
+    Returns None when the fetcher predates the frame_fn protocol — the
+    caller falls back to the unfused path (identical results; pinned by
+    the crawl parity suite).
+    """
+    if getattr(fetcher, "frame_fn", None) is None:
+        return None
+    inner = fetcher.frame_fn()
+    pass_fields = [f for f in batch.schema.fields if f.name != "url"]
+    out_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            *pass_fields,
+            T.StructField("kind", T.StringType()),
+            T.StructField("location", T.StringType()),
+            T.StructField("error", T.StringType()),
+            T.StructField("parsed", PARSED_TYPE),
+        ]
+    )
+    pass_cols = [f.name for f in pass_fields]
+
+    def _run(frames):
+        from ..core.fetch import KIND_TEXT, route_response
+        from ..functions.udfs import _parse_one
+
+        for got in inner(frames):
+            kinds, locs, errs, parsed = [], [], [], []
+            for s, ct, b, loc in zip(
+                got["status"], got["content_type"], got["body"],
+                got["redirect_to"],
+            ):
+                oc = route_response(
+                    int(s) if pd.notna(s) else None, ct, b, loc
+                )
+                kinds.append(oc.kind)
+                locs.append(oc.location)
+                errs.append(oc.error)
+                if oc.kind == KIND_TEXT:
+                    title, spans, links = _parse_one(oc.body)
+                    parsed.append(
+                        {"title": title, "spans": spans, "links": links}
+                    )
+                else:
+                    parsed.append(None)
+            out = pd.DataFrame({"url": got["url"].to_numpy()})
+            for c in pass_cols:
+                out[c] = got[c].to_numpy()
+            out["kind"] = kinds
+            out["location"] = locs
+            out["error"] = errs
+            out["parsed"] = parsed
+            yield out
+
+    return batch.mapInPandas(_run, schema=out_schema)
+
+
 def run_round(
     spark: SparkSession,
     catalog: SnapshotCatalog,
@@ -250,30 +327,37 @@ def run_round(
     fetch_parts = config.fetch_partitions or (
         spark.sparkContext.defaultParallelism * 2
     )
-    fetched = fetcher.fetch(
-        batch.select(
-            "url", "url_hash", "host", "depth", "seq", "fetch_order",
-            "discovered_in_round",
-        ).repartition(fetch_parts, "host")
-    )
-    routed = fetched.withColumn(
-        "routed",
-        route_response_udf(
-            F.col("status"), F.col("content_type"), F.col("body"), F.col("redirect_to")
-        ),
-    ).select(
+    to_fetch = batch.select(
         "url", "url_hash", "host", "depth", "seq", "fetch_order",
         "discovered_in_round",
-        F.col("routed.kind").alias("kind"),
-        F.col("routed.body").alias("ok_body"),
-        F.col("routed.location").alias("location"),
-        F.col("routed.error").alias("error"),
-    )
+    ).repartition(fetch_parts, "host")
 
-    parsed = routed.withColumn(
-        "parsed",
-        F.when(F.col("kind") == "text", parse_html_udf(F.col("ok_body"))),
-    ).localCheckpoint(eager=True)
+    fused = fetch_route_parse(fetcher, to_fetch)
+    if fused is not None:
+        parsed = fused.localCheckpoint(eager=True)
+    else:
+        # unfused fallback for fetchers without frame_fn(): same kernels,
+        # three Python stages; bodies dropped before the checkpoint so the
+        # round barrier never materializes raw HTML.
+        fetched = fetcher.fetch(to_fetch)
+        routed = fetched.withColumn(
+            "routed",
+            route_response_udf(
+                F.col("status"), F.col("content_type"), F.col("body"),
+                F.col("redirect_to"),
+            ),
+        ).select(
+            "url", "url_hash", "host", "depth", "seq", "fetch_order",
+            "discovered_in_round",
+            F.col("routed.kind").alias("kind"),
+            F.col("routed.body").alias("ok_body"),
+            F.col("routed.location").alias("location"),
+            F.col("routed.error").alias("error"),
+        )
+        parsed = routed.withColumn(
+            "parsed",
+            F.when(F.col("kind") == "text", parse_html_udf(F.col("ok_body"))),
+        ).drop("ok_body").localCheckpoint(eager=True)
 
     # ---- docs upsert (O3) ----------------------------------------------
     text_docs = parsed.filter(F.col("kind") == "text").select(

@@ -45,11 +45,12 @@ class FixtureFetcher:
     def __init__(self, spark: SparkSession, site: Dict[str, dict]):
         self._bc = spark.sparkContext.broadcast(site)
 
-    def fetch(self, batch: DataFrame) -> DataFrame:
-        """batch: any DF with a ``url`` column; extra columns pass through.
-        Repartitioned by host upstream (checkout already did)."""
+    def frame_fn(self):
+        """Per-partition pandas transformer (url frames -> fetch-result
+        frames). Exposed separately from fetch() so the fused
+        fetch+route+parse stage (operators/crawl.py) can compose it into
+        ONE Python stage — bodies then never cross the Arrow boundary."""
         site_bc = self._bc
-        schema = _fetch_schema(batch.schema)
 
         def _run(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             site = site_bc.value
@@ -81,7 +82,14 @@ class FixtureFetcher:
                         out[col] = frame[col].to_numpy()
                 yield out
 
-        return batch.mapInPandas(_run, schema=schema)
+        return _run
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        """batch: any DF with a ``url`` column; extra columns pass through.
+        Repartitioned by host upstream (checkout already did)."""
+        return batch.mapInPandas(
+            self.frame_fn(), schema=_fetch_schema(batch.schema)
+        )
 
 
 USER_AGENT = "see-spark (PySpark crawl engine)"
@@ -173,8 +181,7 @@ class RequestsFetcher:
         self.timeout = timeout
         self.proxies = proxies
 
-    def fetch(self, batch: DataFrame) -> DataFrame:
-        schema = _fetch_schema(batch.schema)
+    def frame_fn(self):
         timeout = self.timeout
         proxies = self.proxies
 
@@ -204,7 +211,12 @@ class RequestsFetcher:
                             out[col] = frame[col].to_numpy()
                     yield out
 
-        return batch.mapInPandas(_run, schema=schema)
+        return _run
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        return batch.mapInPandas(
+            self.frame_fn(), schema=_fetch_schema(batch.schema)
+        )
 
 
 class SyntheticFetcher:
@@ -226,8 +238,7 @@ class SyntheticFetcher:
         self.n_hosts = n_hosts
         self.links_per_page = links_per_page
 
-    def fetch(self, batch: DataFrame) -> DataFrame:
-        schema = _fetch_schema(batch.schema)
+    def frame_fn(self):
         vocab = self.VOCAB
         n_hosts = self.n_hosts
         n_links = self.links_per_page
@@ -298,4 +309,9 @@ class SyntheticFetcher:
                         out[col] = frame[col].to_numpy()
                 yield out
 
-        return batch.mapInPandas(_run, schema=schema)
+        return _run
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        return batch.mapInPandas(
+            self.frame_fn(), schema=_fetch_schema(batch.schema)
+        )
