@@ -1056,6 +1056,67 @@ QUERIES_BATCH1 = {
     "point_lookup": _q_point_lookup,
 }
 
+def _q_pii_redact(spark, sf_dir):
+    """Engine addition: PII redaction (email + IPv4) counts and the md5 of
+    the redacted text. The synthetic corpus contains neither, so both
+    engines first salt it deterministically from doc_id — the redaction is
+    then observable and the oracle exact."""
+    from see_spark.operators.textfilters import pii_redact
+
+    d = _documents(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    aug = d.select(
+        did.alias("doc_id"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" reach user"), did.cast("string"),
+                F.lit("@mail.example.com or admin@test.org"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.col("text"), F.lit(" server 10."), (did % 200).cast("string"),
+                F.lit(".3."), (did % 250).cast("string"), F.lit(" up"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_redact(aug)
+
+
+def _q_gopher_repetition(spark, sf_dir):
+    """Engine addition: Gopher-style per-doc repetition signals."""
+    from see_spark.operators.textfilters import gopher_repetition
+
+    return gopher_repetition(_documents(spark, sf_dir))
+
+
+def _q_line_dedup(spark, sf_dir):
+    """Engine addition: corpus-level line dedup (CCNet shape) over the
+    dup-injected corpus — every line of a cloned doc occurs in 2 docs and
+    is dropped at max_docs=1; unique docs survive intact."""
+    from see_spark.operators.textfilters import line_dedup
+
+    return line_dedup(_dup_corpus(spark, sf_dir), max_docs=1)
+
+
+def _q_top_bigrams(spark, sf_dir):
+    """Engine addition: corpus-wide top-20 bigrams, pinned tie-break."""
+    from see_spark.operators.textfilters import top_bigrams
+
+    return top_bigrams(_documents(spark, sf_dir), k=20)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Engine addition: deterministic per-language stratified sample."""
+    from see_spark.operators.textfilters import stratified_sample
+
+    return stratified_sample(_documents(spark, sf_dir))
+
+
 # Checked by scripts/check_correctness.py but NOT exported to the driver's
 # 50-entry gate window: postings_tf is a projection of tokenize_postings
 # (tf = term_count/doc_len, both gated there) and search_projection is
@@ -1070,6 +1131,11 @@ QUERIES_EXTRA: dict = {
     "dedup_simhash_pairs": _q_simhash_pairs,
     "url_seen_cuckoo": _q_url_seen_cuckoo,
     "dedup_clusters": _q_dedup_clusters,
+    "pii_redact": _q_pii_redact,
+    "gopher_repetition": _q_gopher_repetition,
+    "line_dedup": _q_line_dedup,
+    "top_bigrams": _q_top_bigrams,
+    "stratified_sample": _q_stratified_sample,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -1870,6 +1936,110 @@ ORACLES_EXTRA: dict = {
           ORDER BY score DESC, doc_id ASC LIMIT 100)
         SELECT t.doc_id, d.source, d.lang, t.score
         FROM top t JOIN documents d USING (doc_id)
+    """,
+    # NOTE: plain strings below (no f-interpolation) — the regex {m,n}
+    # quantifiers would collide with format braces.
+    "pii_redact": r"""
+        WITH aug AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                           || '@mail.example.com or admin@test.org'
+                      WHEN doc_id % 3 = 1
+                      THEN text || ' server 10.' || CAST(doc_id % 200 AS VARCHAR)
+                           || '.3.' || CAST(doc_id % 250 AS VARCHAR) || ' up'
+                      ELSE text END AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                    AS BIGINT) AS n_ipv4,
+               md5(regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                     '<IP>', 'g')) AS redacted_md5
+        FROM aug
+    """,
+    "gopher_repetition": """
+        WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                             string_split(text, ' ') AS t FROM documents),
+        base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+            list_transform(range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
+                i -> array_to_string(
+                       t[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' '))
+              AS lines,
+            CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, CAST(len(t) AS BIGINT)),
+                                     i -> t[i] || ' ' || t[i+1])
+                 ELSE [] END AS bigrams
+          FROM toks),
+        ls AS (SELECT doc_id, n_tokens, CAST(len(lines) AS BIGINT) AS n_lines,
+                      CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct
+               FROM base),
+        bg AS (SELECT doc_id, unnest(bigrams) AS bigram FROM base),
+        bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        top AS (SELECT doc_id, MAX(c) AS top_cnt FROM bc GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_lines, dup_line_frac, top_bigram_frac,
+               CAST(CASE WHEN dup_line_frac > CAST(0.30 AS DOUBLE)
+                           OR top_bigram_frac > CAST(0.20 AS DOUBLE)
+                    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        FROM (SELECT l.doc_id, l.n_tokens, l.n_lines,
+                     1.0 - l.n_distinct / l.n_lines AS dup_line_frac,
+                     COALESCE(2*t.top_cnt / l.n_tokens, CAST(0 AS DOUBLE))
+                       AS top_bigram_frac
+              FROM ls l LEFT JOIN top t USING (doc_id))
+    """,
+    "line_dedup": """
+        WITH corpus AS (""" + _DUP_CORPUS_SQL + """),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        base AS (SELECT doc_id,
+            list_transform(range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
+                i -> array_to_string(
+                       t[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' '))
+              AS lines
+          FROM toks),
+        ex AS (SELECT doc_id, generate_subscripts(lines, 1) AS pos,
+                      unnest(lines) AS line FROM base),
+        freq AS (SELECT ('0x' || substr(md5(line), 1, 15))::BIGINT AS line_h,
+                        COUNT(DISTINCT doc_id) AS nd
+                 FROM ex GROUP BY 1),
+        kept AS (SELECT e.doc_id, e.pos, e.line FROM ex e
+                 JOIN freq f
+                   ON f.line_h = ('0x' || substr(md5(e.line), 1, 15))::BIGINT
+                 WHERE f.nd <= 1),
+        agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_lines,
+                       md5(string_agg(line, ' ' ORDER BY pos)) AS kept_md5
+                FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, CAST(len(b.lines) AS BIGINT) AS n_lines,
+               CAST(COALESCE(a.kept_lines, 0) AS BIGINT) AS kept_lines,
+               COALESCE(a.kept_md5, md5('')) AS kept_md5
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+    "top_bigrams": """
+        WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        bg AS (SELECT unnest(
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, CAST(len(t) AS BIGINT)),
+                                          i -> t[i] || ' ' || t[i+1])
+                      ELSE [] END) AS bigram FROM toks)
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg
+        GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20
+    """,
+    "stratified_sample": """
+        WITH b AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                 ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15))::BIGINT % 1000 AS bucket
+          FROM documents)
+        SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket FROM b
+        WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
+                                 WHEN 'es' THEN 250 WHEN 'fr' THEN 250
+                                 WHEN 'zh' THEN 125 ELSE 100 END
     """,
 }
 

@@ -1,0 +1,228 @@
+"""Corpus-curation filters for training-data pipelines.
+
+The four standard pre-training text filters that sit between a crawl and a
+tokenizer run (the reference stops at indexing — see_text.erl tokenizes but
+never filters; these are the engine-addition ops the assignment asks for on
+top of reference parity), each expressed as pure Catalyst plans with exact
+DuckDB oracles:
+
+- PII redaction: email / IPv4 regex redaction with per-doc counts
+  (regexp_count + regexp_replace, whole-stage codegen, zero shuffle).
+- Gopher-style repetition signals: duplicate-line fraction and
+  top-bigram coverage per document (the Rae et al. 2021 "Gopher rules"
+  shape): per-doc aggregates keyed by doc_id, map-side combinable.
+- Corpus-level line dedup (the CCNet shape): drop every pseudo-line that
+  occurs in more than `max_docs` distinct documents, reassemble the kept
+  lines in order. Two shuffles — one keyed by line hash (the count), one
+  keyed by doc_id (the reassembly) — both on 60-bit hashes, never on raw
+  line strings, so shuffle bytes stay ~16 B/row at 100 TB.
+- Corpus bigram stats: global top-k n-grams (partial-agg count + a
+  TakeOrderedAndProject k-cut — no full sort).
+- Deterministic stratified sampling: per-language keep rates decided by a
+  salted md5 bucket of doc_id, so the sample is reproducible across runs,
+  partitionings, and engines (no Spark `sample()`, which is seed- and
+  partitioning-dependent).
+
+The synthetic documents table is single-line word soup, so "lines" are
+pinned as non-overlapping 8-token chunks of the whitespace token stream —
+derived identically in the SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import hash60
+
+LINE_TOKENS = 8
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def _toks(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def _lines(toks):
+    """Non-overlapping LINE_TOKENS-token chunks, joined back with ' '.
+    ceil(n/8) chunks; Spark slice() clamps the final partial chunk exactly
+    like DuckDB list slicing (verified)."""
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(LINE_TOKENS))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "),
+    )
+
+
+def _bigrams(toks):
+    """Adjacent-token bigrams; empty array for sub-2-token docs (guarded:
+    Spark sequence(1, 0) would count DOWN, not return empty)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails then IPv4 addresses (that order: an email's domain has
+    no digits, so the passes can't interact). Returns per-doc match counts
+    and the md5 of the redacted text (scalar, gate-safe).
+
+    Patterns stay inside the Java/RE2 common subset (character classes +
+    bounded quantifiers, no backrefs, no lookaround) so the DuckDB oracle
+    matches byte-for-byte."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def gopher_repetition(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (Gopher rules 4+6 shape):
+    - dup_line_frac: 1 - distinct_lines/lines over the 8-token pseudo-lines
+      (array-local — no shuffle);
+    - top_bigram_frac: tokens covered by the single most frequent bigram
+      (2*max_count/n_tokens) — explode + two partial-aggregable groupBys
+      keyed by doc_id;
+    - flagged: dup_line_frac > 0.30 OR top_bigram_frac > 0.20 (pinned).
+    """
+    toks = _toks(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(_lines(toks)).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(_lines(toks))).cast("long").alias("n_distinct_lines"),
+        _bigrams(toks).alias("__bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("__bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    out = base.drop("__bigrams").join(top, "doc_id", "left")
+    dup_frac = 1.0 - F.col("n_distinct_lines") / F.col("n_lines")
+    # 2*count kept integral before the ONE double division so the oracle's
+    # value matches bit-for-bit (the checker compares floats exactly)
+    top_frac = F.coalesce(
+        (2 * F.col("top_cnt")) / F.col("n_tokens"), F.lit(0.0)
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_lines",
+        dup_frac.alias("dup_line_frac"),
+        top_frac.alias("top_bigram_frac"),
+        F.when((dup_frac > 0.30) | (top_frac > 0.20), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("flagged"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_docs: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level line dedup (CCNet): drop every pseudo-line occurring in
+    more than ``max_docs`` DISTINCT documents; reassemble the survivors in
+    original order. Returns (doc_id, n_lines, kept_lines, kept_md5) for
+    every input doc (fully-deduped docs keep md5('')).
+
+    Scale shape: posexplode -> count distinct docs per 60-bit line hash
+    (one shuffle, ~16 B keys) -> inner join back on the hash (co-partitioned
+    with the count's output) -> re-aggregate by doc_id. Raw line text never
+    shuffles on the frequency path."""
+    toks = _toks(text_col)
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_lines(toks)).cast("long").alias("n_lines"),
+        F.posexplode(_lines(toks)).alias("pos", "line"),
+    ).withColumn("line_h", hash60(F.col("line")))
+    freq = lines.groupBy("line_h").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_line")
+    )
+    kept = lines.join(freq, "line_h").filter(F.col("n_docs_with_line") <= max_docs)
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("kept_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    all_docs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_lines(toks)).cast("long").alias("n_lines"),
+    )
+    return all_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("kept_lines", F.lit(0)).cast("long").alias("kept_lines"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )
+
+
+def top_bigrams(
+    docs: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide top-k bigrams with pinned tie-break (count DESC, bigram
+    ASC). One partial-aggregable count shuffle; the k-cut compiles to
+    TakeOrderedAndProject, never a full sort."""
+    return (
+        docs.select(F.explode(_bigrams(_toks(text_col))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
+# pinned per-language keep rates, in thousandths (exact integer compare —
+# no float thresholds anywhere near the hash bucket)
+STRATA_RATES = {"en": 500, "de": 250, "es": 250, "fr": 250, "zh": 125}
+DEFAULT_RATE = 100
+
+
+def stratified_sample(
+    docs: DataFrame, id_col: str = "doc_id", lang_col: str = "lang"
+) -> DataFrame:
+    """Deterministic stratified sample: keep a doc iff its salted md5
+    bucket (0..999) falls under its language's pinned rate. Engine- and
+    partitioning-independent (unlike DataFrame.sample), so train/held-out
+    membership is stable across reruns and cluster sizes. Zero shuffle."""
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("strat:"), F.col(id_col).cast("string"))), F.lit(1000)
+    )
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in sorted(STRATA_RATES.items()):
+        rate = F.when(F.col(lang_col) == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            bucket.alias("bucket"),
+            rate.alias("rate"),
+        )
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang", F.col("bucket").cast("long").alias("bucket"))
+    )
