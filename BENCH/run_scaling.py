@@ -162,8 +162,8 @@ Fixture-site crawl in separate processes at local[{n_cores}] and local[{n4_cores
     md += json.dumps({str(k): v for k, v in results.items()}, indent=2)
     md += "\n```\n"
 
-    suffix = "" if (n_cores, n4_cores) == (8, 32) else f"_{n_cores}v{n4_cores}"
-    out_path = os.path.join(REPO, "BENCH", f"BASELINE{suffix}.md")
+    # raw per-run output; the curated BENCH/BASELINE.md merges campaigns
+    out_path = os.path.join(REPO, "BENCH", f"BASELINE_{n_cores}v{n4_cores}_raw.md")
     with open(out_path, "w") as fh:
         fh.write(md)
     print(f"wrote {out_path}")
