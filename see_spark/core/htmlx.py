@@ -192,3 +192,28 @@ def to_spans(content: str) -> List[Tuple[str, Optional[str], Optional[str], int]
         spans.append(("link", None, href, offset))
         offset += 1
     return spans
+
+
+def links_with_text(tree: Node) -> List[Tuple[str, str]]:
+    """Pre-order (href, anchor_text) pairs — exactly the hrefs links()
+    emits (same first-href / valueless-attr rules, nested links still
+    scanned), each paired with its <a> subtree's text. Engine addition:
+    the reference collects hrefs only (see_html.erl:54-78); anchor text is
+    the standard extra signal a web-scale indexer attributes to the link
+    TARGET (anchor postings, operators/linkgraph.py)."""
+    out: List[Tuple[str, str]] = []
+    _collect_links_text(tree, out)
+    return out
+
+
+def _collect_links_text(node: Node, out: List[Tuple[str, str]]) -> None:
+    if isinstance(node, str):
+        return
+    if node.tag == "a":
+        for name, value in node.attrs:
+            if name == "href":
+                if value != "href":
+                    out.append((value, text(node)))
+                break
+    for child in node.children:
+        _collect_links_text(child, out)

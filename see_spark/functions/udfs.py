@@ -156,3 +156,27 @@ def tokens_from_spans(spans_col):
         lambda s: s["text"],
     )
     return F.array_join(texts, " ")
+
+
+ANCHORS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("href", T.StringType()),
+            T.StructField("anchor", T.StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(ANCHORS_TYPE)
+def anchors_udf(bodies: pd.Series) -> pd.Series:
+    """(href, anchor_text) pairs per document (htmlx.links_with_text) —
+    the raw material for anchor postings (operators/linkgraph.py)."""
+    return pd.Series(
+        [
+            []
+            if b is None
+            else [{"href": h, "anchor": a} for h, a in htmlx.links_with_text(htmlx.parse(b))]
+            for b in bodies
+        ]
+    )

@@ -1,0 +1,220 @@
+"""Link-graph analytics: PageRank, degree stats, link-graph extraction.
+
+A web-scale crawler's frontier IS a link graph (the reference stores the
+raw material — per-page outlinks at parse time, see_html.erl:54-78 /
+see_crawler_srv.erl link handling — but never analyzes it). PageRank over
+that graph is the canonical crawl-priority / quality signal for a
+training-data pipeline, so it's implemented here as an engine addition,
+Spark-first:
+
+- ``edges_from_docs``: the crawl path's (src_url -> dst_url) edge table,
+  derived from parsed link spans joined to the frontier (used in tests on
+  the fixture site).
+- ``synthetic_edges``: a deterministic expander over any keyed table
+  (doc_id arithmetic), so the gate queries run on the driver's testdata
+  tables with an exact DuckDB oracle — no external data.
+- ``pagerank``: fixed-iteration join-based power method. Per iteration
+  exactly ONE shuffle of (dst, contribution) — the edges×ranks join
+  broadcasts nothing and co-partitions on ``src`` (both sides are
+  repartitioned on the key once, and every iteration reuses that
+  partitioning), and the dangling-mass term is a one-row aggregate
+  broadcast back as a literal join-free column. At 10^10 edges this is
+  the standard Pregel-equivalent shape: state = one rank row per node,
+  messages = one contribution row per edge, no driver-side iteration
+  state beyond the loop counter.
+
+Determinism: double summation order varies across partitionings, so raw
+ranks differ in the last ulp across cluster sizes. Callers that need
+cross-parallelism-identical output (the north rule's determinism half)
+round to ROUND_DP decimals — error headroom is ~1e5 ulps at graph sizes
+up to 10^9 nodes, verified against the unrolled-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DP = 9
+
+# (multiplier, offset) pairs for the synthetic expander; coprime-ish odd
+# multipliers so dst sets differ per stride and the graph is connected.
+SYNTH_STRIDES: Tuple[Tuple[int, int], ...] = ((7, 1), (13, 5), (31, 11))
+
+
+def synthetic_edges(
+    nodes: DataFrame, id_col: str = "doc_id", n_nodes: Optional[int] = None
+) -> DataFrame:
+    """Deterministic out-degree-≤3 expander over a keyed table:
+    dst = (src * m + c) mod N for each stride, self-loops dropped,
+    duplicate dsts collapsed. Expressible identically in ANSI SQL, which
+    is what makes the PageRank gate query exactly checkable."""
+    n = n_nodes if n_nodes is not None else nodes.count()
+    src = F.col(id_col).cast("long")
+    dsts = F.array_distinct(
+        F.array(*[(src * F.lit(m) + F.lit(c)) % F.lit(n) for m, c in SYNTH_STRIDES])
+    )
+    return nodes.select(
+        src.alias("src"),
+        F.explode(F.filter(dsts, lambda d: d != src)).alias("dst"),
+    )
+
+
+def edges_from_docs(parsed_docs: DataFrame) -> DataFrame:
+    """(url, links array<string>) -> distinct (src, dst) edge rows; the
+    crawl-pipeline link graph (dst is the already-absolutized link — the
+    crawl loop resolves links before this point, crawl.py)."""
+    return (
+        parsed_docs.select(
+            F.col("url").alias("src"), F.explode("links").alias("dst")
+        )
+        .where(F.col("dst") != F.col("src"))
+        .distinct()
+    )
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node (node, out_deg, in_deg) with 0s for one-sided nodes —
+    the hub/authority raw counts. Two map-side-combinable shuffles plus
+    one outer join on the node key."""
+    out = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    inn = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return (
+        out.join(inn, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    id_col: str = "node",
+    round_dp: Optional[int] = ROUND_DP,
+    shuffle_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank with dangling-mass redistribution.
+
+    r_{t+1}(v) = (1-d)/N + d * (Σ_{u->v} r_t(u)/outdeg(u) + dangling_t/N)
+
+    ``nodes``: one row per node (column ``id_col``). Returns
+    (node, rank) with rank rounded to ``round_dp`` (None = raw doubles).
+
+    Scale shape per iteration: edges (co-partitioned on src once, reused)
+    join ranks on src -> groupBy dst sum (the single edge-volume shuffle)
+    -> left join back to the node list (co-partitioned on the node key).
+    The dangling mass is a scalar: computed with a one-row agg and
+    injected as a literal, never a join. Lineage is cut every iteration
+    with localCheckpoint(eager=False) so n_iter chains don't stack plans.
+    """
+    n = nodes.count()
+    node = F.col(id_col).cast("long").alias("node")
+    nodes_n = nodes.select(node)
+    if shuffle_partitions:
+        nodes_n = nodes_n.repartition(shuffle_partitions, "node")
+        edges = edges.repartition(shuffle_partitions, "src")
+    edges = edges.localCheckpoint(eager=False)
+
+    deg = out_degrees(edges)
+    # rank state: (node, rank, out_deg); out_deg carried so the dangling
+    # scalar and the per-edge contribution need no extra join per round
+    state = nodes_n.join(deg, nodes_n["node"] == deg["src"], "left").select(
+        "node",
+        F.lit(1.0 / n).alias("rank"),
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+    )
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        dangling = (
+            state.where(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            edges.join(
+                state.where(F.col("out_deg") > 0).select(
+                    "node", (F.col("rank") / F.col("out_deg")).alias("share")
+                ),
+                edges["src"] == F.col("node"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        state = (
+            state.select("node", "out_deg")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+                "out_deg",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = state.select("node", "rank")
+    if round_dp is not None:
+        out = out.select("node", F.round("rank", round_dp).alias("rank"))
+    return out
+
+
+def anchor_postings(raw_docs: DataFrame, url_col: str = "url", body_col: str = "body") -> DataFrame:
+    """Anchor-text postings: tokenize each link's anchor text and attribute
+    the terms to the link TARGET (engine addition — the standard signal the
+    reference's href-only collection drops; see core/htmlx.links_with_text).
+
+    raw_docs: (url, body) -> (word, dst_url, src_url, term_count), where
+    dst_url is absolutized against the source page with the reference's
+    resolver quirks (core/urls.absolute_link via absolute_link_udf).
+
+    Scale shape: one Arrow-batched parse pass (the anchors UDF), explode,
+    absolutize (JVM pass-through fast path for already-absolute hrefs),
+    then one map-side-combinable groupBy — the same two-shuffle build as
+    the body-text index (indexer.postings_from_docs).
+    """
+    from ..functions.udfs import absolute_link_udf, anchors_udf, tokenize_expr
+
+    pairs = (
+        raw_docs.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(anchors_udf(F.col(body_col))).alias("__a"),
+        )
+        .select(
+            "src_url",
+            F.col("__a.href").alias("href"),
+            F.col("__a.anchor").alias("anchor"),
+        )
+        .withColumn(
+            "dst_url",
+            F.when(
+                F.col("href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+                F.col("href"),
+            ).otherwise(absolute_link_udf(F.col("src_url"), F.col("href"))),
+        )
+        .where(F.col("dst_url").isNotNull())
+    )
+    words = pairs.select(
+        "src_url",
+        "dst_url",
+        F.explode(tokenize_expr(F.col("anchor"))).alias("word"),
+    )
+    return words.groupBy("word", "dst_url", "src_url").agg(
+        F.count("*").alias("term_count")
+    )

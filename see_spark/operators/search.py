@@ -119,3 +119,99 @@ def search(
         .select(F.col("doc_id").alias("url"), "title", "score")
         .orderBy(F.desc("score"), F.asc("url"))
     )
+
+
+def search_bm25(
+    spark: SparkSession,
+    query: str,
+    postings: DataFrame,
+    docs: DataFrame,
+    page_count: int,
+    k: int = MAX_RESULTS,
+    k1: float = 1.2,
+    b: float = 0.75,
+    avgdl: float = None,
+    round_dp: int = 9,
+) -> DataFrame:
+    """BM25 ranking over the same postings/docs contract as ``search``
+    (engine addition — the reference ranks tf-idf only, see_rank_tfidf.erl;
+    BM25 is the standard upgrade and shares the whole plan shape):
+
+      idf(w)   = ln(1 + (N - df + 0.5) / (df + 0.5))      (RSJ, >= 0)
+      tfn(w,d) = tc*(k1+1) / (tc + k1*(1 - b + b*doc_len/avgdl))
+      score(d) = sum over query words of qcount * idf * tfn
+
+    Identical scale shape to ``search``: broadcast query dict, semi-joined
+    df aggregate (never the full postings table), one doc_id shuffle,
+    TakeOrderedAndProject top-k, post-k-cut title join. ``avgdl`` is a
+    per-corpus scalar; pass the materialized value in production (it is
+    one more word_stats-style aggregate), else it is computed here with a
+    single distinct-doc aggregate. Scores rounded to ``round_dp`` so
+    output is identical across parallelism (double summation order).
+    """
+    words = extract_words(query)
+    if not words:
+        return spark.createDataFrame([], "url string, title string, score double")
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    qdf = F.broadcast(
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).alias("word"),
+                            F.lit(c).cast("int").alias("qcount"),
+                        )
+                        for w, c in counts.items()
+                    ]
+                )
+            ).alias("__q")
+        )
+        .select("__q.word", "__q.qcount")
+    )
+    n_distinct = len(counts)
+    if avgdl is None:
+        avgdl = (
+            postings.select("doc_id", "doc_len")
+            .distinct()
+            .agg(F.avg("doc_len"))
+            .collect()[0][0]
+        )
+    df_by_word = (
+        postings.join(qdf.select("word"), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    matched = postings.join(qdf, "word").join(F.broadcast(df_by_word), "word")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(page_count)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("term_count") * F.lit(k1 + 1.0)) / (
+        F.col("term_count")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(float(avgdl)))
+    )
+    scored = (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.col("qcount") * idf * tfn).alias("score"),
+        )
+        .filter(F.col("n_words") == n_distinct)
+        .drop("n_words")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        top.join(docs.select(F.col("doc_id"), F.col("title")), "doc_id")
+        .select(
+            F.col("doc_id").alias("url"),
+            "title",
+            F.round("score", round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("url"))
+    )

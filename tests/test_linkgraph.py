@@ -1,0 +1,202 @@
+"""Link-graph analytics: PageRank vs a pure-Python power method (same
+formula), degree stats, synthetic-expander determinism, anchor-text
+postings, and BM25 vs hand-computed scores."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from see_spark.operators.linkgraph import (
+    ROUND_DP,
+    anchor_postings,
+    degree_stats,
+    edges_from_docs,
+    pagerank,
+    synthetic_edges,
+)
+from see_spark.operators.search import search_bm25
+
+# tiny graph with a dangling node (3 has no outlinks) and a 2-cycle
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3)]
+N = 4
+
+
+def _pagerank_ref(edges, n, n_iter=5, d=0.85):
+    """Driver-side power method, the exact formula pagerank() implements."""
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    ranks = {v: 1.0 / n for v in range(n)}
+    for _ in range(n_iter):
+        dangling = sum(r for v, r in ranks.items() if out.get(v, 0) == 0)
+        contrib = {v: 0.0 for v in range(n)}
+        for s, t in edges:
+            contrib[t] += ranks[s] / out[s]
+        ranks = {
+            v: (1 - d) / n + d * (contrib[v] + dangling / n) for v in range(n)
+        }
+    return ranks
+
+
+def test_pagerank_matches_power_method(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(N)], ["node"])
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(nodes, edges).collect()}
+    want = _pagerank_ref(EDGES, N)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(round(want[v], ROUND_DP), abs=1e-9)
+
+
+def test_pagerank_mass_conserved(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(N)], ["node"])
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    total = pagerank(nodes, edges, n_iter=3).agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(20)], ["node"])
+    edges = synthetic_edges(nodes, id_col="node")
+    a = sorted(map(tuple, pagerank(nodes, edges, shuffle_partitions=2).collect()))
+    b = sorted(map(tuple, pagerank(nodes, edges, shuffle_partitions=7).collect()))
+    assert a == b  # rounded ranks identical at any parallelism
+
+
+def test_synthetic_edges_shape(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    rows = synthetic_edges(nodes).collect()
+    assert all(r["src"] != r["dst"] for r in rows)
+    assert all(0 <= r["dst"] < 10 for r in rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], set()).add(r["dst"])
+    assert set(by_src) == set(range(10))
+    assert all(1 <= len(v) <= 3 for v in by_src.values())
+    # pure function of doc_id arithmetic -> rerun identical
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, synthetic_edges(nodes).collect())
+    )
+
+
+def test_degree_stats(spark):
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["node"]: (r["out_deg"], r["in_deg"]) for r in degree_stats(edges).collect()}
+    assert got == {0: (2, 1), 1: (1, 1), 2: (2, 2), 3: (0, 1)}
+
+
+def test_edges_from_docs(spark):
+    docs = spark.createDataFrame(
+        [("a", ["b", "c", "a", "b"]), ("b", ["a"])], ["url", "links"]
+    )
+    got = sorted(map(tuple, edges_from_docs(docs).collect()))
+    assert got == [("a", "b"), ("a", "c"), ("b", "a")]
+
+
+HTML_A = (
+    "<html><title>t</title><body>"
+    '<a href="http://x.com/page">Click Here Now</a>'
+    '<a href="sub/rel.html">relative link</a>'
+    "<a>no href</a>"
+    '<a href="http://y.com/">outer <a href="http://z.com/">inner text</a></a>'
+    "</body></html>"
+)
+
+
+def test_anchor_postings(spark):
+    raw = spark.createDataFrame([("http://base.com/dir/p.html", HTML_A)], ["url", "body"])
+    rows = anchor_postings(raw).collect()
+    by_dst = {}
+    for r in rows:
+        by_dst.setdefault(r["dst_url"], {})[r["word"]] = r["term_count"]
+    assert by_dst["http://x.com/page"] == {"click": 1, "here": 1, "now": 1}
+    # relative href absolutized against the source page's directory
+    assert by_dst["http://base.com/dir/sub/rel.html"] == {"relative": 1, "link": 1}
+    # nested link: outer anchor text includes inner's (subtree text);
+    # inner link also indexed with its own text
+    assert by_dst["http://y.com/"] == {"outer": 1, "inner": 1, "text": 1}
+    assert by_dst["http://z.com/"] == {"inner": 1, "text": 1}
+    assert all(r["src_url"] == "http://base.com/dir/p.html" for r in rows)
+
+
+def _mk_postings(spark, docs_words):
+    """docs_words: {doc_id: [words]} -> postings rows like the indexer's."""
+    rows = []
+    for d, words in docs_words.items():
+        dl = len(words)
+        counts = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        for w, c in counts.items():
+            rows.append((w, d, c, dl, c / dl))
+    return spark.createDataFrame(
+        rows, ["word", "doc_id", "term_count", "doc_len", "tf"]
+    )
+
+
+def _bm25_ref(docs_words, query_words, n_pages, k1=1.2, b=0.75):
+    dls = {d: len(ws) for d, ws in docs_words.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    df = {}
+    for d, ws in docs_words.items():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    scores = {}
+    for d, ws in docs_words.items():
+        if not all(q in ws for q in set(query_words)):
+            continue
+        s = 0.0
+        for q in query_words:  # multiplicity scores multiply
+            tc = ws.count(q)
+            idf = math.log(1 + (n_pages - df[q] + 0.5) / (df[q] + 0.5))
+            tfn = tc * (k1 + 1) / (tc + k1 * (1 - b + b * dls[d] / avgdl))
+            s += idf * tfn
+        scores[d] = round(s, 9)
+    return scores
+
+
+DOCS_WORDS = {
+    "u1": ["apple", "banana", "apple", "cherry"],
+    "u2": ["apple", "cherry", "cherry", "date", "egg"],
+    "u3": ["banana", "date"],
+}
+
+
+def test_bm25_matches_reference_formula(spark):
+    postings = _mk_postings(spark, DOCS_WORDS)
+    docs = spark.createDataFrame(
+        [(d, f"title {d}") for d in DOCS_WORDS], ["doc_id", "title"]
+    )
+    got = {
+        r["url"]: r["score"]
+        for r in search_bm25(spark, "apple cherry", postings, docs, 3).collect()
+    }
+    want = _bm25_ref(DOCS_WORDS, ["apple", "cherry"], 3)
+    assert got == pytest.approx(want, abs=1e-9)
+    assert set(got) == {"u1", "u2"}  # AND semantics: u3 lacks both
+
+
+def test_bm25_query_multiplicity(spark):
+    postings = _mk_postings(spark, DOCS_WORDS)
+    docs = spark.createDataFrame(
+        [(d, f"title {d}") for d in DOCS_WORDS], ["doc_id", "title"]
+    )
+    single = {
+        r["url"]: r["score"]
+        for r in search_bm25(spark, "apple", postings, docs, 3).collect()
+    }
+    double = {
+        r["url"]: r["score"]
+        for r in search_bm25(spark, "apple apple", postings, docs, 3).collect()
+    }
+    for u in single:
+        assert double[u] == pytest.approx(2 * single[u], abs=1e-8)
+
+
+def test_bm25_empty_query(spark):
+    postings = _mk_postings(spark, DOCS_WORDS)
+    docs = spark.createDataFrame([("u1", "t")], ["doc_id", "title"])
+    assert search_bm25(spark, "  ", postings, docs, 3).count() == 0
