@@ -1117,6 +1117,68 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(_documents(spark, sf_dir))
 
 
+def _q_pagerank_synth(spark, sf_dir):
+    """Engine addition: 5-iteration PageRank over the deterministic
+    synthetic expander on documents doc_ids (operators/linkgraph.py);
+    oracle = the unrolled power method in SQL."""
+    from see_spark.operators.linkgraph import pagerank, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    edges = synthetic_edges(docs)
+    return pagerank(nodes, edges, n_iter=5)
+
+
+def _q_link_degree_stats(spark, sf_dir):
+    """Engine addition: per-node in/out degree over the synthetic expander
+    (the hub/authority raw counts)."""
+    from see_spark.operators.linkgraph import degree_stats, synthetic_edges
+
+    return degree_stats(synthetic_edges(_documents(spark, sf_dir)))
+
+
+def _q_bm25_search(spark, sf_dir):
+    """Engine addition: BM25 ranking over the same postings contract as
+    tfidf_search (operators/search.py:search_bm25). Score rounded to 6dp
+    (ln is the one non-exact op, same rule as the tfidf oracle)."""
+    from see_spark.operators.search import search_bm25
+
+    docs = _documents(spark, sf_dir)
+    postings = _doc_postings(spark, sf_dir)
+    res = search_bm25(
+        spark,
+        " ".join(_SEARCH_WORDS),
+        postings,
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.col("source").alias("title")),
+        docs.count(),
+        round_dp=6,
+    )
+    return res.select(F.col("url").alias("doc_id"), "title", "score")
+
+
+def _q_anchor_postings(spark, sf_dir):
+    """Engine addition: anchor-text postings (terms attributed to the link
+    TARGET) over deterministic HTML wrapped around each document's text
+    prefix — exercises the real HTML parse + tokenizer path with a
+    closed-form oracle."""
+    from see_spark.operators.linkgraph import anchor_postings
+
+    docs = _documents(spark, sf_dir)
+    raw = docs.select(
+        F.concat(F.lit("http://d"), F.col("doc_id").cast("string"), F.lit(".test/")).alias("url"),
+        F.concat(
+            F.lit('<a href="http://t'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.test/x">'),
+            # strip HTML-significant chars so the anchor text survives the
+            # parse verbatim (entities/tags would split text nodes)
+            F.substring(F.regexp_replace(F.col("text"), "[<>&]", " "), 1, 40),
+            F.lit("</a>"),
+        ).alias("body"),
+    )
+    return anchor_postings(raw)
+
+
 # Checked by scripts/check_correctness.py but NOT exported to the driver's
 # 50-entry gate window: postings_tf is a projection of tokenize_postings
 # (tf = term_count/doc_len, both gated there) and search_projection is
@@ -1136,6 +1198,10 @@ QUERIES_EXTRA: dict = {
     "line_dedup": _q_line_dedup,
     "top_bigrams": _q_top_bigrams,
     "stratified_sample": _q_stratified_sample,
+    "pagerank_synth": _q_pagerank_synth,
+    "link_degree_stats": _q_link_degree_stats,
+    "bm25_search": _q_bm25_search,
+    "anchor_postings": _q_anchor_postings,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -2042,6 +2108,117 @@ ORACLES_EXTRA: dict = {
                                  WHEN 'zh' THEN 125 ELSE 100 END
     """,
 }
+
+# Link-graph oracles: the synthetic expander (strides pinned to
+# see_spark.operators.linkgraph.SYNTH_STRIDES) shared by pagerank_synth and
+# link_degree_stats.
+from see_spark.operators.linkgraph import SYNTH_STRIDES as _STRIDES  # noqa: E402
+
+_LINKGRAPH_SQL = (
+    "nn AS (SELECT COUNT(*) AS n FROM documents),\n"
+    "    nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),\n"
+    "    edges AS (\n"
+    "      SELECT DISTINCT src, dst FROM (\n"
+    + "\n        UNION ALL\n".join(
+        f"        SELECT node AS src, (node*{m} + {c}) % (SELECT n FROM nn) AS dst FROM nodes"
+        for m, c in _STRIDES
+    )
+    + "\n      ) WHERE dst <> src),\n"
+    "    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)"
+)
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, d: float = 0.85) -> str:
+    """Unrolled power method, term-for-term the expression pagerank()
+    evaluates (same IEEE op order), final ranks rounded to 9dp."""
+    ctes = [
+        _LINKGRAPH_SQL,
+        "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dang FROM {p} r"
+            f" LEFT JOIN outdeg o ON o.src = r.node WHERE o.src IS NULL)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.rank / o.deg) AS contrib"
+            f" FROM edges e JOIN {p} r ON e.src = r.node"
+            f" JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT b.node,"
+            f" (1.0 - {d})/(SELECT n FROM nn)"
+            f" + {d} * (COALESCE(c.contrib, 0.0)"
+            f" + (SELECT dang FROM d{i})/(SELECT n FROM nn)) AS rank"
+            f" FROM nodes b LEFT JOIN c{i} c ON c.node = b.node)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, ROUND(rank, 9) AS rank FROM r{n_iter}"
+    )
+
+
+ORACLES_EXTRA.update(
+    {
+        "pagerank_synth": _pagerank_oracle_sql(),
+        "link_degree_stats": f"""
+        WITH {_LINKGRAPH_SQL},
+        o AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src),
+        i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM edges GROUP BY dst)
+        SELECT COALESCE(o.node, i.node) AS node,
+               CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+        FROM o FULL OUTER JOIN i ON o.node = i.node
+    """,
+        # BM25 mirrors the Spark expression term-for-term; avgdl and N are
+        # corpus scalars; score rounded to 6dp (ln is the non-exact op).
+        "bm25_search": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        a AS (SELECT AVG(doc_len) AS avgdl
+              FROM (SELECT DISTINCT doc_id, doc_len FROM postings)),
+        q AS (SELECT unnest(['table', 'join', 'query']) AS word),
+        dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                FROM postings JOIN q USING (word) GROUP BY word),
+        matched AS (
+          SELECT p.doc_id, p.term_count, p.doc_len, dfs.df
+          FROM postings p JOIN q USING (word) JOIN dfs USING (word)),
+        scored AS (
+          SELECT doc_id, COUNT(*) AS n_words,
+                 SUM(ln(1.0 + ((SELECT n_docs FROM n) - df + 0.5) / (df + 0.5))
+                     * (term_count * 2.2)
+                     / (term_count + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * doc_len / (SELECT avgdl FROM a)))) AS score
+          FROM matched GROUP BY doc_id),
+        top AS (
+          SELECT doc_id, score FROM scored WHERE n_words = 3
+          ORDER BY score DESC, doc_id ASC LIMIT 100)
+        SELECT t.doc_id, d.source AS title, ROUND(t.score, 6) AS score
+        FROM top t JOIN documents d ON d.doc_id = t.doc_id
+    """,
+        # anchor postings over deterministic single-link HTML: anchor text
+        # = 40-char sanitized prefix, href absolute -> pass-through.
+        "anchor_postings": f"""
+        WITH anchors AS (
+          SELECT 'http://d' || CAST(doc_id AS VARCHAR) || '.test/' AS src_url,
+                 'http://t' || CAST(doc_id % 7 AS VARCHAR) || '.test/x' AS dst_url,
+                 substr(regexp_replace(text, '[<>&]', ' ', 'g'), 1, 40) AS anchor
+          FROM documents),
+        toks AS (
+          SELECT src_url, dst_url, lower(tok) AS word
+          FROM (SELECT src_url, dst_url,
+                       unnest(regexp_split_to_array(
+                         regexp_replace(anchor, '{_SEP_SQL}', ' ', 'g'),
+                         '[ \t\n\r]')) AS tok
+                FROM anchors)
+          WHERE strlen(tok) >= 2)
+        SELECT word, dst_url, src_url, COUNT(*) AS term_count
+        FROM toks GROUP BY 1, 2, 3
+    """,
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

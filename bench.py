@@ -33,6 +33,23 @@ def _timed(fn):
     return time.perf_counter() - t0, out
 
 
+def _cpu_steal_snapshot():
+    """(steal_ticks, total_ticks) from /proc/stat; None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:9]]
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _cpu_steal_frac(t0) -> float:
+    t1 = _cpu_steal_snapshot()
+    if t0 is None or t1 is None or t1[1] <= t0[1]:
+        return -1.0
+    return round((t1[0] - t0[0]) / (t1[1] - t0[1]), 4)
+
+
 def _calibration(spark, cpus: int) -> dict:
     """Ambient-load calibration for cross-round comparability: this sandbox
     is a shared host with 2-3x run-to-run swings (BENCH/BASELINE.md), so a
@@ -220,6 +237,7 @@ def main():
     ).count()
 
     load_before = os.getloadavg()
+    steal_t0 = _cpu_steal_snapshot()
     calibration = _calibration(spark, cpus)
 
     skip_queries = os.environ.get("SEE_BENCH_SKIP_QUERIES") == "1"
@@ -264,6 +282,10 @@ def main():
         # rounds via throughput / calibration.probe_rows_per_sec, not raw
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        # hypervisor steal over the whole bench window: the co-tenant
+        # contention loadavg cannot see (loadavg counts only this VM's
+        # runnables). >~5% marks the window contaminated.
+        "steal_frac": _cpu_steal_frac(steal_t0),
         "calibration": calibration,
     }
     print(json.dumps(result))

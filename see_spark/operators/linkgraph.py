@@ -218,3 +218,40 @@ def anchor_postings(raw_docs: DataFrame, url_col: str = "url", body_col: str = "
     return words.groupBy("word", "dst_url", "src_url").agg(
         F.count("*").alias("term_count")
     )
+
+
+def edges_from_crawl_docs(docs: DataFrame, domain_filter=None) -> DataFrame:
+    """Link graph of a crawled corpus straight from the docs table
+    (tables.DOCS_SCHEMA): explode kind='link' spans, absolutize each raw
+    href against its page (same JVM pass-through as the crawl loop,
+    crawl.py), canonicalize with the fixpoint fast path, and emit distinct
+    (src, dst) canonical-URL edges. src = doc_id (already canonical).
+
+    One Arrow pass only for the non-absolute/non-canonical minority of
+    hrefs; the whole stage is codegen for clean-link corpora.
+    """
+    from ..functions.udfs import absolute_link_udf
+    from .frontier import canonicalize_and_filter
+
+    raw = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("link"))
+        ).alias("__s"),
+    ).select("src", F.col("__s.media_ref").alias("raw_link"))
+    absolutized = raw.withColumn(
+        "abs_link",
+        F.when(
+            F.col("raw_link").rlike(r"[^/]+://"), F.col("raw_link")
+        ).otherwise(absolute_link_udf(F.col("src"), F.col("raw_link"))),
+    )
+    canon = canonicalize_and_filter(
+        absolutized.select("src", F.col("abs_link")),
+        url_col="abs_link",
+        domain_filter=domain_filter,
+    ).filter(F.col("ingest_status") == "ok")
+    return (
+        canon.select("src", F.col("url").alias("dst"))
+        .where(F.col("dst") != F.col("src"))
+        .distinct()
+    )

@@ -200,3 +200,44 @@ def test_bm25_empty_query(spark):
     postings = _mk_postings(spark, DOCS_WORDS)
     docs = spark.createDataFrame([("u1", "t")], ["doc_id", "title"])
     assert search_bm25(spark, "  ", postings, docs, 3).count() == 0
+
+
+def test_pagerank_over_crawled_corpus(spark, crawl_result):
+    """End-to-end: docs table of the standard fixture crawl -> link-span
+    edge extraction (absolutize + canonicalize) -> PageRank. Pins that the
+    crawl corpus yields a well-formed graph (no self loops, canonical
+    URLs) and a rank distribution summing to ~1 over the doc nodes."""
+    from see_spark.operators.linkgraph import edges_from_crawl_docs
+
+    catalog = crawl_result[0]
+    docs = catalog.read("docs")
+    edges = edges_from_crawl_docs(docs)
+    rows = edges.collect()
+    assert rows, "fixture crawl produced no link edges"
+    assert all(r["src"] != r["dst"] for r in rows)
+    assert all(r["dst"].startswith("http://") for r in rows)
+
+    # nodes = crawled docs; rank over the doc-to-doc subgraph
+    # (string node ids: pagerank keys on longs; remap via a dense id map)
+    doc_urls = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    sub = edges.join(
+        docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+    )
+    id_map = {u: i for i, u in enumerate(sorted(doc_urls))}
+    mdf = spark.createDataFrame(
+        [(u, i) for u, i in id_map.items()], ["url", "nid"]
+    )
+    n_nodes = mdf.select(F.col("nid").alias("node"))
+    n_edges = (
+        sub.join(mdf.withColumnRenamed("url", "src_u"), sub["src"] == F.col("src_u"))
+        .withColumnRenamed("nid", "src_id")
+        .drop("src_u")
+        .join(mdf.withColumnRenamed("url", "dst_u"), F.col("dst") == F.col("dst_u"))
+        .withColumnRenamed("nid", "dst_id")
+        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
+    )
+    from see_spark.operators.linkgraph import pagerank
+
+    pr = pagerank(n_nodes, n_edges, n_iter=5)
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-6)

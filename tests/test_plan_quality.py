@@ -123,3 +123,39 @@ def test_seen_filter_bloom_branch_is_union_of_filtered_scans(spark):
     plan = _plan(seen_filter(cands, frontier, probe))
     assert plan.count("Join LeftAnti") + plan.count("BroadcastHashJoin [url_hash") >= 1
     assert "Union" in plan
+
+
+def test_bm25_df_aggregate_is_word_restricted_and_topk(spark, entry):
+    """search_bm25 shares search()'s scale contract: df aggregate above a
+    broadcast query-word semi-join (never the full postings table) and a
+    TakeOrderedAndProject k-cut, with no Python on the row path."""
+    from pyspark.sql import functions as F
+    from see_spark.operators.search import search_bm25
+
+    postings = entry._doc_postings(spark, SF)
+    docs = entry._documents(spark, SF).select(
+        "doc_id", F.col("source").alias("title")
+    )
+    plan = _plan(search_bm25(spark, "table join query", postings, docs, 500))
+    agg_pos = plan.find("distinct doc_id")
+    assert agg_pos != -1, "df aggregate (count distinct doc_id) not found"
+    assert "LeftSemi" in plan[agg_pos:], (
+        "no word semi-join below the df aggregate — it is scanning the "
+        "full postings table"
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pagerank_iteration_has_no_python_and_no_cartesian(spark):
+    """One PageRank iteration's plan: JVM-only (no EvalPython) and no
+    cartesian/broadcast-nested-loop blow-up from the rank join."""
+    from pyspark.sql import functions as F
+    from see_spark.operators.linkgraph import pagerank, synthetic_edges
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    pr = pagerank(nodes, synthetic_edges(docs), n_iter=1)
+    plan = _plan(pr)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
