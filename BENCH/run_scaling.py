@@ -56,12 +56,18 @@ def run_bench(cores: int, frontier_n: int) -> dict:
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
         ),
     )
-    # JVM heap scales with the parallelism level (1 GiB/core, floor 8):
-    # the rule compares N vs 4N EXECUTORS and 4N executors bring 4x
-    # memory; a fixed-size local JVM starves the 4N level to 1/4 the
-    # per-task memory instead (measured: 8x GC at the 8M input —
-    # BENCH/ATTRIBUTION_r3.md).
-    env.setdefault("SEE_SPARK_DRIVER_MEM", f"{max(8, cores)}g")
+    # JVM heap: fixed 8 GiB at every level for the standard 2M/500k
+    # campaign input. Two measured regimes (BENCH/ATTRIBUTION_r3.md cause
+    # 4 + the round-3 A/B): at 4x input a fixed 8 GiB starves the 32-thread
+    # level (8x GC), but at campaign size a 32 GiB heap is itself 1.7x
+    # SLOWER than 8 GiB at local[32] (3196 vs 5338 docs/s, clean windows —
+    # big-heap G1 geometry + page-fault cost, which 4 real 8 GiB executors
+    # would not pay). Opt into 1 GiB/core scaling for big inputs with
+    # SEE_SCALE_HEAP=1.
+    if os.environ.get("SEE_SCALE_HEAP") == "1":
+        env.setdefault("SEE_SPARK_DRIVER_MEM", f"{max(8, cores)}g")
+    else:
+        env.setdefault("SEE_SPARK_DRIVER_MEM", "8g")
     out = subprocess.run(
         _pin(cores) + [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,

@@ -1156,6 +1156,16 @@ def _q_bm25_search(spark, sf_dir):
     return res.select(F.col("url").alias("doc_id"), "title", "score")
 
 
+def _q_hits_synth(spark, sf_dir):
+    """Engine addition: 3-iteration HITS (hubs & authorities, L1
+    normalization) over the synthetic expander; oracle = unrolled CTEs."""
+    from see_spark.operators.linkgraph import hits, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return hits(nodes, synthetic_edges(docs), n_iter=3)
+
+
 def _q_anchor_postings(spark, sf_dir):
     """Engine addition: anchor-text postings (terms attributed to the link
     TARGET) over deterministic HTML wrapped around each document's text
@@ -1202,6 +1212,7 @@ QUERIES_EXTRA: dict = {
     "link_degree_stats": _q_link_degree_stats,
     "bm25_search": _q_bm25_search,
     "anchor_postings": _q_anchor_postings,
+    "hits_synth": _q_hits_synth,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -2160,9 +2171,49 @@ def _pagerank_oracle_sql(n_iter: int = 5, d: float = 0.85) -> str:
     )
 
 
+def _hits_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled HITS, term-for-term the hits() evaluation (L1 normalizers
+    as scalar subqueries over the RAW per-direction sums)."""
+    ctes = [
+        _LINKGRAPH_SQL,
+        "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"ar{i} AS (SELECT e.dst AS node, SUM(h.hub) AS authority"
+            f" FROM edges e JOIN h{i-1} h ON e.src = h.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"at{i} AS (SELECT COALESCE(SUM(authority), 1.0) AS tot FROM ar{i})"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT n.node,"
+            f" COALESCE(ar.authority, 0.0) / (SELECT tot FROM at{i}) AS authority"
+            f" FROM nodes n LEFT JOIN ar{i} ar ON ar.node = n.node)"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT e.src AS node, SUM(a.authority) AS hub"
+            f" FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)"
+        )
+        ctes.append(f"ht{i} AS (SELECT COALESCE(SUM(hub), 1.0) AS tot FROM hr{i})")
+        ctes.append(
+            f"h{i} AS (SELECT n.node,"
+            f" COALESCE(hr.hub, 0.0) / (SELECT tot FROM ht{i}) AS hub"
+            f" FROM nodes n LEFT JOIN hr{i} hr ON hr.node = n.node)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT h.node, ROUND(h.hub, 9) AS hub,"
+        f" ROUND(a.authority, 9) AS authority"
+        f" FROM h{n_iter} h JOIN a{n_iter} a USING (node)"
+    )
+
+
 ORACLES_EXTRA.update(
     {
         "pagerank_synth": _pagerank_oracle_sql(),
+        "hits_synth": _hits_oracle_sql(),
         "link_degree_stats": f"""
         WITH {_LINKGRAPH_SQL},
         o AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src),

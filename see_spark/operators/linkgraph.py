@@ -255,3 +255,69 @@ def edges_from_crawl_docs(docs: DataFrame, domain_filter=None) -> DataFrame:
         .where(F.col("dst") != F.col("src"))
         .distinct()
     )
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    id_col: str = "node",
+    round_dp: Optional[int] = ROUND_DP,
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities), L1-normalized:
+
+      a_t(v) = sum over u->v of h_{t-1}(u),  then a_t /= sum(a_t)
+      h_t(u) = sum over u->v of a_t(v),      then h_t /= sum(h_t)
+
+    Returns (node, hub, authority) rounded like pagerank(). Two
+    edge-volume shuffles per iteration (one per direction); the L1
+    normalizers are one-row aggregates injected as literals — same scalar
+    pattern as pagerank()'s dangling mass, never a join. h_0 = 1 for
+    every node; nodes with no in-links (out-links) hold authority (hub) 0.
+    """
+    node = F.col(id_col).cast("long").alias("node")
+    nodes_n = nodes.select(node).localCheckpoint(eager=False)
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint(eager=False)
+
+    hubs = nodes_n.select("node", F.lit(1.0).alias("hub"))
+    auths = None
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(hubs, edges["src"] == hubs["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        a_tot = a_raw.agg(F.coalesce(F.sum("authority"), F.lit(1.0))).collect()[0][0]
+        auths = (
+            nodes_n.join(a_raw, "node", "left")
+            .select(
+                "node",
+                (F.coalesce("authority", F.lit(0.0)) / F.lit(a_tot)).alias("authority"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            edges.join(auths, edges["dst"] == auths["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        h_tot = h_raw.agg(F.coalesce(F.sum("hub"), F.lit(1.0))).collect()[0][0]
+        hubs = (
+            nodes_n.join(h_raw, "node", "left")
+            .select(
+                "node",
+                (F.coalesce("hub", F.lit(0.0)) / F.lit(h_tot)).alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = hubs.join(auths, "node").select("node", "hub", "authority")
+    if round_dp is not None:
+        out = out.select(
+            "node",
+            F.round("hub", round_dp).alias("hub"),
+            F.round("authority", round_dp).alias("authority"),
+        )
+    return out

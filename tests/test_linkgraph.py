@@ -241,3 +241,35 @@ def test_pagerank_over_crawled_corpus(spark, crawl_result):
     pr = pagerank(n_nodes, n_edges, n_iter=5)
     total = pr.agg(F.sum("rank")).collect()[0][0]
     assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def _hits_ref(edges, n, n_iter=3):
+    """Driver-side HITS with L1 normalization, the exact hits() formula."""
+    hub = {v: 1.0 for v in range(n)}
+    auth = {v: 0.0 for v in range(n)}
+    for _ in range(n_iter):
+        raw_a = {v: 0.0 for v in range(n)}
+        for s, t in edges:
+            raw_a[t] += hub[s]
+        tot = sum(raw_a.values()) or 1.0
+        auth = {v: raw_a[v] / tot for v in range(n)}
+        raw_h = {v: 0.0 for v in range(n)}
+        for s, t in edges:
+            raw_h[s] += auth[t]
+        tot_h = sum(raw_h.values()) or 1.0
+        hub = {v: raw_h[v] / tot_h for v in range(n)}
+    return hub, auth
+
+
+def test_hits_matches_reference(spark):
+    from see_spark.operators.linkgraph import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(N)], ["node"])
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(nodes, edges).collect()}
+    hub, auth = _hits_ref(EDGES, N)
+    for v in range(N):
+        assert got[v][0] == pytest.approx(round(hub[v], ROUND_DP), abs=1e-9), v
+        assert got[v][1] == pytest.approx(round(auth[v], ROUND_DP), abs=1e-9), v
+    # node 3 is a pure sink: authority > 0, hub == 0
+    assert got[3][1] > 0 and got[3][0] == 0.0
