@@ -1189,6 +1189,77 @@ def _q_anchor_postings(spark, sf_dir):
     return anchor_postings(raw)
 
 
+_PHRASE = ["table", "hash"]  # 47 docs at sf0.01 — non-trivial hit set
+
+
+def _q_positional_postings(spark, sf_dir):
+    """Engine addition: positional inverted index — (doc_id, word, pos)
+    with pos = index in the post-filter token sequence. Same pinned
+    Catalyst tokenizer as tokenize_postings, one extra posexplode column."""
+    from see_spark.operators.positional import positional_postings
+
+    return positional_postings(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+
+
+def _q_phrase_search(spark, sf_dir):
+    """Exact-phrase query over the positional index: k-way equi-join on
+    (doc_id, pos - i) — never an inequality join."""
+    from see_spark.operators.positional import phrase_search
+
+    return phrase_search(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        _PHRASE,
+    )
+
+
+def _q_proximity_search(spark, sf_dir):
+    """Two words within a 3-token window: per-doc equi-join + band filter."""
+    from see_spark.operators.positional import proximity_search
+
+    return proximity_search(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        "customer", "join", window=3,
+    )
+
+
+def _q_search_snippets(spark, sf_dir):
+    """First-occurrence snippet (±3 tokens) per phrase-matching doc —
+    token arrays re-derived only for hits (O(hits) slice work)."""
+    from see_spark.operators.positional import phrase_snippets
+
+    return phrase_snippets(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        _PHRASE, context=3,
+    )
+
+
+def _q_host_distinct_hll(spark, sf_dir):
+    """Engine addition: per-host distinct-URL cardinality via the
+    engine-portable HyperLogLog (functions/sketches.py) — mergeable
+    sketch columns, ONE combinable shuffle, estimates reproduced
+    bit-for-bit by the DuckDB oracle (impossible with HLL++'s opaque
+    registers). n_exact rides along so the gate also demonstrates the
+    estimator's error empirically."""
+    from see_spark.functions.sketches import hll_distinct
+
+    f = _orders_frontier(spark, sf_dir)
+    est = hll_distinct(f, ["host"], "url", p=10)
+    exact = f.groupBy("host").agg(F.countDistinct("url").alias("n_exact"))
+    return exact.join(est, "host").select(
+        "host", "n_exact", F.round("hll_estimate", 4).alias("hll_estimate")
+    )
+
+
 # Checked by scripts/check_correctness.py but NOT exported to the driver's
 # 50-entry gate window: postings_tf is a projection of tokenize_postings
 # (tf = term_count/doc_len, both gated there) and search_projection is
@@ -1213,6 +1284,11 @@ QUERIES_EXTRA: dict = {
     "bm25_search": _q_bm25_search,
     "anchor_postings": _q_anchor_postings,
     "hits_synth": _q_hits_synth,
+    "positional_postings": _q_positional_postings,
+    "phrase_search": _q_phrase_search,
+    "proximity_search": _q_proximity_search,
+    "search_snippets": _q_search_snippets,
+    "host_distinct_hll": _q_host_distinct_hll,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -2267,6 +2343,119 @@ ORACLES_EXTRA.update(
           WHERE strlen(tok) >= 2)
         SELECT word, dst_url, src_url, COUNT(*) AS term_count
         FROM toks GROUP BY 1, 2, 3
+    """,
+    }
+)
+
+# Positional-index oracles: positions reproduced via list_transform with an
+# index lambda + row_number over kept tokens — same separator class, same
+# byte-length guard, same post-filter numbering as posexplode(tokenize_expr).
+_POS_TOKENS_SQL = f"""
+    SELECT doc_id, lower(tok) AS word,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+    FROM (
+      SELECT doc_id, unnest(z, recursive := true)
+      FROM (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               list_transform(
+                 regexp_split_to_array(
+                   regexp_replace(text, '{_SEP_SQL}', ' ', 'g'), '[ \t\n\r]'),
+                 (x, i) -> struct_pack(tok := x, ord := i)) AS z
+        FROM documents))
+    WHERE strlen(tok) >= 2
+"""
+
+# kept-token arrays (for snippet slicing): filter on raw byte length, then
+# lowercase — the same order as tokenize_expr.
+_TOKARR_SQL = f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           list_transform(
+             list_filter(
+               regexp_split_to_array(
+                 regexp_replace(text, '{_SEP_SQL}', ' ', 'g'), '[ \t\n\r]'),
+               x -> strlen(x) >= 2),
+             x -> lower(x)) AS toks
+    FROM documents
+"""
+
+_PHRASE_OCC_SQL = """
+    a AS (SELECT doc_id, pos FROM pos WHERE word = 'table'),
+    b AS (SELECT doc_id, pos - 1 AS pos FROM pos WHERE word = 'hash'),
+    occ AS (SELECT a.doc_id, a.pos FROM a JOIN b USING (doc_id, pos))
+"""
+
+ORACLES_EXTRA.update(
+    {
+        "positional_postings": f"""
+        SELECT doc_id, word, pos FROM ({_POS_TOKENS_SQL})
+    """,
+        "phrase_search": f"""
+        WITH pos AS ({_POS_TOKENS_SQL}),
+        {_PHRASE_OCC_SQL}
+        SELECT doc_id, COUNT(*) AS n_occurrences, MIN(pos) AS first_pos
+        FROM occ GROUP BY doc_id
+    """,
+        "proximity_search": f"""
+        WITH pos AS ({_POS_TOKENS_SQL}),
+        a AS (SELECT doc_id, pos AS pa FROM pos WHERE word = 'customer'),
+        b AS (SELECT doc_id, pos AS pb FROM pos WHERE word = 'join'),
+        pairs AS (
+          SELECT a.doc_id, abs(pa - pb) AS dist
+          FROM a JOIN b USING (doc_id) WHERE abs(pa - pb) <= 3)
+        SELECT doc_id, COUNT(*) AS n_pairs, MIN(dist) AS min_dist
+        FROM pairs GROUP BY doc_id
+    """,
+        "search_snippets": f"""
+        WITH pos AS ({_POS_TOKENS_SQL}),
+        {_PHRASE_OCC_SQL},
+        hits AS (SELECT doc_id, MIN(pos) AS first_pos FROM occ GROUP BY doc_id),
+        tokarr AS ({_TOKARR_SQL})
+        SELECT h.doc_id, h.first_pos,
+               array_to_string(
+                 t.toks[greatest(1, h.first_pos + 1 - 3)
+                        : h.first_pos + 2 + 3], ' ') AS snippet
+        FROM hits h JOIN tokarr t USING (doc_id)
+    """,
+        # HLL mirrored step-for-step: 12 md5 bits -> bucket, leading-zero
+        # CASE arithmetic on the next 60 bits -> integer rank (no floating
+        # log2 anywhere), groupBy max -> registers, harmonic sum with 2^0
+        # per empty bucket, linear-counting correction, alpha expression
+        # written in the same evaluation order as the Python-side literal.
+        "host_distinct_hll": f"""
+        WITH frontier AS ({_FRONTIER_SQL}),
+        r AS (
+          SELECT host, url,
+                 ('0x' || substr(md5(url), 1, 3))::BIGINT % 1024 AS bucket,
+                 ltrim(substr(md5(url), 4, 15), '0') AS stripped
+          FROM frontier),
+        ranks AS (
+          SELECT host, bucket,
+                 CASE WHEN strlen(stripped) = 0 THEN 61
+                      ELSE (15 - strlen(stripped)) * 4 +
+                           CASE WHEN ('0x' || substr(stripped,1,1))::INT >= 8 THEN 0
+                                WHEN ('0x' || substr(stripped,1,1))::INT >= 4 THEN 1
+                                WHEN ('0x' || substr(stripped,1,1))::INT >= 2 THEN 2
+                                ELSE 3 END + 1
+                 END AS rank
+          FROM r),
+        sk AS (SELECT host, bucket, MAX(rank) AS register
+               FROM ranks GROUP BY 1, 2),
+        agg AS (SELECT host, COUNT(*) AS nb,
+                       SUM(pow(2.0, -register)) AS obs
+                FROM sk GROUP BY host),
+        est AS (
+          SELECT host,
+                 CASE WHEN raw <= 2.5 * 1024 AND (1024 - nb) > 0
+                      THEN 1024.0 * ln(1024.0 / (1024 - nb))
+                      ELSE raw END AS e
+          FROM (SELECT host, nb,
+                       ((0.7213 / (1 + 1.079 / 1024)) * 1024) * 1024
+                         / (obs + (1024 - nb)) AS raw
+                FROM agg)),
+        exact AS (SELECT host, COUNT(DISTINCT url) AS n_exact
+                  FROM frontier GROUP BY host)
+        SELECT host, n_exact, ROUND(e, 4) AS hll_estimate
+        FROM exact JOIN est USING (host)
     """,
     }
 )

@@ -1,0 +1,101 @@
+"""HyperLogLog sketch: rank math vs a Python reference, accuracy bounds,
+mergeability, plan quality."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _py_rank(value: str, p: int = 10):
+    """Independent Python reference for (bucket, rank)."""
+    s = hashlib.md5(value.encode()).hexdigest()
+    m = 1 << p
+    bucket = int(s[0:3], 16) % m
+    v = int(s[3:18], 16)
+    if v == 0:
+        return bucket, 61
+    # leading zeros within 60 bits
+    rank = 60 - v.bit_length() + 1
+    return bucket, rank
+
+
+def test_rank_cols_match_python_reference(spark):
+    from see_spark.functions.sketches import hll_rank_cols
+
+    vals = [f"http://host{i}.test/page/{i*i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "url string")
+    got = {
+        r.url: (r.hll_bucket, r.hll_rank)
+        for r in df.select("url", *hll_rank_cols("url", p=10)).collect()
+    }
+    for v in vals:
+        assert got[v] == _py_rank(v), v
+
+
+def test_estimate_within_hll_error_bound(spark):
+    from see_spark.functions.sketches import hll_distinct
+
+    n = 20000
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(n)], "url string"
+    ).withColumn("k", F.lit("all"))
+    est = hll_distinct(df, ["k"], "url", p=10).collect()[0].hll_estimate
+    # p=10 -> rsd = 1.04/sqrt(1024) ~ 3.25%; allow 4 sigma
+    assert abs(est - n) / n < 0.13
+
+
+def test_small_range_linear_counting(spark):
+    from see_spark.functions.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [(f"v{i}",) for i in range(30)], "url string"
+    ).withColumn("k", F.lit("x"))
+    est = hll_distinct(df, ["k"], "url", p=10).collect()[0].hll_estimate
+    assert abs(est - 30) < 5
+
+
+def test_sketch_merge_equals_union_sketch(spark):
+    from see_spark.functions.sketches import hll_estimate, hll_sketch
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(3000)], "url string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(1500, 4500)], "url string"
+    )
+    ka = a.withColumn("k", F.lit("g"))
+    kb = b.withColumn("k", F.lit("g"))
+    direct = hll_sketch(ka.union(kb), ["k"], "url")
+    merged = (
+        hll_sketch(ka, ["k"], "url")
+        .union(hll_sketch(kb, ["k"], "url"))
+        .groupBy("k", "hll_bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    e1 = hll_estimate(direct, ["k"]).collect()[0].hll_estimate
+    e2 = hll_estimate(merged, ["k"]).collect()[0].hll_estimate
+    assert e1 == e2
+
+
+def test_per_key_sketches_are_independent(spark):
+    from see_spark.functions.sketches import hll_distinct
+
+    rows = [(f"h{i % 5}", f"u{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {r.host: r.hll_estimate
+           for r in hll_distinct(df, ["host"], "url").collect()}
+    for h in got:
+        assert abs(got[h] - 1000) / 1000 < 0.15, (h, got[h])
+
+
+def test_plan_is_jvm_only_single_partial_agg(spark):
+    from see_spark.functions.sketches import hll_distinct
+
+    df = spark.createDataFrame([("h", "u")], "host string, url string")
+    plan = (
+        hll_distinct(df, ["host"], "url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # map-side combine: partial then final aggregate on the sketch build
+    assert plan.count("HashAggregate") >= 2
