@@ -29,6 +29,7 @@ from typing import Dict, List, Optional, Set
 
 from see_spark.core import htmlx
 from see_spark.core.fetch import route_response
+from see_spark.core.robotstxt import parse_robots, robots_allowed
 from see_spark.core.text import extract_words
 from see_spark.core.urls import absolute_link, host_matches, host_of, try_canonicalize
 
@@ -68,8 +69,26 @@ def crawl(
     min_gap_rounds: int = 1,
     robots: Optional[Dict[str, list]] = None,
     max_rounds: int = 100,
+    robots_rfc: bool = False,
+    robots_agent: str = "see-spark",
 ) -> OracleResult:
     robots = robots or {}
+    # RFC 9309 mode: robots rules come from the site's own
+    # http://host/robots.txt bodies (parsed once per host with the SAME
+    # kernel the engine's vectorized parse uses), full allow/disallow
+    # longest-match precedence instead of prefix-only. Robots fetches are
+    # out-of-band: never queued, never in visit order or the seen set —
+    # matching crawl._refresh_robots_rfc.
+    _rfc_cache: Dict[str, dict] = {}
+
+    def rfc_rules(host: str) -> dict:
+        if host not in _rfc_cache:
+            entry = site.get(f"http://{host}/robots.txt")
+            if entry is not None and entry["status"] == 200 and entry["body"]:
+                _rfc_cache[host] = parse_robots(entry["body"], agent=robots_agent)
+            else:
+                _rfc_cache[host] = {"allow": [], "disallow": []}
+        return _rfc_cache[host]
     frontier: Dict[str, OracleEntry] = {}
     next_seq = 0
     visit_order: List[str] = []
@@ -100,16 +119,21 @@ def crawl(
 
     rounds = 0
     for round_no in range(max_rounds):
-        # robots gate (same rule as engine's robots_block)
+        # robots gate (same rule as engine's robots_block / robots_gate_rfc)
         for entry in frontier.values():
             if entry.state != "unvisited":
                 continue
-            rules = robots.get(entry.host)
-            if rules:
-                path = entry.url.split(entry.host, 1)[1]
-                if any(path.startswith(p) for p in rules):
-                    entry.state = "robots_blocked"
-                    entry.detail = "robots_disallow"
+            path = entry.url.split(entry.host, 1)[1]
+            blocked = False
+            if robots_rfc:
+                r = rfc_rules(entry.host)
+                blocked = not robots_allowed(path, r["allow"], r["disallow"])
+            else:
+                rules = robots.get(entry.host)
+                blocked = bool(rules) and any(path.startswith(p) for p in rules)
+            if blocked:
+                entry.state = "robots_blocked"
+                entry.detail = "robots_disallow"
         # checkout: per-host top host_budget by (depth, seq), gap-gated
         per_host: Dict[str, List[OracleEntry]] = {}
         for entry in sorted(

@@ -52,6 +52,7 @@ from ..sources.tables import (
 )
 from . import frontier as frontier_ops
 from . import indexer
+from . import robots as robots_ops
 
 # links-per-page bound used to build the within-round discovery order key;
 # a 10 MB body (see_http.erl:11) cannot hold 2^20 hrefs.
@@ -87,6 +88,16 @@ class CrawlConfig:
     # Explicit so AQE's byte-based coalescing can't collapse the round's
     # Python-cost-dominated stage to a handful of tasks (see run_round).
     fetch_partitions: Optional[int] = None
+    # RFC 9309 robots mode: fetch http://host/robots.txt (same fetcher)
+    # for every host the round it first has unvisited URLs, parse with
+    # core/robotstxt (group selection, allow/disallow longest-match,
+    # wildcards), and gate via operators/robots.robots_gate_rfc. The
+    # robots_rfc dimension is append-only (one parse per host, ever);
+    # robots fetches never enter the frontier, visit order, or URL-seen
+    # set. Off by default: the legacy pre-supplied prefix table ("robots")
+    # remains the parity mode with the prefix-rule oracle.
+    robots_rfc: bool = False
+    robots_agent: str = "see-spark"
 
 
 @dataclass
@@ -266,6 +277,46 @@ def fetch_route_parse(fetcher, batch: DataFrame) -> Optional[DataFrame]:
     return batch.mapInPandas(_run, schema=out_schema)
 
 
+def _refresh_robots_rfc(
+    catalog: SnapshotCatalog,
+    fetcher,
+    unvisited: DataFrame,
+    config: CrawlConfig,
+    round_no: int,
+) -> DataFrame:
+    """Fetch + parse robots.txt for hosts entering the frontier this round.
+
+    Append-only increment: hosts already in the robots_rfc dimension are
+    never refetched (anti-join), so total robots I/O over a crawl's life
+    is O(distinct hosts). Robots fetches go through the SAME fetcher as
+    pages (one politeness/UA surface) but never touch the frontier, visit
+    order, or URL-seen set — a 4xx/absent robots parses to allow-all
+    (RFC 9309 §2.3.1.3). Returns the refreshed dimension."""
+    dim = catalog.read("robots_rfc")
+    hosts = (
+        unvisited.filter(F.col("state") == STATE_UNVISITED)
+        .select("host").distinct()
+    )
+    new_hosts = hosts.join(dim.select("host"), "host", "left_anti")
+    if new_hosts.isEmpty():
+        return dim
+    to_fetch = new_hosts.select(
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
+        "host",
+    )
+    fetched = fetcher.fetch(to_fetch)
+    inc = robots_ops.robots_dimension(
+        fetched.select("host", "status", "body"),
+        agent=config.robots_agent,
+        round_no=round_no,
+    )
+    catalog.commit_delta(
+        "robots_rfc", appended=inc,
+        meta={"round": round_no, "op": "robots_refresh"},
+    )
+    return catalog.read("robots_rfc")
+
+
 def run_round(
     spark: SparkSession,
     catalog: SnapshotCatalog,
@@ -283,6 +334,11 @@ def run_round(
     robots = catalog.read("robots")
     unvisited = frontier.filter(F.col("state") == STATE_UNVISITED)
     gated = frontier_ops.robots_block(unvisited, robots)
+    rfc_active = False
+    if config.robots_rfc:
+        rfc_dim = _refresh_robots_rfc(catalog, fetcher, gated, config, round_no)
+        gated = robots_ops.robots_gate_rfc(gated, rfc_dim)
+        rfc_active = True
     newly_blocked = gated.filter(F.col("state") != STATE_UNVISITED)
     still_unvisited = gated.filter(F.col("state") == STATE_UNVISITED)
 
@@ -301,7 +357,7 @@ def run_round(
         # usually nothing changed, so no frontier commit (the round
         # checkpoint alone records completion) — unless the robots gate
         # just blocked freshly discovered rows, which must still persist
-        if not robots.isEmpty() and not newly_blocked.isEmpty():
+        if (rfc_active or not robots.isEmpty()) and not newly_blocked.isEmpty():
             catalog.commit_delta(
                 "frontier",
                 partition_col="state",

@@ -29,28 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core.robotstxt import _pattern_to_regex, parse_robots, parse_sitemap
+from ..sources.tables import ROBOTS_RFC_SCHEMA
 from .frontier import STATE_ROBOTS, STATE_UNVISITED
-
-RULE_TYPE = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("plen", T.IntegerType()),
-            T.StructField("allow", T.BooleanType()),
-            T.StructField("regex", T.StringType()),
-        ]
-    )
-)
-
-ROBOTS_RFC_SCHEMA = T.StructType(
-    [
-        T.StructField("host", T.StringType(), False),
-        T.StructField("rules", RULE_TYPE, True),
-        T.StructField("disallow", T.ArrayType(T.StringType()), True),
-        T.StructField("crawl_delay", T.DoubleType(), True),
-        T.StructField("sitemaps", T.ArrayType(T.StringType()), True),
-        T.StructField("fetched_in_round", T.IntegerType(), False),
-    ]
-)
 
 
 def robots_dimension(

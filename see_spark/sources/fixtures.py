@@ -125,6 +125,27 @@ def fixture_robots() -> Dict[str, list]:
     return {"site-b.test": ["/private"]}
 
 
+def fixture_site_rfc() -> Dict[str, dict]:
+    """fixture_site + served robots.txt bodies for the RFC 9309 mode
+    (CrawlConfig.robots_rfc): group selection (a decoy group for another
+    agent), anchored wildcard (*.png$), and allow-beats-disallow longest
+    match (the erlang search page survives the /search disallow)."""
+    site = fixture_site()
+    site["http://site-a.test/robots.txt"] = page(
+        "User-agent: other-crawler\nDisallow: /\n\n"
+        "User-agent: see-spark\n"
+        "Disallow: /*.png$\n"
+        "Disallow: /search\n"
+        "Allow: /search?q=erlang$\n"
+        "Sitemap: http://site-a.test/sitemap.xml\n",
+        content_type=PLAIN,
+    )
+    site["http://site-b.test/robots.txt"] = page(
+        "User-agent: *\nDisallow: /private\n", content_type=PLAIN
+    )
+    return site
+
+
 # Queries mirroring the integration suite's exact result-set assertions
 # (/root/reference/ct/see/see_SUITE.erl:55-66), adapted to this corpus.
 GOLDEN_QUERIES = {

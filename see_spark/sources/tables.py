@@ -101,6 +101,34 @@ ROBOTS_SCHEMA = T.StructType(
     ]
 )
 
+# RFC 9309 robots dimension, built by operators/robots.robots_dimension
+# from FETCHED robots.txt bodies (the `robots` table above is the simpler
+# externally-supplied prefix cache). Patterns are pre-compiled to Java
+# regexes at parse time so the gate is pure Catalyst. Append-only: a host
+# is parsed once, in the round its first URL enters the frontier.
+ROBOTS_RFC_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField(
+            "rules",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("plen", T.IntegerType()),
+                        T.StructField("allow", T.BooleanType()),
+                        T.StructField("regex", T.StringType()),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField("disallow", T.ArrayType(T.StringType()), True),
+        T.StructField("crawl_delay", T.DoubleType(), True),
+        T.StructField("sitemaps", T.ArrayType(T.StringType()), True),
+        T.StructField("fetched_in_round", T.IntegerType(), False),
+    ]
+)
+
 SCHEMAS = {
     "frontier": FRONTIER_SCHEMA,
     "docs": DOCS_SCHEMA,
@@ -108,6 +136,7 @@ SCHEMAS = {
     "word_stats": WORD_STATS_SCHEMA,
     "hoststats": HOSTSTATS_SCHEMA,
     "robots": ROBOTS_SCHEMA,
+    "robots_rfc": ROBOTS_RFC_SCHEMA,
 }
 
 
