@@ -1243,6 +1243,37 @@ def _q_search_snippets(spark, sf_dir):
     )
 
 
+def _q_recrawl_schedule(spark, sf_dir):
+    """Engine addition: change-rate-adaptive revisit scheduling
+    (operators/recrawl.py) over a deterministic fetch history synthesized
+    from events — round = per-user fetch sequence, content hash steps on
+    each 'click' so pages change at different rates. Integer-exact
+    backoff (shiftleft, no floats), one url-keyed shuffle."""
+    from pyspark.sql import Window
+
+    from see_spark.operators.recrawl import recrawl_schedule
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    version = F.sum(
+        F.when(F.col("event_type") == "click", 1).otherwise(0)
+    ).over(w)
+    hist = e.select(
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 37).cast("string"),
+            F.lit(".test/p"), F.col("user_id").cast("string"),
+        ).alias("url"),
+        F.row_number().over(w).cast("long").alias("round"),
+        F.md5(
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"),
+                version.cast("string"),
+            )
+        ).alias("content_hash"),
+    )
+    return recrawl_schedule(hist, min_interval=1, max_interval=16, now_round=70)
+
+
 def _q_host_distinct_hll(spark, sf_dir):
     """Engine addition: per-host distinct-URL cardinality via the
     engine-portable HyperLogLog (functions/sketches.py) — mergeable
@@ -1289,6 +1320,7 @@ QUERIES_EXTRA: dict = {
     "proximity_search": _q_proximity_search,
     "search_snippets": _q_search_snippets,
     "host_distinct_hll": _q_host_distinct_hll,
+    "recrawl_schedule": _q_recrawl_schedule,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -2456,6 +2488,47 @@ ORACLES_EXTRA.update(
                   FROM frontier GROUP BY host)
         SELECT host, n_exact, ROUND(e, 4) AS hll_estimate
         FROM exact JOIN est USING (host)
+    """,
+        # recrawl backoff mirrored integer-for-integer: same synthetic
+        # history (per-user fetch sequence, click-stepped content hash),
+        # same lag-based change flags, same trailing-streak derivation,
+        # same clamped shiftleft interval. now_round = 70.
+        "recrawl_schedule": """
+        WITH hist AS (
+          SELECT 'http://h' || CAST(user_id % 37 AS VARCHAR)
+                   || '.test/p' || CAST(user_id AS VARCHAR) AS url,
+                 CAST(row_number() OVER
+                   (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS round,
+                 md5(CAST(user_id AS VARCHAR) || ':' ||
+                     CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY event_id)
+                          AS VARCHAR)) AS content_hash
+          FROM events),
+        marked AS (
+          SELECT url, round,
+                 CASE WHEN lag(content_hash) OVER w IS NULL
+                        OR content_hash <> lag(content_hash) OVER w
+                      THEN 1 ELSE 0 END AS changed,
+                 row_number() OVER w AS rn
+          FROM hist
+          WINDOW w AS (PARTITION BY url ORDER BY round)),
+        agg AS (
+          SELECT url, MAX(round) AS last_round,
+                 COUNT(*) AS n_fetches,
+                 CAST(SUM(changed) AS BIGINT) AS n_changes,
+                 CAST(MAX(rn) - MAX(CASE WHEN changed = 1 THEN rn END)
+                      AS BIGINT) AS unchanged_streak
+          FROM marked GROUP BY url),
+        plan AS (
+          SELECT url, last_round, n_fetches, n_changes, unchanged_streak,
+                 CAST(least(16, 1 << CAST(least(unchanged_streak, 32) AS INT))
+                      AS BIGINT) AS interval
+          FROM agg)
+        SELECT url, last_round, n_fetches, n_changes, unchanged_streak,
+               interval,
+               CAST(last_round + interval AS BIGINT) AS next_due_round,
+               (last_round + interval) <= 70 AS due
+        FROM plan
     """,
     }
 )

@@ -50,6 +50,7 @@ from ..sources.tables import (
     STATE_UNVISITED,
     STATE_VISITED,
 )
+from ..sources import warc as warc_sink
 from . import frontier as frontier_ops
 from . import indexer
 from . import robots as robots_ops
@@ -98,6 +99,15 @@ class CrawlConfig:
     # remains the parity mode with the prefix-rule oracle.
     robots_rfc: bool = False
     robots_agent: str = "see-spark"
+    # Raw-fetch archiving: when set, every round's fetch results are
+    # written as WARC files under {archive_dir}/round-NNNNN/ before
+    # parsing (sources/warc.py — deterministic record ids, byte-
+    # reproducible across parallelism). Archiving uses the unfused fetch
+    # path so bodies exist as a materialized frame exactly once (the
+    # archive write and the parse both read the same checkpoint instead
+    # of refetching).
+    archive_dir: Optional[str] = None
+    archive_files_per_round: int = 4
 
 
 @dataclass
@@ -110,6 +120,7 @@ class RoundMetrics:
     errors: int = 0
     discovered: int = 0
     frontier_size: int = 0
+    archived: int = 0  # WARC records written this round (archive mode)
 
 
 def ingest_seeds(
@@ -388,14 +399,39 @@ def run_round(
         "discovered_in_round",
     ).repartition(fetch_parts, "host")
 
-    fused = fetch_route_parse(fetcher, to_fetch)
+    archived_fetch = None
+    if config.archive_dir is not None:
+        # archive mode: materialize raw responses ONCE; the WARC write and
+        # the parse both read this checkpoint (no refetch, no second body
+        # transfer). This forgoes the fused single-Python-stage path —
+        # archiving inherently needs bodies as data.
+        import os as _os
+
+        archived_fetch = fetcher.fetch(to_fetch).localCheckpoint(eager=True)
+        manifest = warc_sink.write_warc(
+            archived_fetch,
+            _os.path.join(config.archive_dir, f"round-{round_no:05d}"),
+            date="2026-01-01T00:00:00Z",
+            n_files=config.archive_files_per_round,
+        )
+        metrics.archived = int(
+            manifest.agg(F.sum("n_records")).collect()[0][0] or 0
+        )
+
+    fused = None if archived_fetch is not None else fetch_route_parse(
+        fetcher, to_fetch
+    )
     if fused is not None:
         parsed = fused.localCheckpoint(eager=True)
     else:
         # unfused fallback for fetchers without frame_fn(): same kernels,
         # three Python stages; bodies dropped before the checkpoint so the
         # round barrier never materializes raw HTML.
-        fetched = fetcher.fetch(to_fetch)
+        fetched = (
+            archived_fetch
+            if archived_fetch is not None
+            else fetcher.fetch(to_fetch)
+        )
         routed = fetched.withColumn(
             "routed",
             route_response_udf(

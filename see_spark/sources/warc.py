@@ -292,7 +292,14 @@ def write_warc(
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         file_no = int(pdf["_file_no"].iloc[0])
         name = f"part-{file_no:05d}.warc.gz"
+        # null-safety: a failed fetch has null status/content_type/body
+        # (pandas renders them NaN) — archive it as status 0, empty body,
+        # so the archive still covers EVERY attempted URL
+        pdf = pdf.astype(object).where(pd.notnull(pdf), None)
         rows = pdf.sort_values("url").to_dict("records")
+        for r in rows:
+            if r.get("status") is None:
+                r["status"] = 0
         blob = build_warc_file(rows, name, date)
         full = os.path.join(path, name)
         with open(full, "wb") as f:
