@@ -1291,6 +1291,165 @@ def _q_host_distinct_hll(spark, sf_dir):
     )
 
 
+def _doc_postings_tf(spark, sf_dir):
+    """_doc_postings + the precomputed tf column (O10) the ranked-search
+    operators consume."""
+    return _doc_postings(spark, sf_dir).withColumn(
+        "tf", F.col("term_count") / F.col("doc_len")
+    )
+
+
+def _q_search_or(spark, sf_dir):
+    """Engine addition: disjunctive (OR) tf-idf ranking — tfidf_search
+    minus the AND gate (operators/search.py:search_or); any doc matching
+    any of the three query words is a candidate. Score rounded to 6dp."""
+    from see_spark.operators.search import search_or
+
+    docs = _documents(spark, sf_dir)
+    res = search_or(
+        spark,
+        " ".join(_SEARCH_WORDS),
+        _doc_postings_tf(spark, sf_dir),
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source").alias("title"),
+        ),
+        docs.count(),
+    )
+    return res.select(F.col("url").alias("doc_id"), "title", "score")
+
+
+def _q_search_title_boost(spark, sf_dir):
+    """Engine addition: fielded (title-boosted) ranking
+    (operators/search.py:search_fielded). The documents table has no real
+    title, so the title field is pinned to the first 60 chars of text —
+    deterministic, tokenizer-visible, reproduced verbatim by the oracle."""
+    from see_spark.functions.udfs import tokenize_expr
+    from see_spark.operators.search import search_fielded
+
+    docs = _documents(spark, sf_dir)
+    title_toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokenize_expr(F.substring(F.col("text"), 1, 60))).alias("word"),
+    )
+    title_counts = title_toks.groupBy("doc_id", "word").agg(
+        F.count("*").alias("term_count")
+    )
+    title_postings = title_counts.withColumn(
+        "tf",
+        F.col("term_count")
+        / F.sum("term_count").over(Window.partitionBy("doc_id")),
+    )
+    res = search_fielded(
+        spark,
+        " ".join(_SEARCH_WORDS),
+        _doc_postings_tf(spark, sf_dir),
+        title_postings,
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source").alias("title"),
+        ),
+        docs.count(),
+        title_weight=2.0,
+    )
+    return res.select(F.col("url").alias("doc_id"), "title", "score")
+
+
+_FUZZY_TERMS = ["sow", "quer", "mall"]  # -> {slow,row}, {query}, {small}
+
+
+def _q_fuzzy_term_expand(spark, sf_dir):
+    """Engine addition: Levenshtein<=1 query-term expansion against the
+    corpus vocabulary (operators/lexicon.py:fuzzy_expand) — one pruned
+    vocab scan against the broadcast terms, JVM-codegen levenshtein."""
+    from see_spark.operators.lexicon import fuzzy_expand, vocabulary
+
+    vocab = vocabulary(_doc_postings(spark, sf_dir))
+    exp = fuzzy_expand(spark, _FUZZY_TERMS, vocab, max_dist=1)
+    return exp.join(vocab, "word").select(
+        "term", "word", F.col("dist").cast("int").alias("dist"), "df"
+    )
+
+
+def _q_fuzzy_search(spark, sf_dir):
+    """Engine addition: full fuzzy read path
+    (operators/lexicon.py:search_fuzzy) — expansion feeding the
+    disjunctive scorer with 1/(1+dist) match discounting."""
+    from see_spark.operators.lexicon import search_fuzzy
+
+    docs = _documents(spark, sf_dir)
+    res = search_fuzzy(
+        spark,
+        " ".join(_FUZZY_TERMS),
+        _doc_postings_tf(spark, sf_dir),
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source").alias("title"),
+        ),
+        docs.count(),
+    )
+    return res.select(F.col("url").alias("doc_id"), "title", "score")
+
+
+def _q_substring_search(spark, sf_dir):
+    """Engine addition: trigram-index substring search
+    (operators/lexicon.py) — pattern 'par' matches vocabulary words
+    {part, spark}; docs ranked by total occurrences. The trigram index
+    guarantees 100% recall (a word containing the pattern contains all
+    its trigrams) and `contains` verification gives exactness, so the
+    oracle can assert against a plain LIKE scan."""
+    from see_spark.operators.lexicon import (
+        substring_search,
+        trigram_index,
+        vocabulary,
+    )
+
+    postings = _doc_postings(spark, sf_dir)
+    index = trigram_index(vocabulary(postings))
+    return substring_search(postings, index, "par", k=100)
+
+
+def _q_postings_gap_stats(spark, sf_dir):
+    """Engine addition: per-word posting-list delta-gap stats
+    (operators/indexstats.py) — the compressed-layout design numbers."""
+    from see_spark.operators.indexstats import posting_gap_stats
+
+    return posting_gap_stats(
+        _doc_postings(spark, sf_dir).select("word", "doc_id")
+    )
+
+
+def _q_frontier_priority_indegree(spark, sf_dir):
+    """O24 variant: importance-first checkout (OPIC-family) — per-host
+    budget-3 window ordered by discovered in-degree DESC then (depth,
+    seq) (operators/frontier.py:checkout_prioritized). In-degree is
+    synthesized as the per-order lineitem count (lineitems 'link to'
+    their order's URL)."""
+    from see_spark.operators.frontier import checkout_prioritized
+
+    f = _orders_frontier(spark, sf_dir).withColumn(
+        "url_hash", F.xxhash64("url")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    indegree = li.groupBy("l_orderkey").agg(F.count("*").alias("indegree"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", (F.col("o_custkey") % N_HOSTS).cast("string").alias("__h")
+    )
+    indeg_urls = indegree.join(
+        o, indegree["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.concat(
+            F.lit("http://host"), F.col("__h"), F.lit(".test/order/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        "indegree",
+    )
+    batch = checkout_prioritized(f, indeg_urls, host_budget=3)
+    return batch.select(
+        "url", "host", "depth", "seq", "priority", "fetch_order"
+    )
+
+
 # Checked by scripts/check_correctness.py but NOT exported to the driver's
 # 50-entry gate window: postings_tf is a projection of tokenize_postings
 # (tf = term_count/doc_len, both gated there) and search_projection is
@@ -1321,6 +1480,13 @@ QUERIES_EXTRA: dict = {
     "search_snippets": _q_search_snippets,
     "host_distinct_hll": _q_host_distinct_hll,
     "recrawl_schedule": _q_recrawl_schedule,
+    "search_or": _q_search_or,
+    "search_title_boost": _q_search_title_boost,
+    "fuzzy_term_expand": _q_fuzzy_term_expand,
+    "fuzzy_search": _q_fuzzy_search,
+    "substring_search": _q_substring_search,
+    "postings_gap_stats": _q_postings_gap_stats,
+    "frontier_priority_indegree": _q_frontier_priority_indegree,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -2529,6 +2695,153 @@ ORACLES_EXTRA.update(
                CAST(last_round + interval AS BIGINT) AS next_due_round,
                (last_round + interval) <= 70 AS due
         FROM plan
+    """,
+    }
+)
+
+
+# Batch-4 oracles: lexicon (fuzzy / trigram substring), fielded + OR
+# ranking, index gap stats, priority checkout.
+ORACLES_EXTRA.update(
+    {
+        "search_or": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        q AS (SELECT unnest(['table','join','query']) AS word),
+        dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                FROM postings JOIN q USING (word) GROUP BY word),
+        matched AS (
+          SELECT p.doc_id, p.term_count, p.doc_len, dfs.df
+          FROM postings p JOIN q USING (word) JOIN dfs USING (word)),
+        scored AS (
+          SELECT doc_id,
+                 SUM((term_count / doc_len)
+                     * ln((SELECT n_docs FROM n) / (1.0 + df))) AS score
+          FROM matched GROUP BY doc_id),
+        top AS (SELECT doc_id, score FROM scored
+                ORDER BY score DESC, doc_id ASC LIMIT 100)
+        SELECT t.doc_id, d.source AS title, ROUND(t.score, 6) AS score
+        FROM top t JOIN documents d USING (doc_id)
+    """,
+        # title field = tokenized substr(text, 1, 60), weight 2.0; idf from
+        # the body field only (left join + coalesce(df, 0)).
+        "search_title_boost": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        q AS (SELECT unnest(['table','join','query']) AS word),
+        ttoks AS (
+          SELECT doc_id, lower(tok) AS word
+          FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(
+                     regexp_replace(substr(text, 1, 60), '{_SEP_SQL}', ' ', 'g'),
+                     '[ \t\n\r]')) AS tok
+            FROM documents)
+          WHERE strlen(tok) >= 2),
+        tcounts AS (SELECT doc_id, word, COUNT(*) AS term_count
+                    FROM ttoks GROUP BY doc_id, word),
+        tpost AS (SELECT doc_id, word, term_count,
+                         CAST(SUM(term_count) OVER (PARTITION BY doc_id)
+                              AS BIGINT) AS tlen
+                  FROM tcounts),
+        dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                FROM postings JOIN q USING (word) GROUP BY word),
+        fields AS (
+          SELECT doc_id, word, term_count / doc_len AS tf, 1.0 AS fweight
+          FROM postings
+          UNION ALL
+          SELECT doc_id, word, term_count / tlen AS tf, 2.0 AS fweight
+          FROM tpost),
+        matched AS (
+          SELECT f.doc_id, f.tf, f.fweight, COALESCE(dfs.df, 0) AS df
+          FROM fields f JOIN q USING (word) LEFT JOIN dfs USING (word)),
+        scored AS (
+          SELECT doc_id,
+                 SUM(fweight * tf
+                     * ln((SELECT n_docs FROM n) / (1.0 + df))) AS score
+          FROM matched GROUP BY doc_id),
+        top AS (SELECT doc_id, score FROM scored
+                ORDER BY score DESC, doc_id ASC LIMIT 100)
+        SELECT t.doc_id, d.source AS title, ROUND(t.score, 6) AS score
+        FROM top t JOIN documents d USING (doc_id)
+    """,
+        "fuzzy_term_expand": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        vocab AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                  FROM postings GROUP BY word),
+        t AS (SELECT unnest(['sow','quer','mall']) AS term)
+        SELECT term, word, CAST(levenshtein(term, word) AS INT) AS dist, df
+        FROM vocab, t
+        WHERE levenshtein(term, word) <= 1
+    """,
+        "fuzzy_search": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        vocab AS (SELECT DISTINCT word FROM postings),
+        t AS (SELECT unnest(['sow','quer','mall']) AS term),
+        exp AS (SELECT term, word, levenshtein(term, word) AS dist
+                FROM vocab, t WHERE levenshtein(term, word) <= 1),
+        w AS (SELECT word, 1.0 / (1.0 + dist) AS weight FROM exp),
+        dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                FROM postings
+                WHERE word IN (SELECT word FROM w) GROUP BY word),
+        matched AS (
+          SELECT p.doc_id, w.weight, p.term_count / p.doc_len AS tf, dfs.df
+          FROM postings p JOIN w USING (word) JOIN dfs USING (word)),
+        scored AS (
+          SELECT doc_id,
+                 SUM(weight * tf
+                     * ln((SELECT n_docs FROM n) / (1.0 + df))) AS score
+          FROM matched GROUP BY doc_id),
+        top AS (SELECT doc_id, score FROM scored
+                ORDER BY score DESC, doc_id ASC LIMIT 100)
+        SELECT t.doc_id, d.source AS title, ROUND(t.score, 6) AS score
+        FROM top t JOIN documents d USING (doc_id)
+    """,
+        # trigram candidates + contains-verify == plain substring scan
+        # (100% recall by construction), so the oracle asserts the LIKE
+        # ground truth directly.
+        "substring_search": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        m AS (SELECT DISTINCT word FROM postings
+              WHERE position('par' IN word) > 0),
+        agg AS (SELECT doc_id, COUNT(DISTINCT word) AS n_words,
+                       CAST(SUM(term_count) AS BIGINT) AS hits
+                FROM postings JOIN m USING (word) GROUP BY doc_id)
+        SELECT doc_id, n_words, hits FROM agg
+        ORDER BY hits DESC, doc_id ASC LIMIT 100
+    """,
+        "postings_gap_stats": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        g AS (SELECT word,
+                     doc_id - lag(doc_id) OVER
+                       (PARTITION BY word ORDER BY doc_id) AS gap
+              FROM postings)
+        SELECT word, COUNT(*) AS n_docs,
+               ROUND(AVG(gap), 6) AS avg_gap,
+               MAX(gap) AS max_gap,
+               CAST(SUM(length(bin(gap))) AS BIGINT) AS gap_bits
+        FROM g GROUP BY word
+    """,
+        "frontier_priority_indegree": f"""
+        WITH f AS ({_FRONTIER_SQL}),
+        ind AS (SELECT l_orderkey, COUNT(*) AS indegree
+                FROM lineitem GROUP BY l_orderkey),
+        elig AS (
+          SELECT f.url, f.host, f.depth, f.seq,
+                 CAST(COALESCE(ind.indegree, 0) AS BIGINT) AS priority
+          FROM f LEFT JOIN ind ON ind.l_orderkey = f.seq
+          WHERE f.state = 'unvisited'),
+        ranked AS (
+          SELECT *, row_number() OVER
+                 (PARTITION BY host
+                  ORDER BY priority DESC, depth, seq) AS rk
+          FROM elig)
+        SELECT url, host, depth, seq, priority,
+               CAST(row_number() OVER
+                 (ORDER BY priority DESC, depth, seq) - 1 AS BIGINT)
+               AS fetch_order
+        FROM ranked WHERE rk <= 3
     """,
     }
 )

@@ -262,3 +262,65 @@ def checkout(
     ).withColumn("checkout_round", F.lit(round_no).cast("int")).withColumn(
         "state", F.lit(STATE_PENDING)
     )
+
+
+def checkout_prioritized(
+    frontier: DataFrame,
+    indegree: DataFrame,
+    host_budget: int,
+) -> DataFrame:
+    """O24 variant: importance-first checkout — per-host budget window
+    ordered by (discovered in-degree DESC, depth, seq) instead of pure BFS
+    (depth, seq). This is the OPIC-family scheduling policy the north
+    rule's "priority queue (depth + host-budget score)" generalizes to:
+    pages many discovered pages point at get fetched first, subject to the
+    same per-host politeness budget.
+
+    ``indegree``: (url, indegree) — maintained incrementally by the crawl
+    loop as a hoststats-style rollup of extracted links (one combinable
+    shuffle per round); URLs absent from it rank as in-degree 0 (nothing
+    discovered points at them yet). The join is a plain equi-join on url:
+    both sides are url-keyed, so under co-partitioned storage it is
+    shuffle-free; it is NOT broadcast (at 10^10-URL scale the in-degree
+    relation is frontier-sized).
+
+    Same two-phase salted top-k as ``checkout`` (the argument there holds
+    for any total order): any row in a host's true top-``budget`` by
+    (__negpri, depth, seq) is in its salt group's top-``budget``. seq ends
+    the key, so the order is total and the result deterministic across
+    parallelism. Returns the batch ordered by the same key via a dense
+    ``fetch_order``.
+    """
+    eligible = (
+        frontier.filter(F.col("state") == STATE_UNVISITED)
+        .join(indegree, "url", "left")
+        .withColumn(
+            "__negpri", -F.coalesce(F.col("indegree"), F.lit(0)).cast("long")
+        )
+    )
+    salt_buckets = 16
+    w1 = Window.partitionBy("host", "__salt").orderBy("__negpri", "depth", "seq")
+    pre = (
+        eligible.withColumn(
+            "__salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int")
+        )
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= host_budget)
+        .drop("__salt", "__r1")
+    )
+    w = Window.partitionBy("host").orderBy("__negpri", "depth", "seq")
+    batch = (
+        pre.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= host_budget)
+        .drop("__rank")
+    )
+    if "fetch_order" in batch.columns:
+        batch = batch.drop("fetch_order")
+    return (
+        with_dense_sequence(
+            batch, order_cols=["__negpri", "depth", "seq"],
+            out_col="fetch_order", start=0,
+        )
+        .withColumn("priority", (-F.col("__negpri")).cast("long"))
+        .drop("__negpri", "indegree")
+    )

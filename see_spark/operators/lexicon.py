@@ -1,0 +1,243 @@
+"""Vocabulary-level query operators: fuzzy term expansion and trigram
+substring search (engine additions — the reference matches query tokens
+against index terms exactly and only exactly, see_db_srv.erl:107-109; these
+are the standard lexicon upgrades every production engine layers on top of
+the same postings contract).
+
+Scale shape: both operators work off the *vocabulary* — the distinct-word
+relation, orders of magnitude smaller than postings (|vocab| ~ 10^7-10^8 at
+web scale vs 10^11+ posting rows). Fuzzy expansion is a single pruned scan
+of the vocabulary against a broadcast handful of query terms (JVM codegen
+`levenshtein`, never Python); substring search probes a precomputed
+trigram->word index with equi-joins (the pg_trgm design) instead of running
+LIKE '%pat%' over postings. Both end in the same broadcast-semi-join into
+postings that the exact search path uses, so everything downstream of the
+lexicon stage is shared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_RESULTS = 100  # see_db_srv.erl:21
+
+
+def _broadcast_literals(spark: SparkSession, col_name: str, values) -> DataFrame:
+    """Tiny broadcast relation from Python literals, built as a Catalyst
+    literal expression (explode(array(lit...))) — createDataFrame(list)
+    would cost defaultParallelism Python-worker tasks per query (profiled
+    in round 2; same rationale as operators/search.py)."""
+    return F.broadcast(
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(v) for v in values])).alias(col_name))
+    )
+
+
+def vocabulary(postings: DataFrame) -> DataFrame:
+    """(word, df) from a postings relation — one combinable shuffle.
+    In the crawl deployment this is the materialized word_stats table
+    (operators/indexer.py); this derivation exists for standalone use."""
+    return postings.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+
+
+def fuzzy_expand(
+    spark: SparkSession,
+    terms: list,
+    vocab: DataFrame,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Expand query terms to vocabulary words within Levenshtein distance
+    ``max_dist``. Returns (term, word, dist) — every vocab word within the
+    edit budget of each term, including exact hits at dist 0.
+
+    Plan: ONE scan of the vocabulary, nested-loop joined against the
+    broadcast term list with a length-band pre-filter
+    (abs(len(word)-len(term)) <= max_dist) so the dynamic-programming
+    `levenshtein` only runs on length-plausible pairs. No shuffle: the
+    output is at most |vocab| x |terms| rows pre-filter and a handful
+    post-filter. At 10^8-word scale this is a single embarrassingly
+    parallel pass; a further prune (first-char buckets / deletion
+    neighborhoods) trades exactness of the candidate set for scan
+    fraction and is deliberately not done — `levenshtein` is codegen'd
+    and the scan is one column of one table.
+    """
+    if not terms:
+        return spark.createDataFrame([], "term string, word string, dist int")
+    tdf = _broadcast_literals(spark, "term", terms)
+    return (
+        vocab.select("word")
+        .join(tdf)  # broadcast nested-loop over a literal handful of terms
+        .filter(
+            F.abs(F.length("word") - F.length("term")) <= F.lit(max_dist)
+        )
+        .withColumn("dist", F.levenshtein("term", "word"))
+        .filter(F.col("dist") <= F.lit(max_dist))
+        .select("term", "word", "dist")
+    )
+
+
+def search_fuzzy(
+    spark: SparkSession,
+    query: str,
+    postings: DataFrame,
+    docs: DataFrame,
+    page_count: int,
+    k: int = MAX_RESULTS,
+    max_dist: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fuzzy disjunctive tf-idf search: tokenize the query (the pinned O8
+    kernel), expand each token to vocabulary words within ``max_dist``
+    edits, then rank docs by
+
+        score(d) = sum over (term, word) matches of
+                   qcount(term) * tf(word, d) * idf(word) / (1 + dist)
+
+    — the 1/(1+dist) factor discounts inexact matches; OR semantics
+    (any expanded word matches), because demanding AND over misspelled
+    terms is self-defeating. idf = ln(N/(1+df)), the reference's formula
+    (see_rank_tfidf.erl:13-15), negative values allowed.
+
+    Plan shape: the expansion output (a handful of rows) is broadcast into
+    postings — identical downstream shape to operators/search.py: df
+    aggregate restricted to matched words, one doc_id shuffle,
+    TakeOrderedAndProject top-k, post-k-cut title join. Scores rounded to
+    ``round_dp`` for cross-parallelism determinism (double sum order).
+    """
+    from ..core.text import extract_words
+
+    words = extract_words(query)
+    if not words:
+        return spark.createDataFrame([], "url string, title string, score double")
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    vocab = vocabulary(postings)
+    exp = fuzzy_expand(spark, sorted(counts), vocab, max_dist=max_dist)
+    qdf = F.broadcast(
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.lit(c).cast("int").alias("qcount"),
+                        )
+                        for t, c in counts.items()
+                    ]
+                )
+            ).alias("__q")
+        )
+        .select("__q.term", "__q.qcount")
+    )
+    # (word, weight) with per-term multiplicity folded in; a word reachable
+    # from two query terms scores from both (summed), matching the
+    # reference's query-token-multiplicity rule lifted to expansions.
+    wdf = F.broadcast(
+        exp.join(qdf, "term").select(
+            "word",
+            (F.col("qcount") / (F.lit(1.0) + F.col("dist"))).alias("weight"),
+        )
+    )
+    df_by_word = (
+        postings.join(wdf.select("word").distinct(), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    matched = postings.join(wdf, "word").join(F.broadcast(df_by_word), "word")
+    scored = matched.groupBy("doc_id").agg(
+        F.sum(
+            F.col("weight")
+            * F.col("tf")
+            * F.log(F.lit(float(page_count)) / (F.lit(1.0) + F.col("df")))
+        ).alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        top.join(docs.select("doc_id", "title"), "doc_id")
+        .select(
+            F.col("doc_id").alias("url"),
+            "title",
+            F.round("score", round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
+def _trigrams_of(name: str) -> Column:
+    """All (possibly repeated) character trigrams of the named string
+    column, as an array; empty for strings shorter than 3. Pure Catalyst."""
+    return F.expr(
+        f"CASE WHEN length({name}) >= 3 THEN"
+        f" transform(sequence(0, length({name}) - 3),"
+        f" i -> substring({name}, i + 1, 3))"
+        f" ELSE array() END"
+    )
+
+
+def trigram_index(vocab: DataFrame) -> DataFrame:
+    """(trigram, word): the pg_trgm-style substring index over the
+    vocabulary. Distinct per (word, trigram) — repeated trigrams within a
+    word collapse, so the probe's count-distinct AND works. Words shorter
+    than 3 chars produce no rows (not substring-searchable below the
+    trigram floor). Build cost: one pass over the vocabulary, output
+    ~ (avg_len-2) x |vocab| rows; at scale this is written once per index
+    round alongside word_stats, bucketed by trigram so probes are
+    co-located equi-joins."""
+    w = vocab.select("word").where(F.length("word") >= 3)
+    return (
+        w.select("word", F.explode(_trigrams_of("word")).alias("trigram"))
+        .distinct()
+        .select("trigram", "word")
+    )
+
+
+def substring_match(
+    index: DataFrame,
+    pattern: str,
+) -> DataFrame:
+    """Vocabulary words containing ``pattern`` (length >= 3), via the
+    trigram index: a word containing the pattern necessarily contains
+    every trigram of the pattern (100% recall), so candidates =
+    words matching ALL pattern trigrams (count-distinct HAVING over
+    equi-join probes — never a LIKE scan of the vocabulary), then the
+    exact `contains` check keeps only true matches (precision). Returns
+    (word,)."""
+    if len(pattern) < 3:
+        raise ValueError("substring pattern must be at least 3 chars (trigram floor)")
+    pats = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+    candidates = (
+        index.filter(F.col("trigram").isin(pats))
+        .groupBy("word")
+        .agg(F.countDistinct("trigram").alias("__nt"))
+        .filter(F.col("__nt") == F.lit(len(pats)))
+        .select("word")
+    )
+    return candidates.filter(F.col("word").contains(pattern))
+
+
+def substring_search(
+    postings: DataFrame,
+    index: DataFrame,
+    pattern: str,
+    k: int = MAX_RESULTS,
+) -> DataFrame:
+    """Docs containing any vocabulary word that contains ``pattern``:
+    trigram-index probe (substring_match) -> broadcast the matched words
+    into postings -> per-doc (n_words = distinct matched words,
+    hits = total occurrences) -> top-k by (hits desc, doc_id asc), a
+    TakeOrderedAndProject. The postings side never scans strings — the
+    string work happened on the vocabulary."""
+    words = F.broadcast(substring_match(index, pattern))
+    return (
+        postings.join(words, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.sum("term_count").alias("hits"),
+        )
+        .orderBy(F.desc("hits"), F.asc("doc_id"))
+        .limit(k)
+    )

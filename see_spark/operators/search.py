@@ -121,6 +121,161 @@ def search(
     )
 
 
+def _query_multiset(spark: SparkSession, counts: dict) -> DataFrame:
+    """Broadcast (word, qcount) relation from the tokenized query multiset,
+    built as a Catalyst literal (explode(array(struct(lit...)))) — see the
+    plan note in search(): createDataFrame would cost defaultParallelism
+    Python-worker tasks per query."""
+    return F.broadcast(
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).alias("word"),
+                            F.lit(c).cast("int").alias("qcount"),
+                        )
+                        for w, c in counts.items()
+                    ]
+                )
+            ).alias("__q")
+        )
+        .select("__q.word", "__q.qcount")
+    )
+
+
+def search_or(
+    spark: SparkSession,
+    query: str,
+    postings: DataFrame,
+    docs: DataFrame,
+    page_count: int,
+    k: int = MAX_RESULTS,
+    word_stats: DataFrame = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Disjunctive (OR) tf-idf ranking: identical to ``search`` minus the
+    AND gate — a doc matching ANY query word is a candidate, scored over
+    the words it does match (engine addition; the reference is
+    AND-only, see_db_srv.erl:109,178-182). Same scale shape: broadcast
+    query multiset, word-restricted df aggregate (plan-guarded family),
+    one doc_id shuffle, TakeOrderedAndProject top-k, post-k-cut title
+    join. Scores rounded to ``round_dp`` so the fractional tail of the
+    double sum can't differ across parallelism."""
+    words = extract_words(query)
+    if not words:
+        return spark.createDataFrame([], "url string, title string, score double")
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    qdf = _query_multiset(spark, counts)
+    if word_stats is not None:
+        df_by_word = (
+            word_stats.join(qdf.select("word"), "word", "left_semi")
+            .groupBy("word")
+            .agg(F.sum("df").alias("df"))
+        )
+    else:
+        df_by_word = (
+            postings.join(qdf.select("word"), "word", "left_semi")
+            .groupBy("word")
+            .agg(F.countDistinct("doc_id").alias("df"))
+        )
+    matched = postings.join(qdf, "word").join(F.broadcast(df_by_word), "word")
+    scored = matched.groupBy("doc_id").agg(
+        F.sum(
+            F.col("qcount")
+            * F.col("tf")
+            * F.log(F.lit(float(page_count)) / (F.lit(1.0) + F.col("df")))
+        ).alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        top.join(docs.select(F.col("doc_id"), F.col("title")), "doc_id")
+        .select(
+            F.col("doc_id").alias("url"),
+            "title",
+            F.round("score", round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
+def search_fielded(
+    spark: SparkSession,
+    query: str,
+    body_postings: DataFrame,
+    title_postings: DataFrame,
+    docs: DataFrame,
+    page_count: int,
+    k: int = MAX_RESULTS,
+    title_weight: float = 2.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fielded (title-boosted) disjunctive tf-idf ranking (engine
+    addition): the standard two-field upgrade of the reference's
+    single-field scorer. Each field contributes its own tf, the title
+    field scaled by ``title_weight``:
+
+        score(d) = sum over matched (field, word) of
+                   field_weight * qcount(w) * tf_field(w, d) * idf(w)
+
+    idf comes from the BODY field only (the conventional choice — titles
+    are short and would distort df); a word matching only in titles gets
+    df=0, i.e. idf = ln(N/1).
+
+    Plan shape: the two posting relations UNION with a literal
+    field-weight column — no outer join between fields, the sum
+    decomposes — then the exact ``search_or`` tail: broadcast query
+    multiset, df aggregate restricted to query words on the body side,
+    one doc_id shuffle, top-k cut, post-cut title join.
+    """
+    words = extract_words(query)
+    if not words:
+        return spark.createDataFrame([], "url string, title string, score double")
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    qdf = _query_multiset(spark, counts)
+    df_by_word = (
+        body_postings.join(qdf.select("word"), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    fields = body_postings.select(
+        "doc_id", "word", "tf", F.lit(1.0).alias("fweight")
+    ).unionByName(
+        title_postings.select(
+            "doc_id", "word", "tf", F.lit(float(title_weight)).alias("fweight")
+        )
+    )
+    matched = (
+        fields.join(qdf, "word")
+        # left join + coalesce(df, 0): a title-only word has no body df row
+        .join(F.broadcast(df_by_word), "word", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+    )
+    scored = matched.groupBy("doc_id").agg(
+        F.sum(
+            F.col("fweight")
+            * F.col("qcount")
+            * F.col("tf")
+            * F.log(F.lit(float(page_count)) / (F.lit(1.0) + F.col("df")))
+        ).alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        top.join(docs.select(F.col("doc_id"), F.col("title")), "doc_id")
+        .select(
+            F.col("doc_id").alias("url"),
+            "title",
+            F.round("score", round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
 def search_bm25(
     spark: SparkSession,
     query: str,

@@ -1,0 +1,305 @@
+"""Unit tests for batch-4 operators: lexicon (fuzzy expansion, trigram
+substring search), disjunctive / fielded ranking, posting gap stats, and
+priority (in-degree) checkout. Cross-engine exact parity for all of these
+is separately asserted by the DuckDB gate (scripts/check_correctness.py);
+these tests pin semantics on hand-built corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- lexicon: fuzzy expansion ------------------------------------------------
+
+
+def _vocab(spark, words):
+    return spark.createDataFrame([(w, 1) for w in words], "word string, df int")
+
+
+def test_fuzzy_expand_multi_match(spark):
+    from see_spark.operators.lexicon import fuzzy_expand
+
+    vocab = _vocab(spark, ["slow", "row", "sort", "query"])
+    out = {
+        (r["term"], r["word"]): r["dist"]
+        for r in fuzzy_expand(spark, ["sow"], vocab).collect()
+    }
+    # 'sow' reaches BOTH slow (insert 'l') and row (substitute s->r)
+    assert out == {("sow", "slow"): 1, ("sow", "row"): 1}
+
+
+def test_fuzzy_expand_exact_hit_is_dist_zero(spark):
+    from see_spark.operators.lexicon import fuzzy_expand
+
+    vocab = _vocab(spark, ["table", "tables"])
+    out = {
+        (r["term"], r["word"]): r["dist"]
+        for r in fuzzy_expand(spark, ["table"], vocab).collect()
+    }
+    assert out == {("table", "table"): 0, ("table", "tables"): 1}
+
+
+def test_fuzzy_expand_respects_max_dist(spark):
+    from see_spark.operators.lexicon import fuzzy_expand
+
+    vocab = _vocab(spark, ["table"])
+    assert fuzzy_expand(spark, ["tbl"], vocab, max_dist=1).count() == 0
+    out = fuzzy_expand(spark, ["tbl"], vocab, max_dist=2).collect()
+    assert [(r["word"], r["dist"]) for r in out] == [("table", 2)]
+
+
+def test_fuzzy_expand_empty_terms(spark):
+    from see_spark.operators.lexicon import fuzzy_expand
+
+    vocab = _vocab(spark, ["x1"])
+    assert fuzzy_expand(spark, [], vocab).count() == 0
+
+
+# --- lexicon: trigram substring ----------------------------------------------
+
+
+def test_trigram_index_shape(spark):
+    from see_spark.operators.lexicon import trigram_index
+
+    vocab = _vocab(spark, ["abcd", "ab", "aaa"])
+    rows = {(r["trigram"], r["word"]) for r in trigram_index(vocab).collect()}
+    # 'ab' is below the trigram floor; 'aaa' collapses to one distinct row
+    assert rows == {("abc", "abcd"), ("bcd", "abcd"), ("aaa", "aaa")}
+
+
+def test_substring_match_verifies_contains(spark):
+    """A word can contain every trigram of the pattern WITHOUT containing
+    the pattern ('abcab' has 'cab' and 'abc' but not 'cabc') — the
+    contains verification must drop it; true matches survive."""
+    from see_spark.operators.lexicon import substring_match, trigram_index
+
+    vocab = _vocab(spark, ["abcab", "xcabcx", "cabc", "zzz"])
+    idx = trigram_index(vocab)
+    got = {r["word"] for r in substring_match(idx, "cabc").collect()}
+    assert got == {"xcabcx", "cabc"}
+
+
+def test_substring_match_equals_contains_scan(spark):
+    from see_spark.operators.lexicon import substring_match, trigram_index
+
+    words = ["spark", "part", "partition", "sparse", "apart", "par", "pr"]
+    vocab = _vocab(spark, words)
+    got = {r["word"] for r in substring_match(trigram_index(vocab), "par").collect()}
+    assert got == {w for w in words if "par" in w}
+
+
+def test_substring_match_rejects_short_pattern(spark):
+    from see_spark.operators.lexicon import substring_match, trigram_index
+
+    idx = trigram_index(_vocab(spark, ["abc"]))
+    with pytest.raises(ValueError):
+        substring_match(idx, "ab")
+
+
+def test_substring_search_ranks_by_hits(spark):
+    from see_spark.operators.lexicon import substring_search, trigram_index
+
+    vocab = _vocab(spark, ["spark", "part", "row"])
+    idx = trigram_index(vocab)
+    postings = spark.createDataFrame(
+        [  # doc 1: spark x3; doc 2: spark x1 + part x1; doc 3: row only
+            (1, "spark", 3),
+            (2, "spark", 1),
+            (2, "part", 1),
+            (3, "row", 9),
+        ],
+        "doc_id long, word string, term_count long",
+    )
+    out = substring_search(postings, idx, "par", k=10).collect()
+    assert [(r["doc_id"], r["n_words"], r["hits"]) for r in out] == [
+        (1, 1, 3),
+        (2, 2, 2),
+    ]
+
+
+# --- disjunctive + fielded ranking -------------------------------------------
+
+
+def _mini_corpus(spark):
+    """3 docs over a 3-word vocab; postings carry tf = term_count/doc_len."""
+    rows = [  # (doc_id, word, term_count, doc_len)
+        (1, "cat", 2, 4),
+        (1, "dog", 2, 4),
+        (2, "cat", 1, 2),
+        (2, "fox", 1, 2),
+        (3, "fox", 3, 3),
+    ]
+    postings = spark.createDataFrame(
+        rows, "doc_id long, word string, term_count long, doc_len long"
+    ).withColumn("tf", F.col("term_count") / F.col("doc_len"))
+    docs = spark.createDataFrame(
+        [(1, "t1"), (2, "t2"), (3, "t3")], "doc_id long, title string"
+    )
+    return postings, docs
+
+
+def test_search_or_superset_of_and(spark):
+    from see_spark.operators.search import search, search_or
+
+    postings, docs = _mini_corpus(spark)
+    and_urls = {
+        r["url"] for r in search(spark, "cat dog", postings, docs, 3).collect()
+    }
+    or_urls = {
+        r["url"] for r in search_or(spark, "cat dog", postings, docs, 3).collect()
+    }
+    assert and_urls == {1}          # only doc 1 has both
+    assert or_urls == {1, 2}        # doc 2 matches 'cat' alone
+    assert and_urls <= or_urls
+
+
+def test_search_or_single_word_equals_and(spark):
+    import math
+
+    from see_spark.operators.search import search, search_or
+
+    postings, docs = _mini_corpus(spark)
+    a = {
+        r["url"]: r["score"]
+        for r in search(spark, "fox", postings, docs, 3).collect()
+    }
+    o = {
+        r["url"]: r["score"]
+        for r in search_or(spark, "fox", postings, docs, 3).collect()
+    }
+    assert set(a) == set(o)
+    for u in a:
+        assert o[u] == pytest.approx(a[u], abs=1e-6)
+    # hand value: doc 3 tf=1.0, df(fox)=2, idf=ln(3/3)=0 -> score 0
+    assert o[3] == pytest.approx(0.0)
+    # doc 2: tf=0.5, score = 0.5*ln(1.0) = 0
+    assert o[2] == pytest.approx(0.0)
+    # sanity on a negative-idf-free word with df=1
+    s = {
+        r["url"]: r["score"]
+        for r in search_or(spark, "dog", postings, docs, 3).collect()
+    }
+    assert s[1] == pytest.approx(0.5 * math.log(3 / 2.0), abs=1e-6)
+
+
+def test_search_fielded_title_only_word_uses_df_zero(spark):
+    import math
+
+    from see_spark.operators.search import search_fielded
+
+    body, docs = _mini_corpus(spark)
+    # title postings: doc 2's title contains 'owl' (absent from all bodies)
+    title = spark.createDataFrame(
+        [(2, "owl", 1, 1)],
+        "doc_id long, word string, term_count long, doc_len long",
+    ).withColumn("tf", F.col("term_count") / F.col("doc_len"))
+    out = {
+        r["url"]: r["score"]
+        for r in search_fielded(
+            spark, "owl", body, title, docs, 3, title_weight=2.0
+        ).collect()
+    }
+    # df(owl)=0 in the body field -> idf = ln(3/1); tf_title=1, weight 2
+    assert set(out) == {2}
+    assert out[2] == pytest.approx(2.0 * math.log(3.0), abs=1e-6)
+
+
+def test_search_fielded_boost_reorders(spark):
+    from see_spark.operators.search import search_fielded, search_or
+
+    body, docs = _mini_corpus(spark)
+    # both doc 1 and doc 2 match 'cat' in body (doc1 tf=0.5 > doc2 tf=0.5?
+    # doc1: 2/4=0.5, doc2: 1/2=0.5 — tie); title hit on doc 2 breaks it
+    title = spark.createDataFrame(
+        [(2, "cat", 1, 1)],
+        "doc_id long, word string, term_count long, doc_len long",
+    ).withColumn("tf", F.col("term_count") / F.col("doc_len"))
+    # page_count=10 (N counts ALL frontier rows, legitimately > indexed
+    # docs) keeps idf(cat)=ln(10/3) positive so the boost is visible
+    plain = search_or(spark, "cat", body, docs, 10).collect()
+    boosted = search_fielded(spark, "cat", body, title, docs, 10).collect()
+    # same candidates, doc 2 strictly above doc 1 after the boost
+    b = {r["url"]: r["score"] for r in boosted}
+    p = {r["url"]: r["score"] for r in plain}
+    assert set(b) == set(p) == {1, 2}
+    assert b[2] > b[1]
+
+
+# --- posting gap stats -------------------------------------------------------
+
+
+def test_posting_gap_stats_hand_values(spark):
+    from see_spark.operators.indexstats import posting_gap_stats
+
+    postings = spark.createDataFrame(
+        [("w", 1), ("w", 3), ("w", 11), ("solo", 42)],
+        "word string, doc_id long",
+    )
+    out = {r["word"]: r for r in posting_gap_stats(postings).collect()}
+    w = out["w"]
+    # gaps: 3-1=2, 11-3=8 -> avg 5.0, max 8, bits = len('10')+len('1000')=6
+    assert (w["n_docs"], w["avg_gap"], w["max_gap"], w["gap_bits"]) == (
+        3,
+        5.0,
+        8,
+        6,
+    )
+    s = out["solo"]
+    assert s["n_docs"] == 1
+    assert s["avg_gap"] is None and s["max_gap"] is None and s["gap_bits"] is None
+
+
+# --- priority checkout -------------------------------------------------------
+
+
+def _priority_frontier(spark):
+    rows = []
+    for i in range(40):
+        host = f"h{i % 4}"
+        rows.append(
+            (f"http://{host}/p{i}", host, i % 3, i, "unvisited" if i % 5 else "visited")
+        )
+    f = spark.createDataFrame(
+        rows, "url string, host string, depth long, seq long, state string"
+    ).withColumn("url_hash", F.xxhash64("url"))
+    ind = spark.createDataFrame(
+        [(f"http://h{i % 4}/p{i}", (i * 7) % 13) for i in range(0, 40, 2)],
+        "url string, indegree long",
+    )
+    return f, ind
+
+
+def test_checkout_prioritized_semantics(spark):
+    from see_spark.operators.frontier import checkout_prioritized
+
+    f, ind = _priority_frontier(spark)
+    batch = checkout_prioritized(f, ind, host_budget=2).collect()
+    # reference computation in plain Python
+    fr = {r["url"]: r for r in f.collect() if r["state"] == "unvisited"}
+    deg = {r["url"]: r["indegree"] for r in ind.collect()}
+    by_host: dict = {}
+    for url, r in fr.items():
+        by_host.setdefault(r["host"], []).append(
+            (-deg.get(url, 0), r["depth"], r["seq"], url)
+        )
+    expect = []
+    for host, lst in by_host.items():
+        expect += sorted(lst)[:2]
+    expect.sort()
+    got = sorted(
+        (-r["priority"], r["depth"], r["seq"], r["url"]) for r in batch
+    )
+    assert got == expect
+    # fetch_order is dense over the same total order
+    order = {r["fetch_order"]: (-r["priority"], r["depth"], r["seq"]) for r in batch}
+    assert sorted(order) == list(range(len(batch)))
+    assert [order[i] for i in sorted(order)] == sorted(order.values())
+
+
+def test_checkout_prioritized_deterministic_across_partitioning(spark):
+    from see_spark.operators.frontier import checkout_prioritized
+
+    f, ind = _priority_frontier(spark)
+    a = checkout_prioritized(f.repartition(1), ind, host_budget=3).collect()
+    b = checkout_prioritized(f.repartition(7, "host"), ind, host_budget=3).collect()
+    key = lambda rows: sorted((r["url"], r["fetch_order"], r["priority"]) for r in rows)
+    assert key(a) == key(b)
