@@ -1452,6 +1452,36 @@ def _q_frontier_priority_indegree(spark, sf_dir):
 
 # Checked by scripts/check_correctness.py but NOT exported to the driver's
 # 50-entry gate window: postings_tf is a projection of tokenize_postings
+def _q_decontaminate(spark, sf_dir):
+    """Engine addition: benchmark decontamination (GPT-3 appendix-C shape).
+    The 'benchmark' is derived deterministically from the corpus itself —
+    every 41st doc contributes tokens 4..28 as a test-set passage — so
+    contamination is real (those docs self-overlap) and the DuckDB oracle
+    reproduces it exactly. 5-gram overlap, min_hits=1."""
+    from see_spark.operators.textfilters import decontaminate
+
+    d = _documents(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    bench = d.filter(did % 41 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 4, 25), " ").alias("text")
+    )
+    return decontaminate(d.select(did.alias("doc_id"), "text"), bench, n=5)
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Engine addition: LM sequence packing manifest — concat-and-chunk
+    into 128-token sequences inside 8 salted buckets (window cumsum per
+    bucket; no global sort). Integer-only output, bit-exact oracle."""
+    from see_spark.operators.packing import pack_sequences
+
+    d = _documents(spark, sf_dir)
+    return pack_sequences(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        ctx_len=128,
+        n_buckets=8,
+    )
+
+
 # (tf = term_count/doc_len, both gated there) and search_projection is
 # tfidf_search + a metadata join (O14); freeing these two slots lets
 # knn_ivf and media_features land inside the driver's window.
@@ -1487,6 +1517,8 @@ QUERIES_EXTRA: dict = {
     "substring_search": _q_substring_search,
     "postings_gap_stats": _q_postings_gap_stats,
     "frontier_priority_indegree": _q_frontier_priority_indegree,
+    "decontaminate": _q_decontaminate,
+    "pack_sequences": _q_pack_sequences,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -2842,6 +2874,80 @@ ORACLES_EXTRA.update(
                  (ORDER BY priority DESC, depth, seq) - 1 AS BIGINT)
                AS fetch_order
         FROM ranked WHERE rk <= 3
+    """,
+    }
+)
+
+
+# Batch-5 oracles: training-data pipeline tail — decontamination and
+# sequence packing. Both integer-only outputs (no float compares).
+ORACLES_EXTRA.update(
+    {
+        # benchmark = tokens 4..28 of every 41st doc; 5-gram overlap.
+        # DuckDB list slice t[i:i+4] is INCLUSIVE (5 tokens), matching
+        # Spark slice(toks, i, 5); both sides guard len >= 5 explicitly.
+        "decontaminate": """
+        WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                             string_split(text, ' ') AS t
+                      FROM documents),
+        bench AS (SELECT string_split(
+                           array_to_string(t[4:28], ' '), ' ') AS t
+                  FROM toks WHERE doc_id % 41 = 0),
+        bng AS (SELECT DISTINCT
+                       unnest(list_transform(range(1, len(t)-4+1),
+                              i -> array_to_string(t[i:i+4], ' '))) AS ngram
+                FROM bench WHERE len(t) >= 5),
+        dng AS (SELECT doc_id,
+                       unnest(list_distinct(
+                         list_transform(range(1, len(t)-4+1),
+                                i -> array_to_string(t[i:i+4], ' ')))) AS ngram
+                FROM toks WHERE len(t) >= 5),
+        hits AS (SELECT doc_id, COUNT(*) AS c
+                 FROM dng JOIN bng USING (ngram) GROUP BY doc_id),
+        base AS (SELECT doc_id,
+                        CASE WHEN len(t) >= 5
+                             THEN len(list_distinct(
+                                    list_transform(range(1, len(t)-4+1),
+                                      i -> array_to_string(t[i:i+4], ' '))))
+                             ELSE 0 END AS n_ngrams
+                 FROM toks)
+        SELECT b.doc_id,
+               CAST(b.n_ngrams AS BIGINT) AS n_ngrams,
+               CAST(COALESCE(h.c, 0) AS BIGINT) AS n_contaminated,
+               CAST(CASE WHEN COALESCE(h.c, 0) >= 1 THEN 1 ELSE 0 END
+                    AS BIGINT) AS contaminated
+        FROM base b LEFT JOIN hits h USING (doc_id)
+    """,
+        # ctx_len=128, n_buckets=8; bucket/order/cumsum identical to
+        # packing.pack_sequences (hash60('pack:' || doc_id) % 8; in-bucket
+        # order = doc_id; integer DIV throughout).
+        "pack_sequences": """
+        WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                             len(string_split(text, ' ')) AS n
+                      FROM documents),
+        b AS (SELECT doc_id, n,
+                     ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT % 8 AS bucket
+              FROM toks),
+        st AS (SELECT doc_id, n, bucket,
+                      CAST(COALESCE(SUM(n) OVER
+                        (PARTITION BY bucket ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start
+               FROM b),
+        ex AS (SELECT *,
+                      unnest(range(start // 128, (start + n - 1) // 128 + 1))
+                        AS s
+               FROM st)
+        SELECT CAST(bucket * 1099511627776 + s AS BIGINT) AS seq_id,
+               CAST(bucket AS BIGINT) AS bucket,
+               doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(greatest(0, s * 128 - start) AS BIGINT) AS tok_start,
+               CAST(least(n, (s + 1) * 128 - start) AS BIGINT) AS tok_end,
+               CAST(start + greatest(0, s * 128 - start) - s * 128
+                    AS BIGINT) AS seq_off
+        FROM ex
     """,
     }
 )

@@ -1,0 +1,90 @@
+"""LM sequence packing: concat-and-chunk documents into fixed-length
+training sequences, as a deterministic distributed manifest.
+
+The standard pre-training data step after filtering/dedup: tokenized
+documents are concatenated and the stream is cut into ``ctx_len``-token
+training sequences. A naive implementation needs a GLOBAL token offset —
+one total-order sort/cumsum over the corpus, the classic scale-killer.
+This operator instead packs independently inside ``n_buckets`` salted
+buckets (bucket = 60-bit salted hash of doc_id, engine-portable):
+
+  * ONE shuffle, keyed by bucket; within a bucket a window cumsum over the
+    pinned (doc_id) order assigns each doc its token start offset;
+  * each doc then expands to the sequences it overlaps — pure Catalyst
+    ``sequence``/``explode`` arithmetic, O(n_tokens/ctx_len + 1) output
+    rows per doc;
+  * sequence ids are globally unique: ``bucket * 2^40 + seq_in_bucket``.
+
+Buckets bound the window's partition size (corpus_tokens / n_buckets) and
+scale with the cluster; the result is invariant to input partitioning and
+parallelism (asserted by tests), because bucket assignment and in-bucket
+order are value-derived, never partition-derived. Integer columns only —
+bit-exact against the DuckDB oracle by construction.
+
+Per-bucket trailing ragged sequences are the standard cost of salted
+packing (at most n_buckets partially-filled sequences corpus-wide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import hash60
+
+_SEQ_ID_BITS = 40  # seq_in_bucket fits 2^40 sequences per bucket
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 128,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Packing manifest: one row per (document, training sequence it feeds).
+
+    Columns: seq_id, bucket, doc_id, n_tokens (doc's whitespace-token
+    count), tok_start / tok_end (the doc's token slice [start, end) that
+    lands in this sequence), seq_off (where that slice begins inside the
+    sequence). Every sequence except the last of each bucket is exactly
+    ctx_len tokens of contiguous doc slices.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.pmod(
+            hash60(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))),
+            F.lit(n_buckets),
+        ).cast("long").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.withColumn(
+        "start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    ctx = F.lit(ctx_len)
+    first_seq = F.expr(f"start DIV {ctx_len}")
+    last_seq = F.expr(f"(start + n_tokens - 1) DIV {ctx_len}")
+    exploded = placed.withColumn(
+        "s", F.explode(F.sequence(first_seq, last_seq))
+    )
+    tok_start = F.greatest(F.lit(0).cast("long"), F.col("s") * ctx - F.col("start"))
+    tok_end = F.least(F.col("n_tokens"), (F.col("s") + 1) * ctx - F.col("start"))
+    return exploded.select(
+        (F.col("bucket") * F.lit(1 << _SEQ_ID_BITS) + F.col("s"))
+        .cast("long")
+        .alias("seq_id"),
+        "bucket",
+        "doc_id",
+        "n_tokens",
+        tok_start.cast("long").alias("tok_start"),
+        tok_end.cast("long").alias("tok_end"),
+        (F.col("start") + tok_start - F.col("s") * ctx)
+        .cast("long")
+        .alias("seq_off"),
+    )

@@ -197,6 +197,74 @@ def top_bigrams(
     )
 
 
+def _ngrams(toks, n: int):
+    """Word n-grams joined with ' '; empty array below n tokens (guarded —
+    Spark sequence(1, 0) would count DOWN; DuckDB's range(1, 0) is empty,
+    but the oracles carry the same explicit guard for clarity)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM shape): flag a
+    training document when >= ``min_hits`` of its DISTINCT word n-grams
+    appear anywhere in the benchmark/test-set corpus. Returns one row per
+    input doc: (doc_id, n_ngrams, n_contaminated, contaminated) — all
+    integer columns, no float thresholds.
+
+    Scale shape: the benchmark side is test sets — 10^4..10^6 n-grams — so
+    it reduces to a DISTINCT n-gram dimension and BROADCASTS; the corpus
+    side (the 100 TB side) explodes per-doc distinct n-grams and probes the
+    broadcast set with an inner join, so raw text never shuffles. The only
+    shuffle is the per-doc hit count keyed by doc_id (map-side combinable),
+    O(contaminated n-grams) rows. Docs shorter than n tokens pass through
+    with n_ngrams = 0.
+    """
+    toks = _toks(text_col)
+    bench_ngrams = (
+        benchmark.select(
+            F.explode(_ngrams(F.split(F.col(bench_text_col), " "), n)).alias("ngram")
+        )
+        .distinct()
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(_ngrams(toks, n)).alias("__ngrams"),
+    )
+    hits = (
+        base.select("doc_id", F.explode("__ngrams").alias("ngram"))
+        .join(F.broadcast(bench_ngrams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    return (
+        base.select("doc_id", F.size("__ngrams").cast("long").alias("n_ngrams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.when(F.coalesce("n_contaminated", F.lit(0)) >= min_hits, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
 # pinned per-language keep rates, in thousandths (exact integer compare —
 # no float thresholds anywhere near the hash bucket)
 STRATA_RATES = {"en": 500, "de": 250, "es": 250, "fr": 250, "zh": 125}
