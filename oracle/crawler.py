@@ -29,7 +29,7 @@ from typing import Dict, List, Optional, Set
 
 from see_spark.core import htmlx
 from see_spark.core.fetch import route_response
-from see_spark.core.robotstxt import parse_robots, robots_allowed
+from see_spark.core.robotstxt import parse_robots, parse_sitemap, robots_allowed
 from see_spark.core.text import extract_words
 from see_spark.core.urls import absolute_link, host_matches, host_of, try_canonicalize
 
@@ -71,6 +71,8 @@ def crawl(
     max_rounds: int = 100,
     robots_rfc: bool = False,
     robots_agent: str = "see-spark",
+    use_sitemaps: bool = False,
+    sitemap_waves: int = 3,
 ) -> OracleResult:
     robots = robots or {}
     # RFC 9309 mode: robots rules come from the site's own
@@ -87,8 +89,50 @@ def crawl(
             if entry is not None and entry["status"] == 200 and entry["body"]:
                 _rfc_cache[host] = parse_robots(entry["body"], agent=robots_agent)
             else:
-                _rfc_cache[host] = {"allow": [], "disallow": []}
+                _rfc_cache[host] = {"allow": [], "disallow": [],
+                                    "sitemaps": []}
         return _rfc_cache[host]
+
+    # sitemap mode (matching crawl._sitemap_candidates): when a host first
+    # has unvisited URLs, its robots' Sitemap: entries are fetched —
+    # breadth-first over <sitemapindex> nesting up to sitemap_waves waves,
+    # each sitemap at most once ever (failed fetches count as fetched) —
+    # and extracted page URLs queue at depth 0 at END of round, after the
+    # round's link discoveries, in (wave, sitemap-url lexicographic, loc
+    # position) order. Sitemap fetches never enter visit order or the
+    # URL-seen set.
+    _robots_hosts_seen: Set[str] = set()
+    _sitemaps_fetched: Set[str] = set()
+
+    def sitemap_wave_pages(round_no: int) -> List[str]:
+        hosts_now = {
+            e.host for e in frontier.values() if e.state == "unvisited"
+        }
+        new_hosts = hosts_now - _robots_hosts_seen
+        _robots_hosts_seen.update(hosts_now)
+        wave_urls = sorted(
+            {
+                sm
+                for h in new_hosts
+                for sm in rfc_rules(h).get("sitemaps", [])
+            }
+            - _sitemaps_fetched
+        )
+        pages: List[str] = []
+        for _wave in range(sitemap_waves):
+            if not wave_urls:
+                break
+            nested = set()
+            for sm in wave_urls:  # lexicographic == engine's sm_idx order
+                _sitemaps_fetched.add(sm)
+                entry = site.get(sm)
+                if entry is None or entry["status"] != 200 or not entry["body"]:
+                    continue
+                parsed = parse_sitemap(entry["body"])
+                pages.extend(parsed["urls"])  # document order == pos
+                nested.update(parsed["sitemaps"])
+            wave_urls = sorted(nested - _sitemaps_fetched)
+        return pages
     frontier: Dict[str, OracleEntry] = {}
     next_seq = 0
     visit_order: List[str] = []
@@ -119,6 +163,9 @@ def crawl(
 
     rounds = 0
     for round_no in range(max_rounds):
+        sitemap_pages: List[str] = []
+        if robots_rfc and use_sitemaps:
+            sitemap_pages = sitemap_wave_pages(round_no)
         # robots gate (same rule as engine's robots_block / robots_gate_rfc)
         for entry in frontier.values():
             if entry.state != "unvisited":
@@ -151,6 +198,13 @@ def crawl(
             key=lambda e: (e.depth, e.seq),
         )
         if not batch:
+            if sitemap_pages:
+                # zero checkout but sitemap seeding discovered URLs — the
+                # crawl continues (mirrors run_round's early-return branch)
+                rounds = round_no + 1
+                for u in sitemap_pages:
+                    queue(u, 0, round_no)
+                continue
             break
         rounds = round_no + 1
         for entry in batch:
@@ -203,6 +257,12 @@ def crawl(
             else:
                 entry.state = "error"
                 entry.detail = outcome.error
+
+        # sitemap-extracted URLs enqueue AFTER the round's link
+        # discoveries (engine: link_rank base 2^61 sorts them last in the
+        # same first-enqueue-wins batch)
+        for u in sitemap_pages:
+            queue(u, 0, round_no)
 
     return OracleResult(
         frontier=frontier, visit_order=visit_order, docs=docs,

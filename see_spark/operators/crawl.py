@@ -99,6 +99,17 @@ class CrawlConfig:
     # remains the parity mode with the prefix-rule oracle.
     robots_rfc: bool = False
     robots_agent: str = "see-spark"
+    # Sitemap seeding (requires robots_rfc): sitemap URLs declared by a
+    # newly-entered host's robots.txt are fetched through the same fetcher
+    # (once ever — ledger table `sitemaps_fetched`, the host-level analogue
+    # of robots_rfc), <sitemapindex> nesting is followed breadth-first up
+    # to `sitemap_waves` waves within the round, and extracted page URLs
+    # enqueue at depth 0 AFTER the round's link discoveries, ordered by
+    # (wave, sitemap-url lexicographic, document position). Sitemap
+    # fetches — like robots fetches — never enter the frontier, the visit
+    # order, or the URL-seen set.
+    use_sitemaps: bool = False
+    sitemap_waves: int = 3
     # Raw-fetch archiving: when set, every round's fetch results are
     # written as WARC files under {archive_dir}/round-NNNNN/ before
     # parsing (sources/warc.py — deterministic record ids, byte-
@@ -302,7 +313,8 @@ def _refresh_robots_rfc(
     is O(distinct hosts). Robots fetches go through the SAME fetcher as
     pages (one politeness/UA surface) but never touch the frontier, visit
     order, or URL-seen set — a 4xx/absent robots parses to allow-all
-    (RFC 9309 §2.3.1.3). Returns the refreshed dimension."""
+    (RFC 9309 §2.3.1.3). Returns (refreshed dimension, this round's
+    new-host increment or None) — the increment feeds sitemap seeding."""
     dim = catalog.read("robots_rfc")
     hosts = (
         unvisited.filter(F.col("state") == STATE_UNVISITED)
@@ -310,7 +322,7 @@ def _refresh_robots_rfc(
     )
     new_hosts = hosts.join(dim.select("host"), "host", "left_anti")
     if new_hosts.isEmpty():
-        return dim
+        return dim, None
     to_fetch = new_hosts.select(
         F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
         "host",
@@ -320,12 +332,123 @@ def _refresh_robots_rfc(
         fetched.select("host", "status", "body"),
         agent=config.robots_agent,
         round_no=round_no,
-    )
+    ).localCheckpoint(eager=True)
     catalog.commit_delta(
         "robots_rfc", appended=inc,
         meta={"round": round_no, "op": "robots_refresh"},
     )
-    return catalog.read("robots_rfc")
+    return catalog.read("robots_rfc"), inc
+
+
+# Sitemap-candidate link_rank layout: sorts AFTER every page-link rank
+# (page ranks are parent_order << 20 | pos < 2^61), then by (wave,
+# sitemap index within wave, loc position) — the pinned enqueue order.
+_SITEMAP_RANK_BASE = 1 << 61
+_SITEMAP_WAVE_SHIFT = 1 << 50
+_SITEMAP_IDX_SHIFT = 1 << 20
+
+
+def _sitemap_candidates(
+    catalog: SnapshotCatalog,
+    fetcher,
+    rfc_inc: DataFrame,
+    config: CrawlConfig,
+    round_no: int,
+) -> Optional[DataFrame]:
+    """Fetch + parse sitemaps declared by this round's new hosts' robots.
+
+    Breadth-first over <sitemapindex> nesting, at most ``sitemap_waves``
+    waves; every sitemap URL is fetched at most once over the crawl's life
+    (anti-join against the append-only `sitemaps_fetched` ledger — failed
+    fetches are recorded too, no retry). Returns the extracted page URLs
+    as a candidates frame (abs_link, parent_depth=-1, link_rank) for the
+    round's normal canonicalize -> seen-filter -> enqueue tail, or None.
+
+    Scale: waves fire only in rounds that add hosts; each wave's work is
+    O(sitemaps this wave) — the per-wave lexicographic index runs over the
+    distinct sitemap-URL dimension (dense-seq, distributed), never over
+    the extracted page URLs, and the ledger join is an equi-anti-join on
+    the sitemap URL."""
+    from ..functions.seq import with_dense_sequence
+
+    ledger = catalog.read("sitemaps_fetched").select("url")
+    fetched_so_far = ledger
+    pending = (
+        rfc_inc.select(F.explode("sitemaps").alias("url"))
+        .distinct()
+        .join(fetched_so_far, "url", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    cand_frames = []
+    ledger_incs = []
+    for wave in range(config.sitemap_waves):
+        if pending.isEmpty():
+            break
+        indexed = with_dense_sequence(
+            pending, order_cols=["url"], out_col="sm_idx"
+        )
+        fetched = fetcher.fetch(indexed.select("url")).localCheckpoint(
+            eager=True
+        )
+        parsed = robots_ops.sitemap_seed_urls(
+            fetched.filter(
+                (F.col("status") == 200) & F.col("body").isNotNull()
+            )
+        ).join(
+            indexed.select(
+                F.col("url").alias("source_sitemap"), "sm_idx"
+            ),
+            "source_sitemap",
+        ).localCheckpoint(eager=True)
+        rank_base = _SITEMAP_RANK_BASE + wave * _SITEMAP_WAVE_SHIFT
+        cand_frames.append(
+            parsed.filter(~F.col("is_nested_sitemap")).select(
+                F.col("url").alias("abs_link"),
+                F.lit(-1).cast("int").alias("parent_depth"),
+                (
+                    F.lit(rank_base)
+                    + F.col("sm_idx") * F.lit(_SITEMAP_IDX_SHIFT)
+                    + F.col("pos")
+                ).cast("long").alias("link_rank"),
+            )
+        )
+        counts = parsed.groupBy("source_sitemap").agg(
+            F.sum(F.when(~F.col("is_nested_sitemap"), 1).otherwise(0))
+            .cast("int").alias("n_urls"),
+            F.sum(F.when(F.col("is_nested_sitemap"), 1).otherwise(0))
+            .cast("int").alias("n_nested"),
+        )
+        ledger_incs.append(
+            indexed.select("url")
+            .join(counts.withColumnRenamed("source_sitemap", "url"), "url", "left")
+            .select(
+                "url",
+                F.coalesce("n_urls", F.lit(0)).cast("int").alias("n_urls"),
+                F.coalesce("n_nested", F.lit(0)).cast("int").alias("n_nested"),
+                F.lit(round_no).cast("int").alias("fetched_in_round"),
+            )
+        )
+        fetched_so_far = fetched_so_far.unionByName(indexed.select("url"))
+        pending = (
+            parsed.filter(F.col("is_nested_sitemap"))
+            .select("url")
+            .distinct()
+            .join(fetched_so_far, "url", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if not ledger_incs:
+        return None
+    inc = ledger_incs[0]
+    for extra in ledger_incs[1:]:
+        inc = inc.unionByName(extra)
+    catalog.commit_delta(
+        "sitemaps_fetched", appended=inc,
+        meta={"round": round_no, "op": "sitemap_refresh"},
+    )
+    out = cand_frames[0]
+    for extra in cand_frames[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 def run_round(
@@ -346,10 +469,17 @@ def run_round(
     unvisited = frontier.filter(F.col("state") == STATE_UNVISITED)
     gated = frontier_ops.robots_block(unvisited, robots)
     rfc_active = False
+    sitemap_cands = None
     if config.robots_rfc:
-        rfc_dim = _refresh_robots_rfc(catalog, fetcher, gated, config, round_no)
+        rfc_dim, rfc_inc = _refresh_robots_rfc(
+            catalog, fetcher, gated, config, round_no
+        )
         gated = robots_ops.robots_gate_rfc(gated, rfc_dim)
         rfc_active = True
+        if config.use_sitemaps and rfc_inc is not None:
+            sitemap_cands = _sitemap_candidates(
+                catalog, fetcher, rfc_inc, config, round_no
+            )
     newly_blocked = gated.filter(F.col("state") != STATE_UNVISITED)
     still_unvisited = gated.filter(F.col("state") == STATE_UNVISITED)
 
@@ -367,14 +497,39 @@ def run_round(
     if metrics.checked_out == 0:
         # usually nothing changed, so no frontier commit (the round
         # checkpoint alone records completion) — unless the robots gate
-        # just blocked freshly discovered rows, which must still persist
-        if (rfc_active or not robots.isEmpty()) and not newly_blocked.isEmpty():
+        # just blocked freshly discovered rows, or sitemap seeding just
+        # produced new URLs (possible with zero checkout: e.g. every
+        # unvisited URL robots-blocked but the robots declared a sitemap),
+        # which must still persist so the crawl continues next round.
+        unvisited_out = still_unvisited
+        new_rows = None
+        if sitemap_cands is not None:
+            seq_start = _next_seq(catalog, frontier)
+            cand = frontier_ops.canonicalize_and_filter(
+                sitemap_cands, url_col="abs_link",
+                domain_filter=config.domain_filter,
+            ).filter(F.col("ingest_status") == "ok").drop("ingest_status")
+            fresh = frontier_ops.dedup_within_batch(
+                frontier_ops.seen_filter(cand, frontier), "link_rank"
+            )
+            new_rows = frontier_ops.as_frontier_rows(
+                fresh, depth_col=F.col("parent_depth") + 1,
+                round_no=round_no, seq_start=seq_start,
+            ).drop("parent_depth", "link_rank").localCheckpoint(eager=True)
+            metrics.discovered = new_rows.count()
+            unvisited_out = still_unvisited.unionByName(new_rows)
+        if metrics.discovered > 0 or (
+            (rfc_active or not robots.isEmpty())
+            and not newly_blocked.isEmpty()
+        ):
+            meta = _frontier_meta(round_no, catalog, frontier)
+            meta["next_seq"] += metrics.discovered
             catalog.commit_delta(
                 "frontier",
                 partition_col="state",
-                replaced={STATE_UNVISITED: still_unvisited},
+                replaced={STATE_UNVISITED: unvisited_out},
                 appended=newly_blocked,
-                meta=_frontier_meta(round_no, catalog, frontier),
+                meta=meta,
             )
         catalog.commit_round(round_no, {"done": True})
         return metrics
@@ -519,8 +674,14 @@ def run_round(
         "link_rank",
         F.shiftleft(F.col("parent_order"), _LINK_POS_BITS) + F.col("link_pos"),
     )
+    link_cands = all_links.select("abs_link", "parent_depth", "link_rank")
+    if sitemap_cands is not None:
+        # sitemap-extracted URLs join the SAME enqueue batch: their
+        # link_rank sorts after every page link (rank base 2^61), so
+        # first-enqueue-wins dedup and seq assignment need no special case
+        link_cands = link_cands.unionByName(sitemap_cands)
     candidates = frontier_ops.canonicalize_and_filter(
-        all_links.select("abs_link", "parent_depth", "link_rank"),
+        link_cands,
         url_col="abs_link",
         domain_filter=config.domain_filter,
     ).filter(F.col("ingest_status") == "ok").drop("ingest_status")
@@ -715,7 +876,9 @@ def run_crawl(
     for round_no in range(start_round, config.max_rounds):
         metrics = run_round(spark, catalog, fetcher, config, round_no)
         history.append(metrics)
-        if metrics.checked_out == 0:
+        # a zero-checkout round that still DISCOVERED URLs (sitemap seeding
+        # under a fully-blocked frontier) must not end the crawl
+        if metrics.checked_out == 0 and not metrics.discovered:
             break
     return history
 

@@ -52,7 +52,9 @@ def robots_dimension(
             for host, status, body in zip(
                 pdf["host"], pdf["status"], pdf["body"]
             ):
-                if int(status) == 200 and body:
+                # status is NaN for unreachable hosts (connection refused):
+                # same allow-all outcome as 4xx per RFC 9309 §2.3.1.3
+                if pd.notna(status) and int(status) == 200 and body:
                     parsed = parse_robots(str(body), agent=agent)
                 else:
                     # 4xx/absent => allow-all (RFC 9309 §2.3.1.3)
@@ -136,6 +138,7 @@ SITEMAP_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("source_sitemap", T.StringType()),
         T.StructField("is_nested_sitemap", T.BooleanType()),
+        T.StructField("pos", T.IntegerType()),
     ]
 )
 
@@ -146,7 +149,9 @@ def sitemap_seed_urls(fetched_sitemaps: DataFrame) -> DataFrame:
     Nested <sitemapindex> entries come back flagged so the driver loop can
     enqueue them for the next robots/sitemap fetch wave; plain page URLs
     flow to ``ingest_seeds`` (which canonicalizes, domain-filters and
-    dedups exactly like POSTed seeds)."""
+    dedups exactly like POSTed seeds). ``pos`` is the loc's document-order
+    index within its sitemap (separate counters per kind) — the
+    deterministic within-sitemap enqueue order the crawl loop sorts by."""
     import pandas as pd
 
     def _parse(frames):
@@ -154,12 +159,12 @@ def sitemap_seed_urls(fetched_sitemaps: DataFrame) -> DataFrame:
             out = []
             for src, body in zip(pdf["url"], pdf["body"]):
                 parsed = parse_sitemap(str(body or ""))
-                for u in parsed["urls"]:
+                for i, u in enumerate(parsed["urls"]):
                     out.append({"url": u, "source_sitemap": src,
-                                "is_nested_sitemap": False})
-                for u in parsed["sitemaps"]:
+                                "is_nested_sitemap": False, "pos": i})
+                for i, u in enumerate(parsed["sitemaps"]):
                     out.append({"url": u, "source_sitemap": src,
-                                "is_nested_sitemap": True})
+                                "is_nested_sitemap": True, "pos": i})
             yield pd.DataFrame(
                 out, columns=[f.name for f in SITEMAP_SCHEMA.fields]
             )

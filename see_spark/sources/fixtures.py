@@ -146,6 +146,101 @@ def fixture_site_rfc() -> Dict[str, dict]:
     return site
 
 
+def fixture_site_sitemaps() -> Dict[str, dict]:
+    """fixture_site_rfc + served sitemaps for CrawlConfig.use_sitemaps:
+    a <sitemapindex> fan-out (wave nesting), a 404 nested sitemap (failed
+    fetch recorded, no retry), locs that duplicate link-discovered pages
+    (URL-seen dedup), a robots-blocked loc, an off-domain loc (filter),
+    an entity-escaped loc, pages reachable ONLY via sitemap (which then
+    contribute links of their own), and a NEW host entering the crawl via
+    a sitemap loc — whose own robots declares a further sitemap."""
+    sm = "</loc></url><url><loc>"
+    site = fixture_site_rfc()
+    site["http://site-a.test/sitemap.xml"] = page(
+        "<sitemapindex><sitemap><loc>http://site-a.test/sm-pages.xml</loc>"
+        "</sitemap><sitemap><loc>http://site-a.test/sm-broken.xml</loc>"
+        "</sitemap></sitemapindex>",
+        content_type=PLAIN,
+    )
+    site["http://site-a.test/sm-pages.xml"] = page(
+        "<urlset><url><loc>"
+        + sm.join(
+            [
+                "http://site-a.test/articles/chopin.html",  # dup of a link
+                "http://site-a.test/sitemap-only/hidden.html",
+                "http://site-a.test/img/extra.png",  # robots: /*.png$
+                "http://external.example/nope",  # domain filter
+                "http://site-a.test/q?a=1&amp;b=2",  # entity escape
+                "http://site-c.test/start.html",  # new host via sitemap
+            ]
+        )
+        + "</loc></url></urlset>",
+        content_type=PLAIN,
+    )
+    site["http://site-a.test/sm-broken.xml"] = page("gone", status=404)
+    site["http://site-a.test/sitemap-only/hidden.html"] = page(
+        '<html><head><title>Hidden</title></head><body>Only sitemaps list '
+        'this hidden page. <a href="/from-hidden.html">onward</a>'
+        "</body></html>"
+    )
+    site["http://site-a.test/from-hidden.html"] = page(
+        "<html><head><title>From hidden</title></head><body>Linked from "
+        "the hidden sitemap page.</body></html>"
+    )
+    site["http://site-a.test/img/extra.png"] = page(
+        "\x89PNG...", content_type=BINARY
+    )
+    site["http://site-a.test/q?a=1&b=2"] = page(
+        "escaped query page", content_type=PLAIN
+    )
+    site["http://site-c.test/robots.txt"] = page(
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: http://site-c.test/sitemap.xml\n",
+        content_type=PLAIN,
+    )
+    site["http://site-c.test/start.html"] = page(
+        "<html><head><title>Site C</title></head><body>Site C start."
+        "</body></html>"
+    )
+    site["http://site-c.test/sitemap.xml"] = page(
+        "<urlset><url><loc>http://site-c.test/deep.html</loc></url>"
+        "<url><loc>http://site-c.test/private/x.html</loc></url></urlset>",
+        content_type=PLAIN,
+    )
+    site["http://site-c.test/deep.html"] = page(
+        "<html><head><title>Deep C</title></head><body>Deep page on C."
+        "</body></html>"
+    )
+    site["http://site-c.test/private/x.html"] = page(
+        "private", content_type=PLAIN
+    )
+    return site
+
+
+def fixture_site_blocked_with_sitemap() -> Dict[str, dict]:
+    """Degenerate case for the zero-checkout round: site-z's robots
+    disallow EVERYTHING but declare a sitemap pointing at another host —
+    the crawl's first round checks out nothing yet must still enqueue the
+    sitemap discoveries and continue."""
+    return {
+        "http://site-z.test/robots.txt": page(
+            "User-agent: *\nDisallow: /\n"
+            "Sitemap: http://site-z.test/sitemap.xml\n",
+            content_type=PLAIN,
+        ),
+        "http://site-z.test/": page("<html><body>blocked</body></html>"),
+        "http://site-z.test/sitemap.xml": page(
+            "<urlset><url><loc>http://site-y.test/open.html</loc></url>"
+            "</urlset>",
+            content_type=PLAIN,
+        ),
+        "http://site-y.test/open.html": page(
+            "<html><head><title>Open Y</title></head><body>Reached via a "
+            "blocked host's sitemap.</body></html>"
+        ),
+    }
+
+
 # Queries mirroring the integration suite's exact result-set assertions
 # (/root/reference/ct/see/see_SUITE.erl:55-66), adapted to this corpus.
 GOLDEN_QUERIES = {

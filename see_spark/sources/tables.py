@@ -129,6 +129,20 @@ ROBOTS_RFC_SCHEMA = T.StructType(
     ]
 )
 
+# Sitemap fetch ledger (crawl sitemap mode): append-only, one row per
+# sitemap URL ever fetched — the anti-join target that makes sitemap I/O
+# O(distinct sitemaps) over a crawl's life, like robots_rfc is for hosts.
+# Failed fetches are recorded too (no retry), per the recrawl scheduler's
+# job to decide refresh policy separately.
+SITEMAPS_FETCHED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("n_urls", T.IntegerType(), True),
+        T.StructField("n_nested", T.IntegerType(), True),
+        T.StructField("fetched_in_round", T.IntegerType(), False),
+    ]
+)
+
 SCHEMAS = {
     "frontier": FRONTIER_SCHEMA,
     "docs": DOCS_SCHEMA,
@@ -137,6 +151,7 @@ SCHEMAS = {
     "hoststats": HOSTSTATS_SCHEMA,
     "robots": ROBOTS_SCHEMA,
     "robots_rfc": ROBOTS_RFC_SCHEMA,
+    "sitemaps_fetched": SITEMAPS_FETCHED_SCHEMA,
 }
 
 
