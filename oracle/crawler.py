@@ -73,6 +73,8 @@ def crawl(
     robots_agent: str = "see-spark",
     use_sitemaps: bool = False,
     sitemap_waves: int = 3,
+    honor_crawl_delay: bool = False,
+    seconds_per_round: float = 1.0,
 ) -> OracleResult:
     robots = robots or {}
     # RFC 9309 mode: robots rules come from the site's own
@@ -90,8 +92,20 @@ def crawl(
                 _rfc_cache[host] = parse_robots(entry["body"], agent=robots_agent)
             else:
                 _rfc_cache[host] = {"allow": [], "disallow": [],
-                                    "sitemaps": []}
+                                    "crawl_delay": None, "sitemaps": []}
         return _rfc_cache[host]
+
+    def host_gap_rounds(host: str) -> int:
+        """Effective checkout gap (matching crawl.run_round's host_gap):
+        max(min_gap_rounds, ceil(crawl_delay / seconds_per_round))."""
+        if not (robots_rfc and honor_crawl_delay):
+            return min_gap_rounds
+        cd = rfc_rules(host).get("crawl_delay")
+        if cd is None:
+            return min_gap_rounds
+        import math
+
+        return max(min_gap_rounds, math.ceil(cd / seconds_per_round))
 
     # sitemap mode (matching crawl._sitemap_candidates): when a host first
     # has unvisited URLs, its robots' Sitemap: entries are fetched —
@@ -188,7 +202,7 @@ def crawl(
             key=lambda e: (e.depth, e.seq),
         ):
             last = host_last_round.get(entry.host)
-            if last is not None and round_no - last < min_gap_rounds:
+            if last is not None and round_no - last < host_gap_rounds(entry.host):
                 continue
             bucket = per_host.setdefault(entry.host, [])
             if len(bucket) < host_budget:
@@ -204,6 +218,11 @@ def crawl(
                 rounds = round_no + 1
                 for u in sitemap_pages:
                     queue(u, 0, round_no)
+                continue
+            if any(e.state == "unvisited" for e in frontier.values()):
+                # idle politeness wait: unvisited URLs remain but every
+                # host is inside its gap window (min_gap_rounds > 1 or
+                # crawl-delay) — mirrors metrics.gap_waiting
                 continue
             break
         rounds = round_no + 1

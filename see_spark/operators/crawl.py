@@ -110,6 +110,13 @@ class CrawlConfig:
     # order, or the URL-seen set.
     use_sitemaps: bool = False
     sitemap_waves: int = 3
+    # Crawl-delay politeness (requires robots_rfc): a host whose robots
+    # declares Crawl-delay gets a per-host checkout gap of
+    # max(min_gap_rounds, ceil(crawl_delay / seconds_per_round)) — rounds
+    # are the crawl's time unit, so seconds_per_round pins the conversion
+    # deterministically (no wall clock anywhere).
+    honor_crawl_delay: bool = False
+    seconds_per_round: float = 1.0
     # Raw-fetch archiving: when set, every round's fetch results are
     # written as WARC files under {archive_dir}/round-NNNNN/ before
     # parsing (sources/warc.py — deterministic record ids, byte-
@@ -132,6 +139,10 @@ class RoundMetrics:
     discovered: int = 0
     frontier_size: int = 0
     archived: int = 0  # WARC records written this round (archive mode)
+    # 1 when a zero-checkout round still has unvisited URLs — every
+    # eligible host is inside its politeness/crawl-delay gap, so the round
+    # is an idle WAIT, not the end of the crawl (run_crawl continues).
+    gap_waiting: int = 0
 
 
 def ingest_seeds(
@@ -470,6 +481,7 @@ def run_round(
     gated = frontier_ops.robots_block(unvisited, robots)
     rfc_active = False
     sitemap_cands = None
+    rfc_dim = None
     if config.robots_rfc:
         rfc_dim, rfc_inc = _refresh_robots_rfc(
             catalog, fetcher, gated, config, round_no
@@ -484,9 +496,17 @@ def run_round(
     still_unvisited = gated.filter(F.col("state") == STATE_UNVISITED)
 
     hoststats = read_hoststats(catalog)
+    host_gap = None
+    if rfc_dim is not None and config.honor_crawl_delay:
+        host_gap = rfc_dim.filter(F.col("crawl_delay").isNotNull()).select(
+            "host",
+            F.ceil(
+                F.col("crawl_delay") / F.lit(float(config.seconds_per_round))
+            ).cast("int").alias("gap_rounds"),
+        )
     batch = frontier_ops.checkout(
         still_unvisited, hoststats, round_no, config.host_budget,
-        config.min_gap_rounds,
+        config.min_gap_rounds, host_gap=host_gap,
     )
     # fetch_order is global across rounds for crawl-order parity
     prior_fetches = _fetched_total(catalog, frontier)
@@ -531,6 +551,10 @@ def run_round(
                 appended=newly_blocked,
                 meta=meta,
             )
+        if not unvisited_out.isEmpty():
+            # all remaining unvisited hosts are gap-blocked this round
+            # (possible only under min_gap_rounds > 1 or crawl-delay)
+            metrics.gap_waiting = 1
         catalog.commit_round(round_no, {"done": True})
         return metrics
 
@@ -877,8 +901,13 @@ def run_crawl(
         metrics = run_round(spark, catalog, fetcher, config, round_no)
         history.append(metrics)
         # a zero-checkout round that still DISCOVERED URLs (sitemap seeding
-        # under a fully-blocked frontier) must not end the crawl
-        if metrics.checked_out == 0 and not metrics.discovered:
+        # under a fully-blocked frontier) or that is an idle politeness
+        # WAIT (every unvisited host inside its gap) must not end the crawl
+        if (
+            metrics.checked_out == 0
+            and not metrics.discovered
+            and not metrics.gap_waiting
+        ):
             break
     return history
 

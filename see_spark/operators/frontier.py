@@ -214,6 +214,7 @@ def checkout(
     round_no: int,
     host_budget: int,
     min_gap_rounds: int = 1,
+    host_gap: Optional[DataFrame] = None,
 ) -> DataFrame:
     """O1+O24: the round's fetch batch.
 
@@ -234,7 +235,26 @@ def checkout(
     result is identical to the single-window plan.
     """
     eligible = frontier.filter(F.col("state") == STATE_UNVISITED)
-    if min_gap_rounds > 1:
+    if host_gap is not None:
+        # per-host gap override (robots Crawl-delay, in rounds): effective
+        # gap = max(min_gap_rounds, host's gap_rounds). host_gap is
+        # O(hosts that declare a delay) — a broadcast dim like hoststats.
+        stats = F.broadcast(hoststats.select("host", "last_fetch_round"))
+        gaps = F.broadcast(host_gap.select("host", "gap_rounds"))
+        eff = F.greatest(
+            F.coalesce(F.col("gap_rounds"), F.lit(min_gap_rounds)),
+            F.lit(min_gap_rounds),
+        )
+        eligible = (
+            eligible.join(stats, "host", "left")
+            .join(gaps, "host", "left")
+            .filter(
+                F.col("last_fetch_round").isNull()
+                | (F.col("last_fetch_round") <= F.lit(round_no) - eff)
+            )
+            .drop("last_fetch_round", "gap_rounds")
+        )
+    elif min_gap_rounds > 1:
         stats = F.broadcast(hoststats.select("host", "last_fetch_round"))
         eligible = eligible.join(stats, "host", "left").filter(
             F.col("last_fetch_round").isNull()

@@ -217,6 +217,24 @@ def fixture_site_sitemaps() -> Dict[str, dict]:
     return site
 
 
+def fixture_site_crawl_delay() -> Dict[str, dict]:
+    """fixture_site_rfc with a Crawl-delay: 3 in site-a's see-spark group
+    (site-b keeps none) — site-a checkouts must then be >= 3 rounds apart
+    while site-b proceeds every round (CrawlConfig.honor_crawl_delay)."""
+    site = fixture_site_rfc()
+    site["http://site-a.test/robots.txt"] = page(
+        "User-agent: other-crawler\nDisallow: /\n\n"
+        "User-agent: see-spark\n"
+        "Crawl-delay: 3\n"
+        "Disallow: /*.png$\n"
+        "Disallow: /search\n"
+        "Allow: /search?q=erlang$\n"
+        "Sitemap: http://site-a.test/sitemap.xml\n",
+        content_type=PLAIN,
+    )
+    return site
+
+
 def fixture_site_blocked_with_sitemap() -> Dict[str, dict]:
     """Degenerate case for the zero-checkout round: site-z's robots
     disallow EVERYTHING but declare a sitemap pointing at another host —
