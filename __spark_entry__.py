@@ -1452,6 +1452,56 @@ def _q_frontier_priority_indegree(spark, sf_dir):
 
 # Checked by scripts/check_correctness.py but NOT exported to the driver's
 # 50-entry gate window: postings_tf is a projection of tokenize_postings
+def _q_knn_pq(spark, sf_dir):
+    """Engine addition: product-quantization ANN (ADC). Integer-quantized
+    vectors + integer codebooks (first-16 subvectors, 4 subspaces of 16
+    dims) make every adc_dist exact — the oracle reproduces encoding
+    (argmin squared-L2 per subspace, tie -> lowest code) and the ADC sum
+    bit-for-bit."""
+    from see_spark.operators.similarity import knn_pq
+
+    vecs = _qvecs(spark, sf_dir)
+    queries_df = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_pq(vecs, queries_df, k=10, m=4, n_codes=16, dim=64).select(
+        "query_id", "vec_id", "adc_dist",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_politeness_crawl_delay(spark, sf_dir):
+    """Crawl-delay politeness through the REAL checkout() operator: a
+    synthetic per-host gap dimension (hosts with hn%3==0 declare a delay
+    of hn%5+2 rounds), synthetic hoststats last_fetch_round = hn%4,
+    round 6, min gap 2, budget 3. The oracle reproduces eligibility
+    (last <= round - max(min_gap, gap)), the per-host top-3 window and
+    the dense global fetch_order."""
+    from see_spark.operators.frontier import checkout
+
+    f = _orders_frontier(spark, sf_dir).withColumn(
+        "url_hash", F.xxhash64("url")
+    )
+    hn = F.regexp_extract("host", r"host(\d+)\.test", 1).cast("long")
+    hosts = f.select("host").distinct()
+    hoststats = hosts.select(
+        "host",
+        (hn % 4).cast("int").alias("last_fetch_round"),
+        F.lit(0).cast("long").alias("fetched_total"),
+    )
+    host_gap = hosts.filter(hn % 3 == 0).select(
+        "host", (hn % 5 + 2).cast("int").alias("gap_rounds")
+    )
+    batch = checkout(
+        f, hoststats, round_no=6, host_budget=3, min_gap_rounds=2,
+        host_gap=host_gap,
+    )
+    return batch.select(
+        "url", "host", "depth", "seq",
+        F.col("fetch_order").cast("long").alias("fetch_order"),
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Engine addition: benchmark decontamination (GPT-3 appendix-C shape).
     The 'benchmark' is derived deterministically from the corpus itself —
@@ -1519,6 +1569,8 @@ QUERIES_EXTRA: dict = {
     "frontier_priority_indegree": _q_frontier_priority_indegree,
     "decontaminate": _q_decontaminate,
     "pack_sequences": _q_pack_sequences,
+    "politeness_crawl_delay": _q_politeness_crawl_delay,
+    "knn_pq": _q_knn_pq,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -2880,9 +2932,67 @@ ORACLES_EXTRA.update(
 
 
 # Batch-5 oracles: training-data pipeline tail — decontamination and
-# sequence packing. Both integer-only outputs (no float compares).
+# sequence packing (integer-only outputs) — plus crawl-delay politeness.
 ORACLES_EXTRA.update(
     {
+        "politeness_crawl_delay": f"""
+        WITH f AS ({{_F}}),
+        h AS (SELECT url, host, depth, seq,
+                     CAST(regexp_extract(host, 'host(\\d+)\\.test', 1)
+                          AS BIGINT) AS hn
+              FROM f WHERE state = 'unvisited'),
+        elig AS (
+          SELECT url, host, depth, seq FROM h
+          WHERE (hn % 4) <= 6 - greatest(
+                  2, CASE WHEN hn % 3 = 0 THEN hn % 5 + 2 ELSE 2 END)),
+        ranked AS (
+          SELECT *, row_number() OVER
+                 (PARTITION BY host ORDER BY depth, seq) AS rk
+          FROM elig)
+        SELECT url, host, depth, seq,
+               CAST(row_number() OVER (ORDER BY depth, seq) - 1 AS BIGINT)
+               AS fetch_order
+        FROM ranked WHERE rk <= 3
+    """.replace("{_F}", _FRONTIER_SQL),
+        # PQ-ADC: m=4 subspaces x 16 dims, codebook = first-16 subvectors
+        # (integer), encode = argmin squared L2 (tie -> lowest code),
+        # score = sum of per-subspace code distances. All BIGINT.
+        "knn_pq": """
+        WITH nv AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                           list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                       AS BIGINT)) AS v
+                    FROM embeddings),
+        subs AS (SELECT unnest(range(0, 4)) AS sub),
+        cb AS (SELECT sub, vec_id AS code,
+                      v[sub*16+1 : sub*16+16] AS cv
+               FROM nv, subs WHERE vec_id < 16),
+        vsub AS (SELECT vec_id, sub, v[sub*16+1 : sub*16+16] AS sv
+                 FROM nv, subs),
+        dist AS (SELECT vec_id, sub, code,
+                        CAST(list_sum(list_transform(range(1, 17),
+                          i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS BIGINT) AS d
+                 FROM vsub JOIN cb USING (sub)),
+        codes AS (SELECT vec_id, sub, code FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                               ORDER BY d, code) AS rn
+                    FROM dist) WHERE rn = 1),
+        qsub AS (SELECT vec_id AS query_id, sub,
+                        v[sub*16+1 : sub*16+16] AS sv
+                 FROM nv, subs WHERE vec_id < 5),
+        qd AS (SELECT query_id, sub, code,
+                      CAST(list_sum(list_transform(range(1, 17),
+                        i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS BIGINT) AS d
+               FROM qsub JOIN cb USING (sub)),
+        scored AS (SELECT query_id, c.vec_id,
+                          CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+                   FROM codes c JOIN qd USING (sub, code)
+                   GROUP BY 1, 2)
+        SELECT query_id, vec_id, adc_dist,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored QUALIFY rank <= 10
+    """,
         # benchmark = tokens 4..28 of every 41st doc; 5-gram overlap.
         # DuckDB list slice t[i:i+4] is INCLUSIVE (5 tokens), matching
         # Spark slice(toks, i, 5); both sides guard len >= 5 explicitly.

@@ -233,6 +233,147 @@ def knn_ivf(
     )
 
 
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int,
+    n_codes: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> list:
+    """Product-quantization codebooks: subspace ``s``'s codebook is the
+    first ``n_codes`` vectors' s-th subvector slices (the same
+    deterministic first-N seeding convention as ``ivf_train_centroids``).
+    Keeping codebook entries as ACTUAL (integer-quantized) data points —
+    rather than Lloyd-refined float means — makes every downstream
+    distance pure integer arithmetic, bit-exact in any engine and any
+    summation order; Lloyd refinement of a coarse quantizer is
+    demonstrated by ``ivf_train_centroids`` and composes in front of this
+    (IVF-PQ) unchanged.
+
+    Returns ``codebooks[sub][code] = [dsub ints]``. Driver-side data is
+    O(n_codes) rows — a constant like a broadcast literal, never O(N).
+    """
+    assert dim % m == 0, "dim must divide into m subspaces"
+    dsub = dim // m
+    rows = (
+        vectors.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(rows) == n_codes, "first n_codes vec ids must be present"
+    return [
+        [list(r["vec"][s * dsub : (s + 1) * dsub]) for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_subdists_expr(vec_col, offset: int, codebook: list):
+    """array of Σ_i (vec[offset+i] - c_i)^2 for every codebook entry —
+    expressed with array higher-order functions (zip_with/aggregate over a
+    nested array LITERAL) rather than unrolled per-element arithmetic:
+    unrolling m x k x dsub squares blows the JVM's 64 KB method limit at
+    dim 64 and knocks the whole stage out of codegen (measured); the HOF
+    form compiles to compact loops and stays in whole-stage codegen."""
+    dsub = len(codebook[0])
+    sub = F.transform(
+        F.slice(vec_col, offset + 1, dsub), lambda x: x.cast("long")
+    )
+    cb_lit = F.lit([[int(c) for c in row] for row in codebook]).cast(
+        "array<array<long>>"
+    )
+    return F.transform(
+        cb_lit,
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(vec_id, codes array<int>): per subspace, the nearest codebook
+    entry by squared L2 (tie -> lowest code id, the first-min position).
+
+    Pure projection: the codebooks are expression literals, so encoding is
+    whole-stage codegen with ZERO shuffle — the 10^9-vector side is read
+    once and reduced to m small ints per row (the PQ memory win)."""
+    m = len(codebooks)
+    dsub = dim // m
+    codes = []
+    for s, cb in enumerate(codebooks):
+        dists = _pq_subdists_expr(F.col(vec_col), s * dsub, cb)
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.array(*codes).alias("codes")
+    )
+
+
+def knn_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Product-quantization ANN (the Jégou et al. ADC shape): corpus
+    vectors are encoded once to ``m`` sub-codes; a query ranks candidates
+    by the sum of per-subspace distances to each code's centroid —
+    distances to full vectors are never computed at query time.
+
+    Scale shape: the corpus side carries only the m-byte code array (the
+    memory reduction that makes 10^9+ vectors fit), NEVER shuffles, and
+    scoring is a broadcast-queries nested loop where the per-row work is
+    m array lookups into the query's distance table (codegen literals) —
+    then the same partial-top-k window as knn_bruteforce. With integer-
+    quantized inputs every adc_dist is exact (no floats anywhere).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    codebooks = pq_codebooks(e, m=m, n_codes=n_codes, dim=dim)
+    codes_df = pq_encode(e, codebooks, dim=dim)
+    dsub = dim // m
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        )
+    )
+    # per-subspace distance table for the row's query, indexed by the
+    # corpus row's code: element_at(table_sub, code_sub + 1)
+    score = F.lit(0).cast("long")
+    for s, cb in enumerate(codebooks):
+        table = _pq_subdists_expr(F.col("qvec"), s * dsub, cb)
+        score = score + F.element_at(
+            table, F.element_at(F.col("codes"), s + 1) + 1
+        )
+    scored = q.crossJoin(codes_df).select(
+        "query_id", "vec_id", score.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
 def knn_lsh_bucketed(
     embeddings: DataFrame,
     queries: DataFrame,
