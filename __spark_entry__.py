@@ -1452,6 +1452,22 @@ def _q_frontier_priority_indegree(spark, sf_dir):
 
 # Checked by scripts/check_correctness.py but NOT exported to the driver's
 # 50-entry gate window: postings_tf is a projection of tokenize_postings
+def _q_epoch_mix(spark, sf_dir):
+    """Engine addition: deterministic source-weighted epoch mixing —
+    src0 upsampled 2.5x, src1 1.5x, src2 downsampled to 0.5x, everything
+    else kept at 1.0x; fractional copies decided by a salted hash bucket
+    (reproducible in any engine, never DataFrame.sample)."""
+    from see_spark.operators.packing import epoch_mix
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    return epoch_mix(
+        d, weights={"src0": 2500, "src1": 1500, "src2": 500},
+        default_weight=1000,
+    )
+
+
 def _q_knn_pq(spark, sf_dir):
     """Engine addition: product-quantization ANN (ADC). Integer-quantized
     vectors + integer codebooks (first-16 subvectors, 4 subspaces of 16
@@ -1571,6 +1587,7 @@ QUERIES_EXTRA: dict = {
     "pack_sequences": _q_pack_sequences,
     "politeness_crawl_delay": _q_politeness_crawl_delay,
     "knn_pq": _q_knn_pq,
+    "epoch_mix": _q_epoch_mix,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -2992,6 +3009,24 @@ ORACLES_EXTRA.update(
                CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank
         FROM scored QUALIFY rank <= 10
+    """,
+        # milli-weight mixing: copies = w DIV 1000 + (hash bucket < w%1000)
+        "epoch_mix": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                          CASE source WHEN 'src0' THEN 2500
+                                      WHEN 'src1' THEN 1500
+                                      WHEN 'src2' THEN 500
+                                      ELSE 1000 END AS rate,
+                          ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                          1, 15))::BIGINT % 1000 AS bucket
+                   FROM documents),
+        n AS (SELECT doc_id, source,
+                     rate // 1000
+                       + CASE WHEN bucket < rate % 1000 THEN 1 ELSE 0 END
+                       AS n_copies
+              FROM d)
+        SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy
+        FROM n WHERE n_copies > 0
     """,
         # benchmark = tokens 4..28 of every 41st doc; 5-gram overlap.
         # DuckDB list slice t[i:i+4] is INCLUSIVE (5 tokens), matching

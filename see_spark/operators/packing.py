@@ -88,3 +88,56 @@ def pack_sequences(
         .cast("long")
         .alias("seq_off"),
     )
+
+
+def epoch_mix(
+    docs: DataFrame,
+    weights: dict,
+    default_weight: int = 1000,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic source-weighted epoch mixing: replicate each document
+    ``weights[source]/1000`` times per training epoch (milli-weights, the
+    repo's pinned integer-rate convention). A weight of 2500 emits every
+    doc twice plus a 50% deterministic subset a third time; 500 keeps a
+    50% subset once; the fractional part is decided by a salted 60-bit
+    hash bucket of doc_id — reproducible across runs, partitionings and
+    engines (never ``DataFrame.sample``). Returns one row per emitted copy
+    (doc_id, source, copy 0-based).
+
+    Scale shape: zero shuffle — a per-row ``sequence``/``explode`` whose
+    fan-out is the weight (bounded, typically < 10), the same cost profile
+    as reading the epoch would have. Downstream shuffles (packing) treat
+    (doc_id, copy) as the identity.
+    """
+    rate = F.lit(int(default_weight))
+    for src, w in sorted(weights.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(int(w))).otherwise(rate)
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))),
+        F.lit(1000),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        rate.cast("long").alias("rate"),
+        bucket.cast("long").alias("bucket"),
+    ).withColumn(
+        "n_copies",
+        (
+            F.expr("rate DIV 1000")
+            + F.when(
+                F.col("bucket") < F.pmod(F.col("rate"), F.lit(1000)), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).cast("int"),
+    )
+    return (
+        base.filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy"),
+        )
+        .select("doc_id", "source", F.col("copy").cast("long").alias("copy"))
+    )

@@ -139,3 +139,48 @@ def test_decontaminate_counts_distinct_ngrams_once(spark):
     # of which exactly one ("a b c d e") is in the benchmark
     assert row["n_ngrams"] == 5
     assert row["n_contaminated"] == 1
+
+
+def test_epoch_mix_copy_counts_and_determinism(spark):
+    from see_spark.operators.packing import epoch_mix
+
+    docs = spark.createDataFrame(
+        [(i, "up" if i < 200 else ("down" if i < 400 else "flat"))
+         for i in range(600)],
+        ["doc_id", "source"],
+    )
+    out = epoch_mix(
+        docs, weights={"up": 2300, "down": 400}, default_weight=1000
+    ).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    # integer part: every 'up' doc >= 2 copies, numbered 0..n-1
+    ups = [len(per_doc.get(i, [])) for i in range(200)]
+    assert all(n in (2, 3) for n in ups)
+    # fractional part ~30% of 200 (hash-bucketed, not exact): wide bounds
+    assert 30 <= sum(1 for n in ups if n == 3) <= 90
+    downs = [len(per_doc.get(i, [])) for i in range(200, 400)]
+    assert all(n in (0, 1) for n in downs)
+    assert 40 <= sum(downs) <= 120  # ~40% of 200
+    flats = [len(per_doc.get(i, [])) for i in range(400, 600)]
+    assert flats == [1] * 200  # default weight 1000 = exactly once
+    for copies in per_doc.values():
+        assert sorted(copies) == list(range(len(copies)))
+    # deterministic across partitionings
+    again = epoch_mix(
+        docs.repartition(7, "source"), weights={"up": 2300, "down": 400},
+        default_weight=1000,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_epoch_mix_plan_has_no_shuffle(spark):
+    from see_spark.operators.packing import epoch_mix
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    plan = (
+        epoch_mix(docs, weights={"a": 1500})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
