@@ -1452,6 +1452,42 @@ def _q_frontier_priority_indegree(spark, sf_dir):
 
 # Checked by scripts/check_correctness.py but NOT exported to the driver's
 # 50-entry gate window: postings_tf is a projection of tokenize_postings
+def _q_error_backoff_checkout(spark, sf_dir):
+    """Per-host exponential error backoff feeding the real checkout():
+    synthetic error rows (every 50th-seq 'pending' row remapped, so
+    per-host error counts — and therefore gaps 1/2/4/8 — actually vary),
+    gap = min(2^n_errors, 8) rounds, hoststats last_fetch_round = hn%4,
+    round 6, budget 2."""
+    from see_spark.operators.frontier import checkout, error_backoff_gap
+
+    f = (
+        _orders_frontier(spark, sf_dir)
+        .withColumn(
+            "state",
+            F.when(
+                (F.col("state") == "pending") & (F.col("seq") % 50 == 0),
+                "error",
+            ).otherwise(F.col("state")),
+        )
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+    gap = error_backoff_gap(f, base_gap=1, cap_rounds=8)
+    hn = F.regexp_extract("host", r"host(\d+)\.test", 1).cast("long")
+    hoststats = f.select("host").distinct().select(
+        "host",
+        (hn % 4).cast("int").alias("last_fetch_round"),
+        F.lit(0).cast("long").alias("fetched_total"),
+    )
+    batch = checkout(
+        f, hoststats, round_no=6, host_budget=2, min_gap_rounds=1,
+        host_gap=gap,
+    )
+    return batch.select(
+        "url", "host", "depth", "seq",
+        F.col("fetch_order").cast("long").alias("fetch_order"),
+    )
+
+
 def _q_epoch_mix(spark, sf_dir):
     """Engine addition: deterministic source-weighted epoch mixing —
     src0 upsampled 2.5x, src1 1.5x, src2 downsampled to 0.5x, everything
@@ -1588,6 +1624,7 @@ QUERIES_EXTRA: dict = {
     "politeness_crawl_delay": _q_politeness_crawl_delay,
     "knn_pq": _q_knn_pq,
     "epoch_mix": _q_epoch_mix,
+    "error_backoff_checkout": _q_error_backoff_checkout,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -3028,6 +3065,32 @@ ORACLES_EXTRA.update(
         SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy
         FROM n WHERE n_copies > 0
     """,
+        # error backoff: gap = min(2^least(n_errors,30), 8); 'pending'
+        # rows are the synthetic error slice; eligibility vs hoststats
+        # last=hn%4 at round 6 with min_gap 1, then the budget-2 windows.
+        "error_backoff_checkout": """
+        WITH f AS ({_F}),
+        h AS (SELECT url, host, depth, seq, state,
+                     CAST(regexp_extract(host, 'host(\\d+)\\.test', 1)
+                          AS BIGINT) AS hn
+              FROM f),
+        g AS (SELECT host,
+                     least(1 << least(COUNT(*), 30), 8) AS gap
+              FROM h WHERE state = 'pending' AND seq % 50 = 0
+              GROUP BY host),
+        elig AS (
+          SELECT h.url, h.host, h.depth, h.seq FROM h LEFT JOIN g USING (host)
+          WHERE h.state = 'unvisited'
+            AND (h.hn % 4) <= 6 - greatest(COALESCE(g.gap, 1), 1)),
+        ranked AS (
+          SELECT *, row_number() OVER
+                 (PARTITION BY host ORDER BY depth, seq) AS rk
+          FROM elig)
+        SELECT url, host, depth, seq,
+               CAST(row_number() OVER (ORDER BY depth, seq) - 1 AS BIGINT)
+               AS fetch_order
+        FROM ranked WHERE rk <= 2
+    """.replace("{_F}", _FRONTIER_SQL),
         # benchmark = tokens 4..28 of every 41st doc; 5-gram overlap.
         # DuckDB list slice t[i:i+4] is INCLUSIVE (5 tokens), matching
         # Spark slice(toks, i, 5); both sides guard len >= 5 explicitly.

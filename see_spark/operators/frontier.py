@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.seq import with_dense_sequence
 from ..functions.udfs import canonicalize_udf
 from ..sources.tables import (
+    STATE_ERROR,
     FRONTIER_SCHEMA,
     STATE_PENDING,
     STATE_ROBOTS,
@@ -281,6 +282,35 @@ def checkout(
         out_col="fetch_order", start=0,
     ).withColumn("checkout_round", F.lit(round_no).cast("int")).withColumn(
         "state", F.lit(STATE_PENDING)
+    )
+
+
+def error_backoff_gap(
+    frontier: DataFrame,
+    base_gap: int = 1,
+    cap_rounds: int = 16,
+) -> DataFrame:
+    """Per-host exponential error backoff as a checkout gap dimension:
+    a host with n fetch errors waits ``min(cap, base_gap * 2^n)`` rounds
+    between visits. Feed the result to ``checkout(host_gap=...)`` — the
+    same broadcast per-host gap mechanism robots Crawl-delay uses, so the
+    two compose by taking the greatest gap per host upstream.
+
+    Exact shifts (shiftleft on a capped exponent), no float pow — any
+    engine reproduces the gaps bit-for-bit. One map-side-combinable
+    aggregate over the error partition; hosts without errors are absent
+    (checkout's left join defaults them to min_gap_rounds)."""
+    errs = frontier.filter(F.col("state") == STATE_ERROR).groupBy("host").agg(
+        F.count("*").cast("int").alias("n_errors")
+    )
+    # clamp the exponent BEFORE shifting so shiftleft never overflows
+    # (SQL expr: pyspark's shiftleft() only takes a literal bit count)
+    return errs.select(
+        "host",
+        F.expr(
+            f"cast(least(shiftleft({int(base_gap)}, least(n_errors, 30)),"
+            f" {int(cap_rounds)}) as int)"
+        ).alias("gap_rounds"),
     )
 
 

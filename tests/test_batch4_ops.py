@@ -303,3 +303,34 @@ def test_checkout_prioritized_deterministic_across_partitioning(spark):
     b = checkout_prioritized(f.repartition(7, "host"), ind, host_budget=3).collect()
     key = lambda rows: sorted((r["url"], r["fetch_order"], r["priority"]) for r in rows)
     assert key(a) == key(b)
+
+
+def test_error_backoff_gap_values_and_checkout_composition(spark):
+    from see_spark.operators.frontier import checkout, error_backoff_gap
+
+    rows = []
+    # host e1: 1 error -> gap 2; e3: 3 errors -> gap 8 capped to 6;
+    # clean: no errors -> absent from the gap dim (defaults to min_gap)
+    for host, n_err in (("e1.test", 1), ("e3.test", 3), ("clean.test", 0)):
+        for i in range(n_err):
+            rows.append((f"http://{host}/err{i}", host, 0, len(rows), "error"))
+        rows.append((f"http://{host}/next", host, 0, len(rows), "unvisited"))
+    f = spark.createDataFrame(
+        rows, "url string, host string, depth long, seq long, state string"
+    ).withColumn("url_hash", F.xxhash64("url"))
+
+    gaps = {r["host"]: r["gap_rounds"]
+            for r in error_backoff_gap(f, base_gap=1, cap_rounds=6).collect()}
+    assert gaps == {"e1.test": 2, "e3.test": 6}
+
+    hoststats = spark.createDataFrame(
+        [(h, 4, 0) for h in ("e1.test", "e3.test", "clean.test")],
+        "host string, last_fetch_round int, fetched_total long",
+    )
+    # round 7: last=4 -> waited 3 rounds; e1 (gap 2) and clean (gap 1)
+    # eligible, e3 (gap 6) still backing off
+    batch = checkout(
+        f, hoststats, round_no=7, host_budget=1, min_gap_rounds=1,
+        host_gap=error_backoff_gap(f, base_gap=1, cap_rounds=6),
+    ).collect()
+    assert sorted(r["host"] for r in batch) == ["clean.test", "e1.test"]
