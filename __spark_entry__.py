@@ -1452,6 +1452,46 @@ def _q_frontier_priority_indegree(spark, sf_dir):
 
 # Checked by scripts/check_correctness.py but NOT exported to the driver's
 # 50-entry gate window: postings_tf is a projection of tokenize_postings
+def _q_search_query(spark, sf_dir):
+    """Engine addition: the structured query-language entry
+    (operators/search.py:search_query, grammar core/queryparse.py) —
+    one string composing AND terms, an exact-phrase gate, an exclusion,
+    a title boost and a fuzzy scorer. The oracle reproduces every
+    component with the fragments already proven by the standalone
+    queries and composes them identically."""
+    from see_spark.functions.udfs import tokenize_expr
+    from see_spark.operators.search import search_query
+
+    docs = _documents(spark, sf_dir)
+    title_toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokenize_expr(F.substring(F.col("text"), 1, 60))).alias("word"),
+    )
+    title_counts = title_toks.groupBy("doc_id", "word").agg(
+        F.count("*").alias("term_count")
+    )
+    title_postings = title_counts.withColumn(
+        "tf",
+        F.col("term_count")
+        / F.sum("term_count").over(Window.partitionBy("doc_id")),
+    )
+    res = search_query(
+        spark,
+        'table join "slow small" -batch title:query quer~',
+        _doc_postings_tf(spark, sf_dir),
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source").alias("title"),
+        ),
+        docs.count(),
+        title_postings=title_postings,
+        text_docs=docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+    )
+    return res.select(F.col("url").alias("doc_id"), "title", "score")
+
+
 def _q_error_backoff_checkout(spark, sf_dir):
     """Per-host exponential error backoff feeding the real checkout():
     synthetic error rows (every 50th-seq 'pending' row remapped, so
@@ -1625,6 +1665,7 @@ QUERIES_EXTRA: dict = {
     "knn_pq": _q_knn_pq,
     "epoch_mix": _q_epoch_mix,
     "error_backoff_checkout": _q_error_backoff_checkout,
+    "search_query_language": _q_search_query,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -3065,6 +3106,85 @@ ORACLES_EXTRA.update(
         SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy
         FROM n WHERE n_copies > 0
     """,
+        # composite query language: AND('table','join') scored + phrase
+        # gate "slow small" + -batch exclusion + title:query boost (x2.0,
+        # df from body) + quer~ fuzzy scorer — each component verbatim
+        # from its standalone oracle, composed in the pinned order.
+        "search_query_language": f"""
+        WITH postings AS ({{_P}}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        q AS (SELECT unnest(['table','join']) AS word),
+        dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                FROM postings JOIN q USING (word) GROUP BY word),
+        and_scored AS (
+          SELECT doc_id, COUNT(*) AS n_words,
+                 SUM((term_count / doc_len)
+                     * ln((SELECT n_docs FROM n) / (1.0 + df))) AS score
+          FROM postings p JOIN q USING (word) JOIN dfs USING (word)
+          GROUP BY doc_id),
+        base AS (SELECT doc_id, score FROM and_scored WHERE n_words = 2),
+        pos AS ({{_POS}}),
+        occ AS (
+          SELECT a.doc_id FROM
+            (SELECT doc_id, pos FROM pos WHERE word = 'slow') a
+          JOIN
+            (SELECT doc_id, pos - 1 AS pos FROM pos WHERE word = 'small') b
+          USING (doc_id, pos)),
+        phrase_docs AS (SELECT DISTINCT doc_id FROM occ),
+        excl AS (SELECT DISTINCT doc_id FROM postings WHERE word = 'batch'),
+        ttoks AS (
+          SELECT doc_id, lower(tok) AS word
+          FROM (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   unnest(regexp_split_to_array(
+                     regexp_replace(substr(text, 1, 60), '{{_SEP}}', ' ', 'g'),
+                     '[ \t\n\r]')) AS tok
+            FROM documents)
+          WHERE strlen(tok) >= 2),
+        tcounts AS (SELECT doc_id, word, COUNT(*) AS term_count
+                    FROM ttoks GROUP BY doc_id, word),
+        tpost AS (SELECT doc_id, word, term_count,
+                         CAST(SUM(term_count) OVER (PARTITION BY doc_id)
+                              AS BIGINT) AS tlen
+                  FROM tcounts),
+        tq AS (SELECT unnest(['query']) AS word),
+        tdfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                 FROM postings JOIN tq USING (word) GROUP BY word),
+        tscored AS (
+          SELECT doc_id,
+                 SUM(2.0 * (term_count / tlen)
+                     * ln((SELECT n_docs FROM n)
+                          / (1.0 + COALESCE(df, 0)))) AS tscore
+          FROM tpost JOIN tq USING (word) LEFT JOIN tdfs USING (word)
+          GROUP BY doc_id),
+        vocab AS (SELECT DISTINCT word FROM postings),
+        fex AS (SELECT word, 1.0 / (1.0 + levenshtein('quer', word)) AS weight
+                FROM vocab WHERE levenshtein('quer', word) <= 1),
+        fdfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                 FROM postings
+                 WHERE word IN (SELECT word FROM fex) GROUP BY word),
+        fscored AS (
+          SELECT doc_id,
+                 SUM(weight * (term_count / doc_len)
+                     * ln((SELECT n_docs FROM n) / (1.0 + df))) AS fscore
+          FROM postings JOIN fex USING (word) JOIN fdfs USING (word)
+          GROUP BY doc_id),
+        gated AS (
+          SELECT b.doc_id, b.score
+          FROM base b JOIN phrase_docs USING (doc_id)
+          WHERE b.doc_id NOT IN (SELECT doc_id FROM excl)),
+        total AS (
+          SELECT g.doc_id,
+                 g.score + COALESCE(t.tscore, 0) + COALESCE(f.fscore, 0)
+                   AS total
+          FROM gated g LEFT JOIN tscored t USING (doc_id)
+                       LEFT JOIN fscored f USING (doc_id)),
+        top AS (SELECT doc_id, total FROM total
+                ORDER BY total DESC, doc_id ASC LIMIT 100)
+        SELECT t.doc_id, d.source AS title, ROUND(t.total, 6) AS score
+        FROM top t JOIN documents d USING (doc_id)
+    """.replace("{_P}", _POSTINGS_SQL).replace("{_POS}", _POS_TOKENS_SQL)
+        .replace("{_SEP}", _SEP_SQL),
         # error backoff: gap = min(2^least(n_errors,30), 8); 'pending'
         # rows are the synthetic error slice; eligibility vs hoststats
         # last=hn%4 at round 6 with min_gap 1, then the budget-2 windows.

@@ -370,3 +370,194 @@ def search_bm25(
         )
         .orderBy(F.desc("score"), F.asc("url"))
     )
+
+
+def search_query(
+    spark: SparkSession,
+    query: str,
+    postings: DataFrame,
+    docs: DataFrame,
+    page_count: int,
+    k: int = MAX_RESULTS,
+    word_stats: DataFrame = None,
+    title_postings: DataFrame = None,
+    text_docs: DataFrame = None,
+    title_weight: float = 2.0,
+    max_dist: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Structured query-language entry (engine addition): one string
+    composes the engine's whole ranking family. Grammar in
+    core/queryparse.py; semantics PINNED as:
+
+      gates   — every ``"exact phrase"`` must occur (positional equi-join
+                doc set, semi-joined); no ``-excluded`` word may occur
+                (anti-join); plain terms gate conjunctively exactly like
+                ``search()``.
+      scorers — score(d) = and_score(plain terms)            [0 if none]
+                         + title_weight·Σ qcount·tf_title·idf_body
+                           for ``title:`` terms  (search_fielded rule)
+                         + Σ qcount/(1+dist)·tf·idf over Levenshtein
+                           expansions of ``tok~`` terms (search_fuzzy rule)
+      base    — docs passing the AND gate when plain terms exist; else
+                docs passing the phrase gates; else any doc matched by a
+                scorer (disjunctive).
+
+    ``title_postings`` is required for title: terms; ``text_docs``
+    (doc_id, text) for phrases. Plan shape: every component reuses its
+    standalone operator's scale shape (broadcast query dicts,
+    word-restricted df aggregates, one doc_id shuffle each), the gates are
+    semi/anti-joins on doc_id BEFORE the k-cut, and the final top-k is
+    TakeOrderedAndProject.
+    """
+    from ..core.queryparse import _counts, parse_query
+    from .lexicon import fuzzy_expand
+    from .positional import phrase_search
+
+    p = parse_query(query)
+    if not (p["terms"] or p["phrases"] or p["title"] or p["fuzzy"]):
+        return spark.createDataFrame([], "url string, title string, score double")
+    if p["title"] and title_postings is None:
+        raise ValueError("title: terms need title_postings")
+    if p["phrases"] and text_docs is None:
+        raise ValueError("phrases need text_docs (doc_id, text)")
+
+    idf = lambda df_col: F.log(  # noqa: E731
+        F.lit(float(page_count)) / (F.lit(1.0) + df_col)
+    )
+
+    and_scored = None
+    if p["terms"]:
+        counts = _counts(p["terms"])
+        qdf = _query_multiset(spark, counts)
+        if word_stats is not None:
+            df_by_word = (
+                word_stats.join(qdf.select("word"), "word", "left_semi")
+                .groupBy("word").agg(F.sum("df").alias("df"))
+            )
+        else:
+            df_by_word = (
+                postings.join(qdf.select("word"), "word", "left_semi")
+                .groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+            )
+        and_scored = (
+            postings.join(qdf, "word")
+            .join(F.broadcast(df_by_word), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("__n"),
+                F.sum(F.col("qcount") * F.col("tf") * idf(F.col("df")))
+                .alias("score"),
+            )
+            .filter(F.col("__n") == len(counts))
+            .select("doc_id", "score")
+        )
+
+    title_scored = None
+    if p["title"]:
+        qdf_t = _query_multiset(spark, _counts(p["title"]))
+        df_t = (
+            postings.join(qdf_t.select("word"), "word", "left_semi")
+            .groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+        )
+        title_scored = (
+            title_postings.join(qdf_t, "word")
+            .join(F.broadcast(df_t), "word", "left")
+            .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.lit(float(title_weight))
+                    * F.col("qcount") * F.col("tf") * idf(F.col("df"))
+                ).alias("__tscore")
+            )
+        )
+
+    fuzzy_scored = None
+    if p["fuzzy"]:
+        counts_f = _counts(p["fuzzy"])
+        vocab = postings.select("word").distinct()
+        exp = fuzzy_expand(spark, sorted(counts_f), vocab, max_dist=max_dist)
+        qdf_f = F.broadcast(
+            spark.range(1).select(
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        F.lit(c).cast("int").alias("qcount"),
+                    )
+                    for t, c in counts_f.items()
+                ])).alias("__q")
+            ).select("__q.term", "__q.qcount")
+        )
+        wdf = F.broadcast(
+            exp.join(qdf_f, "term").select(
+                "word",
+                (F.col("qcount") / (F.lit(1.0) + F.col("dist"))).alias("weight"),
+            )
+        )
+        df_f = (
+            postings.join(wdf.select("word").distinct(), "word", "left_semi")
+            .groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+        )
+        fuzzy_scored = (
+            postings.join(wdf, "word")
+            .join(F.broadcast(df_f), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("weight") * F.col("tf") * idf(F.col("df")))
+                .alias("__fscore")
+            )
+        )
+
+    if and_scored is not None:
+        base = and_scored
+    elif p["phrases"]:
+        base = (
+            phrase_search(text_docs, p["phrases"][0])
+            .select("doc_id").withColumn("score", F.lit(0.0))
+        )
+    else:
+        parts = [s.select("doc_id") for s in (title_scored, fuzzy_scored)
+                 if s is not None]
+        base = parts[0]
+        for extra in parts[1:]:
+            base = base.unionByName(extra)
+        base = base.distinct().withColumn("score", F.lit(0.0))
+
+    for ph in p["phrases"]:
+        base = base.join(
+            phrase_search(text_docs, ph).select("doc_id"), "doc_id",
+            "left_semi",
+        )
+    if p["exclude"]:
+        excl = (
+            postings.filter(F.col("word").isin(list(p["exclude"])))
+            .select("doc_id").distinct()
+        )
+        base = base.join(excl, "doc_id", "left_anti")
+
+    total = base
+    for part in (title_scored, fuzzy_scored):
+        if part is not None:
+            total = total.join(part, "doc_id", "left")
+    score = (
+        F.col("score")
+        + (F.coalesce(F.col("__tscore"), F.lit(0.0))
+           if title_scored is not None else F.lit(0.0))
+        + (F.coalesce(F.col("__fscore"), F.lit(0.0))
+           if fuzzy_scored is not None else F.lit(0.0))
+    )
+    top = (
+        total.select("doc_id", score.alias("__total"))
+        .orderBy(F.desc("__total"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return (
+        top.join(docs.select("doc_id", "title"), "doc_id")
+        .select(
+            F.col("doc_id").alias("url"),
+            "title",
+            F.round("__total", round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
