@@ -299,9 +299,12 @@ def pq_encode(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    keep: tuple = (),
 ) -> DataFrame:
-    """(vec_id, codes array<int>): per subspace, the nearest codebook
-    entry by squared L2 (tie -> lowest code id, the first-min position).
+    """(vec_id, codes array<int>, *keep): per subspace, the nearest
+    codebook entry by squared L2 (tie -> lowest code id, the first-min
+    position). ``keep`` passes extra columns through (e.g. the IVF list
+    id for the IVF-PQ composition).
 
     Pure projection: the codebooks are expression literals, so encoding is
     whole-stage codegen with ZERO shuffle — the 10^9-vector side is read
@@ -313,7 +316,8 @@ def pq_encode(
         dists = _pq_subdists_expr(F.col(vec_col), s * dsub, cb)
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return vectors.select(
-        F.col(id_col).alias("vec_id"), F.array(*codes).alias("codes")
+        F.col(id_col).alias("vec_id"), F.array(*codes).alias("codes"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -362,6 +366,72 @@ def knn_pq(
             table, F.element_at(F.col("codes"), s + 1) + 1
         )
     scored = q.crossJoin(codes_df).select(
+        "query_id", "vec_id", score.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+def knn_ivfpq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale composition (Faiss IVF-PQ
+    shape) of the two ANN structures above — coarse inverted lists
+    (k-means centroids, ``ivf_assign``) bound WHICH codes a query
+    touches, and PQ ADC bounds the PER-CODE cost and memory.
+
+    Scale shape: the corpus is list-assigned and PQ-encoded once (the
+    encode is a zero-shuffle projection; the list assignment is the IVF
+    broadcast pass), stores only (centroid_id, m codes) per vector, and a
+    query equi-joins its ``nprobe`` probed lists — touching
+    ~nprobe/n_centroids of the code table — then ranks by the same
+    integer ADC distance as ``knn_pq``. With nprobe = n_centroids the
+    result equals ``knn_pq`` exactly (pinned by tests)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    centroids = ivf_train_centroids(
+        e, n_centroids, iters=train_iters, id_col="vec_id", vec_col="vec"
+    )
+    lists = ivf_assign(e, centroids, id_col="vec_id", vec_col="vec", nprobe=1)
+    codebooks = pq_codebooks(e, m=m, n_codes=n_codes, dim=dim)
+    codes_df = pq_encode(
+        lists, codebooks, dim=dim, keep=("centroid_id",)
+    )
+    dsub = dim // m
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+    )
+    probes = F.broadcast(
+        ivf_assign(q, centroids, id_col="query_id", vec_col="qvec", nprobe=nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    score = F.lit(0).cast("long")
+    for s, cb in enumerate(codebooks):
+        table = _pq_subdists_expr(F.col("qvec"), s * dsub, cb)
+        score = score + F.element_at(
+            table, F.element_at(F.col("codes"), s + 1) + 1
+        )
+    scored = probes.join(codes_df, "centroid_id").select(
         "query_id", "vec_id", score.alias("adc_dist")
     )
     w = Window.partitionBy("query_id").orderBy(

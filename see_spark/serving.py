@@ -18,9 +18,31 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
-from .operators.search import search
+from .core.queryparse import parse_query
+from .operators.search import search, search_query
 from .sources.catalog import SnapshotCatalog
+
+
+def _title_postings(docs):
+    """Title-field postings from the docs table's real titles (tf within
+    the title field), tokenized by the same Catalyst kernel as indexing.
+    Null titles contribute no rows (explode of null)."""
+    from .functions.udfs import tokenize_expr
+
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_expr(F.col("title"))).alias("word")
+    )
+    counts = toks.groupBy("doc_id", "word").agg(
+        F.count("*").alias("term_count")
+    )
+    return counts.withColumn(
+        "tf",
+        F.col("term_count")
+        / F.sum("term_count").over(Window.partitionBy("doc_id")),
+    )
 
 
 def search_results(
@@ -30,7 +52,14 @@ def search_results(
     k: int = 100,
     with_score: bool = False,
 ) -> list:
-    """Top-k results for a query over the catalog's current snapshot."""
+    """Top-k results for a query over the catalog's current snapshot.
+
+    Plain word queries take the reference's exact AND path (wire-parity
+    with see_web.erl). A query using the structured grammar
+    (core/queryparse.py: phrases, -exclusions, title: boosts, ~fuzzy)
+    routes to operators/search.search_query, with the title field from
+    the crawled titles and phrase positions from the indexed span text —
+    the same kernels the index was built with."""
     postings = catalog.read("postings")
     docs = catalog.read("docs")
     word_stats = (
@@ -39,9 +68,23 @@ def search_results(
         else None
     )
     page_count = catalog.read("frontier").count()
-    rows = search(
-        spark, query, postings, docs, page_count, k=k, word_stats=word_stats
-    ).collect()
+    parsed = parse_query(query)
+    if parsed["phrases"] or parsed["title"] or parsed["exclude"] or parsed["fuzzy"]:
+        from .functions.udfs import tokens_from_spans
+
+        rows = search_query(
+            spark, query, postings, docs, page_count, k=k,
+            word_stats=word_stats,
+            title_postings=_title_postings(docs),
+            text_docs=docs.select(
+                "doc_id", tokens_from_spans(F.col("spans")).alias("text")
+            ),
+        ).collect()
+    else:
+        rows = search(
+            spark, query, postings, docs, page_count, k=k,
+            word_stats=word_stats,
+        ).collect()
     if with_score:
         return [
             {"url": r["url"], "title": r["title"], "score": r["score"]}

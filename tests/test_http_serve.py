@@ -118,3 +118,37 @@ def test_unknown_path_404(server_url):
     with pytest.raises(urllib.error.HTTPError) as err:
         _get(f"{server_url}/nope")
     assert err.value.code == 404
+
+
+def test_structured_grammar_over_http(server_url):
+    """The query language reaches the HTTP surface: exclusion, phrase and
+    fuzzy modifiers compose against the crawled fixture corpus."""
+    def results(q):
+        status, body = _get(
+            f"{server_url}/search?query={urllib.parse.quote(q)}"
+        )
+        assert status == 200
+        return [r["url"] for r in body["results"]]
+
+    # plain: both composer biographies match
+    assert set(results("composer")) == {
+        "http://site-a.test/articles/chopin.html",
+        "http://site-a.test/articles/liszt.html",
+    }
+    # exclusion: the Hungarian one drops
+    assert results("composer -hungarian") == [
+        "http://site-a.test/articles/chopin.html"
+    ]
+    # phrase gate: adjacency in the indexed span text
+    assert results('"imitation game"') == [
+        "http://site-a.test/articles/turing.html"
+    ]
+    assert results('"game imitation"') == []
+    # fuzzy: misspelling within one edit still finds the composers
+    assert set(results("composr~")) == {
+        "http://site-a.test/articles/chopin.html",
+        "http://site-a.test/articles/liszt.html",
+    }
+    # title boost: real crawled titles feed the title field
+    boosted = results("alan title:wikipedia")
+    assert boosted[0] == "http://site-a.test/articles/turing.html"

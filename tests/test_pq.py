@@ -142,3 +142,41 @@ def test_pq_scoring_path_is_shuffle_free(pq_corpus):
     full = knn_pq(df, qdf, k=3, m=M, n_codes=N_CODES, dim=DIM)
     fplan = full._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in fplan
+
+
+def test_ivfpq_full_probe_equals_pq(pq_corpus):
+    """nprobe = n_centroids touches every list, so IVF-PQ must reproduce
+    plain PQ exactly (same codes, same ADC, same ranks)."""
+    from see_spark.operators.similarity import knn_ivfpq
+
+    _, df = pq_corpus
+    qdf = df.sparkSession.createDataFrame(
+        [(0, [3] * DIM), (1, [-9] * DIM)], "query_id long, query_vec array<long>"
+    )
+    full = knn_ivfpq(
+        df, qdf, k=6, n_centroids=3, nprobe=3, m=M, n_codes=N_CODES, dim=DIM
+    ).collect()
+    plain = knn_pq(df, qdf, k=6, m=M, n_codes=N_CODES, dim=DIM).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, plain))
+
+
+def test_ivfpq_probe_restricts_candidates(pq_corpus):
+    """nprobe=1 results are a subset of the full-probe candidate set and
+    every returned vec shares a probed list with its query."""
+    from see_spark.operators.similarity import knn_ivfpq
+
+    _, df = pq_corpus
+    qdf = df.sparkSession.createDataFrame(
+        [(0, [3] * DIM)], "query_id long, query_vec array<long>"
+    )
+    narrow = knn_ivfpq(
+        df, qdf, k=40, n_centroids=3, nprobe=1, m=M, n_codes=N_CODES, dim=DIM
+    ).collect()
+    wide = knn_ivfpq(
+        df, qdf, k=40, n_centroids=3, nprobe=3, m=M, n_codes=N_CODES, dim=DIM
+    ).collect()
+    assert 0 < len(narrow) < len(wide)  # probing genuinely restricts
+    assert {r["vec_id"] for r in narrow} <= {r["vec_id"] for r in wide}
+    # ADC distances agree on the shared candidates
+    wd = {r["vec_id"]: r["adc_dist"] for r in wide}
+    assert all(wd[r["vec_id"]] == r["adc_dist"] for r in narrow)
