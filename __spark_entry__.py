@@ -1627,9 +1627,26 @@ def _q_pack_sequences(spark, sf_dir):
 # (tf = term_count/doc_len, both gated there) and search_projection is
 # tfidf_search + a metadata join (O14); freeing these two slots lets
 # knn_ivf and media_features land inside the driver's window.
+def _q_dsir_select(spark, sf_dir):
+    """Engine addition: DSIR data selection (Xie et al. 2023) — hashed
+    unigram importance weights, integer-quantized so the bucket scores and
+    per-doc weight sums are exact across engines (see
+    operators/selection.py). The 'target distribution' is pinned as every
+    7th doc; the top-100 heaviest raw docs are returned."""
+    from see_spark.operators.selection import dsir_topk
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        (F.col("doc_id") % 7 == 0).cast("int").alias("is_target"),
+    )
+    return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
+
+
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "dsir_select": _q_dsir_select,
     "postings_tf": _q_postings_tf,
     "search_projection": _q_search_projection,
     "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -3276,6 +3293,38 @@ ORACLES_EXTRA.update(
                CAST(start + greatest(0, s * 128 - start) - s * 128
                     AS BIGINT) AS seq_off
         FROM ex
+    """,
+    }
+)
+
+ORACLES_EXTRA.update(
+    {
+        # DSIR importance weights: same md5-bucket / add-1-smoothed integer
+        # likelihood-ratio / floor-div pipeline as operators/selection.py.
+        "dsir_select": """
+        WITH tk AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(doc_id % 7 = 0 AS INT) AS is_target,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        b AS (
+          SELECT doc_id, is_target,
+                 ('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS bucket
+          FROM tk),
+        s AS (
+          SELECT bucket,
+                 CAST(SUM(is_target) AS BIGINT) AS ct,
+                 CAST(SUM(1 - is_target) AS BIGINT) AS cr
+          FROM b GROUP BY bucket),
+        sc AS (
+          SELECT bucket, ((ct + 1) * 1000000) // (cr + 1) AS score FROM s),
+        w AS (
+          SELECT b.doc_id, CAST(SUM(sc.score) AS BIGINT) AS weight
+          FROM b JOIN sc USING (bucket)
+          WHERE b.is_target = 0
+          GROUP BY b.doc_id)
+        SELECT doc_id, weight FROM w
+        ORDER BY weight DESC, doc_id LIMIT 100
     """,
     }
 )

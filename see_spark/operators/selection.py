@@ -1,0 +1,92 @@
+"""Data selection via importance resampling (the DSIR shape).
+
+Engine addition: the reference stops at indexing (see_text.erl tokenizes,
+see_rank_tfidf.erl ranks); a pre-training pipeline additionally needs to
+SELECT which crawled documents to train on. This implements the
+hashed-n-gram importance-weighting scheme of Xie et al. 2023 ("Data
+Selection for Language Models via Importance Resampling"): score every raw
+document by how target-like its hashed unigram distribution is, then keep
+the top-weighted slice.
+
+Integer quantization makes the whole computation exact across engines (the
+repo-wide gate rule): instead of the paper's log-likelihood ratio
+sum(ln p_t[b] - ln p_r[b]) — whose float accumulation order differs between
+Spark and DuckDB — each bucket gets the integer likelihood-ratio proxy
+
+    score[b] = ((count_target[b] + 1) * SCALE) div (count_raw[b] + 1)
+
+(add-1 smoothed, floor division), and a document's weight is the exact
+integer sum of its token-occurrence scores. Monotone in the smoothed
+count ratio, so the induced top-k ordering is the same family the paper
+uses, and bit-for-bit reproducible.
+
+Token→bucket hashing reuses the repo's cross-engine md5 pattern
+(operators/textfilters.py, dedup.py): bucket = first 16 bits of md5(token)
+mod n_buckets, identical in Spark (`conv(substring(md5(tok),1,4),16,10)`)
+and DuckDB (`('0x' || substr(md5(tok),1,4))::BIGINT`).
+
+Scale shape (the 100 TB audit):
+- one explode + one groupBy(bucket) over <= n_buckets keys — map-side
+  combinable, shuffle payload is n_buckets rows per mapper;
+- bucket scores (n_buckets rows) broadcast back to the token stream —
+  no shuffle;
+- one groupBy(doc_id) for the weight sum — the only data-sized shuffle,
+  on a 16-byte (doc_id, partial-sum) payload;
+- TakeOrderedAndProject for the k-cut — no global sort.
+Overflow bound: (count_target[b]+1)*SCALE must fit in int64; at 100 TB of
+text (~2e13 tokens, ~3e11 per bucket at the default 64 buckets) the product
+is ~3e17 < 2^63. Raise n_buckets before raising SCALE if either grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+DEFAULT_SCALE = 1_000_000
+
+
+def _bucket(tok_col, n_buckets: int):
+    return F.conv(F.substring(F.md5(tok_col), 1, 4), 16, 10).cast("long") % n_buckets
+
+
+def dsir_topk(
+    docs: DataFrame,
+    k: int = 100,
+    n_buckets: int = DEFAULT_BUCKETS,
+    scale: int = DEFAULT_SCALE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+) -> DataFrame:
+    """Top-k raw documents by integer-quantized DSIR importance weight.
+
+    ``docs`` must carry ``target_col`` (boolean/int): rows with 1 define the
+    target distribution; rows with 0 are the raw pool being scored. Returns
+    (doc_id, weight) for the k heaviest raw docs, tie-broken by doc_id
+    ascending so the k-cut is deterministic.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(target_col).cast("int").alias("is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    bucketed = toks.select(
+        "doc_id", "is_target", _bucket(F.col("tok"), n_buckets).alias("bucket")
+    )
+    stats = bucketed.groupBy("bucket").agg(
+        F.sum("is_target").alias("ct"),
+        F.sum(F.lit(1) - F.col("is_target")).alias("cr"),
+    )
+    scores = stats.select(
+        "bucket",
+        F.expr(f"((ct + 1L) * {scale}L) div (cr + 1L)").alias("score"),
+    )
+    weights = (
+        bucketed.filter(F.col("is_target") == 0)
+        .join(F.broadcast(scores), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("score").cast("long").alias("weight"))
+    )
+    return weights.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k)
