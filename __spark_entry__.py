@@ -1627,6 +1627,15 @@ def _q_pack_sequences(spark, sf_dir):
 # (tf = term_count/doc_len, both gated there) and search_projection is
 # tfidf_search + a metadata join (O14); freeing these two slots lets
 # knn_ivf and media_features land inside the driver's window.
+def _q_exact_substring(spark, sf_dir):
+    """Engine addition: corpus-wide exact-substring duplication audit
+    (Lee et al. 2021 ExactSubstr shape at fixed match length 10) — see
+    operators/dedup.py:exact_substring_stats. Integer-only output."""
+    from see_spark.operators.dedup import exact_substring_stats
+
+    return exact_substring_stats(_documents(spark, sf_dir), window=10)
+
+
 def _q_dsir_select(spark, sf_dir):
     """Engine addition: DSIR data selection (Xie et al. 2023) — hashed
     unigram importance weights, integer-quantized so the bucket scores and
@@ -1647,6 +1656,7 @@ def _q_dsir_select(spark, sf_dir):
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
     "dsir_select": _q_dsir_select,
+    "exact_substring_dups": _q_exact_substring,
     "postings_tf": _q_postings_tf,
     "search_projection": _q_search_projection,
     "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -3325,6 +3335,43 @@ ORACLES_EXTRA.update(
           GROUP BY b.doc_id)
         SELECT doc_id, weight FROM w
         ORDER BY weight DESC, doc_id LIMIT 100
+    """,
+        # ExactSubstr audit: sliding 10-token window hashes, global >1
+        # dup set, per-doc overlap-merged coverage. Same hash60 + island
+        # logic as operators/dedup.py:exact_substring_stats.
+        "exact_substring_dups": """
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          string_split(text, ' ') AS tk
+                   FROM documents),
+        base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+        wn AS (SELECT doc_id, unnest(range(1, len(tk) - 10 + 2)) AS p, tk
+               FROM t WHERE len(tk) >= 10),
+        wins AS (SELECT doc_id, p,
+                        ('0x' || substr(md5(array_to_string(tk[p:p+9], ' ')),
+                                        1, 15))::BIGINT AS h
+                 FROM wn),
+        dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+        wdup AS (SELECT doc_id, p FROM wins WHERE h IN (SELECT h FROM dup)),
+        d AS (SELECT doc_id, p,
+                     CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                               IS NULL
+                            OR p > lag(p) OVER (PARTITION BY doc_id
+                                                ORDER BY p) + 10
+                          THEN 1 ELSE 0 END AS brk
+              FROM wdup),
+        i AS (SELECT doc_id, p,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+              FROM d),
+        r AS (SELECT doc_id, island, MIN(p) AS fp, MAX(p) AS lp
+              FROM i GROUP BY 1, 2),
+        agg AS (SELECT doc_id,
+                       CAST(SUM(lp - fp + 10) AS BIGINT) AS dup_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS n_dup_ranges
+                FROM r GROUP BY 1)
+        SELECT b.doc_id, b.n_tokens,
+               COALESCE(a.dup_tokens, 0) AS dup_tokens,
+               COALESCE(a.n_dup_ranges, 0) AS n_dup_ranges
+        FROM base b LEFT JOIN agg a USING (doc_id)
     """,
     }
 )

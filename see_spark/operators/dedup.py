@@ -498,3 +498,81 @@ def dedup_clusters(
             .cast("long").alias("is_canonical"),
         )
     )
+
+
+def exact_substring_stats(
+    docs: DataFrame, window: int = 10,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication audit (the ExactSubstr shape of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    mark every token position whose `window`-token sliding window occurs
+    more than once ANYWHERE in the corpus (cross-doc or self-repetition),
+    merge overlapping/adjacent duplicated windows into ranges, and report
+    per-doc totals.
+
+    The paper builds a corpus-wide suffix array; the Spark-native
+    equivalent is a sliding window-hash join — same duplicated-span
+    semantics at fixed minimum match length `window`, expressed as three
+    shuffles that all carry fixed-width integer payloads:
+
+    1. explode ~n_tokens window rows per doc, but ONLY (doc_id, pos,
+       hash60(window_text)) — 24 B/row at 100 TB, never the text;
+    2. groupBy(hash) count (map-side combinable) → the >1 dup set,
+       left-semi joined back on the 8-byte hash;
+    3. per-doc island merge: lag + cumsum over (doc_id, pos), one
+       doc_id-keyed shuffle; positions p and q (p<q) merge iff
+       q <= p + window (their coverage [p,p+w) and [q,q+w) overlaps or
+       touches).
+
+    Returns one row per input doc — (doc_id, n_tokens, dup_tokens,
+    n_dup_ranges), all integers (exact across engines); dup_tokens is the
+    size of the union of duplicated-window coverage, the quantity the
+    paper's dedup step would cut.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("t"),
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    wins = (
+        toks.filter(F.size("t") >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - window + 1)
+            ).alias("p"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "p",
+            hash60(F.array_join(F.slice("t", F.col("p"), window), " ")).alias("h"),
+        )
+    )
+    dup_hashes = wins.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    wdup = wins.join(dup_hashes, "h", "left_semi")
+    order = Window.partitionBy("doc_id").orderBy("p")
+    islands = (
+        wdup.withColumn("prev", F.lag("p").over(order))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("p") > F.col("prev") + window), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(order))
+    )
+    ranges = islands.groupBy("doc_id", "island").agg(
+        F.min("p").alias("fp"), F.max("p").alias("lp")
+    )
+    per_doc = ranges.groupBy("doc_id").agg(
+        F.sum(F.col("lp") - F.col("fp") + window).cast("long").alias("dup_tokens"),
+        F.count("*").cast("long").alias("n_dup_ranges"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("n_dup_ranges", F.lit(0)).cast("long").alias("n_dup_ranges"),
+    )
