@@ -1627,6 +1627,19 @@ def _q_pack_sequences(spark, sf_dir):
 # (tf = term_count/doc_len, both gated there) and search_projection is
 # tfidf_search + a metadata join (O14); freeing these two slots lets
 # knn_ivf and media_features land inside the driver's window.
+def _q_host_freq_cms(spark, sf_dir):
+    """Engine addition: count-min sketch host-frequency estimates over the
+    synthetic frontier, next to exact truth (est >= true by construction;
+    see functions/sketches.py). Portable md5 hashing makes the DuckDB
+    oracle bit-exact."""
+    from see_spark.functions.sketches import cms_build, cms_estimate
+
+    f = _orders_frontier(spark, sf_dir)
+    counters = cms_build(f, "host", depth=4, width=256)
+    truth = f.groupBy("host").agg(F.count("*").cast("long").alias("true_count"))
+    return cms_estimate(counters, truth, "host", depth=4, width=256)
+
+
 def _q_exact_substring(spark, sf_dir):
     """Engine addition: corpus-wide exact-substring duplication audit
     (Lee et al. 2021 ExactSubstr shape at fixed match length 10) — see
@@ -1657,6 +1670,7 @@ def _q_dsir_select(spark, sf_dir):
 QUERIES_EXTRA: dict = {
     "dsir_select": _q_dsir_select,
     "exact_substring_dups": _q_exact_substring,
+    "host_freq_cms": _q_host_freq_cms,
     "postings_tf": _q_postings_tf,
     "search_projection": _q_search_projection,
     "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -3373,6 +3387,28 @@ ORACLES_EXTRA.update(
                COALESCE(a.n_dup_ranges, 0) AS n_dup_ranges
         FROM base b LEFT JOIN agg a USING (doc_id)
     """,
+        # Count-min sketch: same 'cms{i}:' salted md5 buckets, counter
+        # cells, and min-over-rows estimate as functions/sketches.py.
+        "host_freq_cms": """
+        WITH f AS ({_F}),
+        rows AS (SELECT unnest(range(0, 4)) AS i),
+        st AS (SELECT i,
+                      ('0x' || substr(md5('cms' || i || ':' || host), 1, 15))
+                        ::BIGINT % 256 AS bucket
+               FROM f CROSS JOIN rows),
+        counters AS (SELECT i, bucket, COUNT(*) AS cnt FROM st GROUP BY 1, 2),
+        truth AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS true_count
+                  FROM f GROUP BY 1),
+        probes AS (SELECT t.host, t.true_count, r.i,
+                          ('0x' || substr(md5('cms' || r.i || ':' || t.host),
+                                          1, 15))::BIGINT % 256 AS bucket
+                   FROM truth t CROSS JOIN rows r)
+        SELECT p.host, p.true_count,
+               CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_count
+        FROM probes p
+        LEFT JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
+        GROUP BY 1, 2
+    """.replace("{_F}", _FRONTIER_SQL),
     }
 )
 

@@ -124,3 +124,84 @@ def hll_distinct(
 ) -> DataFrame:
     """Convenience: sketch + estimate in one lazy plan."""
     return hll_estimate(hll_sketch(df, keys, value_col, p), keys, p)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: the frequency-sketch sibling of the HLL above, for
+# per-host frontier pressure monitoring at 10^10-URL scale (north rule:
+# per-domain skew must be detected before it melts a politeness window).
+# Same portability contract: every step is md5-derived integer SQL, so a
+# DuckDB oracle reproduces estimates bit-for-bit, and the counter table is
+# mergeable append-only state (union + sum re-merges rounds/partitions).
+# Cormode & Muthukrishnan 2005: depth d rows x width w counters; item ->
+# one bucket per row via independent hashes; estimate = min over rows.
+# Guarantees est >= true always, est <= true + eps*N w.h.p.
+# Scale shape: build is ONE map-side-combinable aggregate over d rows per
+# input (16-byte payload), counter table d*w rows (broadcastable);
+# estimation is a broadcast join, no data-sized shuffle.
+
+
+def cms_bucket(value_col, row: int, width: int):
+    """Row-i bucket: 60 md5 bits of 'cms{i}:' || value, mod width —
+    independent across rows via the salt, identical in DuckDB as
+    ('0x' || substr(md5('cms{i}:' || v), 1, 15))::BIGINT % width."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), F.col(value_col))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 256,
+) -> DataFrame:
+    """Counter table (row, bucket, cnt) — d*width rows max."""
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("row"),
+                        cms_bucket(value_col, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return (
+        stacked.groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, keys: DataFrame, value_col: str,
+    depth: int = 4, width: int = 256,
+) -> DataFrame:
+    """Point-query every row of ``keys``: adds ``cms_count`` = min over the
+    d rows of the counter cells (0 if a cell is empty). The counter table
+    is broadcast — keys-side never shuffles."""
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("row"),
+                        cms_bucket(value_col, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("*", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")).drop("rb")
+    joined = probes.join(F.broadcast(counters), ["row", "bucket"], "left")
+    others = [c for c in keys.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_count"))
+    )

@@ -99,3 +99,75 @@ def test_plan_is_jvm_only_single_partial_agg(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # map-side combine: partial then final aggregate on the sketch build
     assert plan.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def _py_cms_bucket(value: str, row: int, width: int = 256) -> int:
+    s = hashlib.md5(f"cms{row}:{value}".encode()).hexdigest()
+    return int(s[:15], 16) % width
+
+
+def _cms_corpus(spark):
+    # zipf-ish host skew: host h appears (20 - h) times
+    rows = [(f"host{h}.test",) for h in range(20) for _ in range(20 - h)]
+    return spark.createDataFrame(rows, ["host"])
+
+
+def test_cms_bucket_matches_python_reference(spark):
+    from see_spark.functions.sketches import cms_bucket
+
+    df = spark.createDataFrame(
+        [("host0.test",), ("héllo",), ("",)], ["v"]
+    ).select("v", *[cms_bucket("v", i, 256).alias(f"b{i}") for i in range(4)])
+    for r in df.collect():
+        for i in range(4):
+            assert r[f"b{i}"] == _py_cms_bucket(r["v"], i)
+
+
+def test_cms_never_underestimates_and_is_exact_when_wide(spark):
+    from see_spark.functions.sketches import cms_build, cms_estimate
+
+    df = _cms_corpus(spark)
+    truth = df.groupBy("host").agg(F.count("*").cast("long").alias("true_count"))
+    for width, exact_expected in ((256, True), (8, False)):
+        counters = cms_build(df, "host", depth=4, width=width)
+        est = cms_estimate(counters, truth, "host", depth=4, width=width)
+        rows = est.collect()
+        assert all(r["cms_count"] >= r["true_count"] for r in rows)
+        if exact_expected:
+            # 20 keys into 4x256 cells: collisions in all 4 rows are
+            # (deterministically, for this fixed corpus) absent
+            assert all(r["cms_count"] == r["true_count"] for r in rows)
+        else:
+            assert any(r["cms_count"] > r["true_count"] for r in rows)
+
+
+def test_cms_counters_merge_by_sum(spark):
+    from see_spark.functions.sketches import cms_build, cms_estimate
+
+    df = _cms_corpus(spark)
+    a, b = df.randomSplit([0.5, 0.5], seed=7)
+    merged = (
+        cms_build(a, "host").unionByName(cms_build(b, "host"))
+        .groupBy("row", "bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = cms_build(df, "host")
+    keys = df.select("host").distinct()
+    got_m = {r["host"]: r["cms_count"]
+             for r in cms_estimate(merged, keys, "host").collect()}
+    got_w = {r["host"]: r["cms_count"]
+             for r in cms_estimate(whole, keys, "host").collect()}
+    assert got_m == got_w
+
+
+def test_cms_estimate_plan_broadcasts_counters(spark):
+    from see_spark.functions.sketches import cms_build, cms_estimate
+
+    df = _cms_corpus(spark)
+    plan = (
+        cms_estimate(cms_build(df, "host"), df.select("host").distinct(), "host")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
