@@ -503,6 +503,7 @@ def dedup_clusters(
 def exact_substring_stats(
     docs: DataFrame, window: int = 10,
     text_col: str = "text", id_col: str = "doc_id",
+    prescreen_bits: int | None = None,
 ) -> DataFrame:
     """Exact-substring duplication audit (the ExactSubstr shape of Lee et
     al. 2021, "Deduplicating Training Data Makes Language Models Better"):
@@ -529,6 +530,16 @@ def exact_substring_stats(
     n_dup_ranges), all integers (exact across engines); dup_tokens is the
     size of the union of duplicated-window coverage, the quantity the
     paper's dedup step would cut.
+
+    ``prescreen_bits``: optional scale knob for corpora whose
+    DISTINCT-window count per mapper is itself too large a shuffle (the
+    post-combine size of step 2). When set, a first-pass count on the
+    NARROW key ``h % 2^bits`` — whose post-combine size is bounded by
+    2^bits rows per mapper no matter the corpus — screens windows first:
+    a window whose narrow-key count is 1 cannot be a duplicate (no false
+    negatives, the counting-filter property), and narrow-key collisions
+    are false positives the exact full-hash count then removes, so the
+    OUTPUT IS IDENTICAL with or without prescreening (pinned by test).
     """
     toks = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -550,6 +561,13 @@ def exact_substring_stats(
             hash60(F.array_join(F.slice("t", F.col("p"), window), " ")).alias("h"),
         )
     )
+    if prescreen_bits:
+        narrowed = wins.withColumn("h2", F.col("h") % (1 << prescreen_bits))
+        dup_narrow = (
+            narrowed.groupBy("h2").count()
+            .filter(F.col("count") > 1).select("h2")
+        )
+        wins = narrowed.join(dup_narrow, "h2", "left_semi").drop("h2")
     dup_hashes = wins.groupBy("h").count().filter(F.col("count") > 1).select("h")
     wdup = wins.join(dup_hashes, "h", "left_semi")
     order = Window.partitionBy("doc_id").orderBy("p")

@@ -81,3 +81,13 @@ def test_case_coverage(spark, corpus):
 
 def test_partitioning_invariance(spark, corpus):
     assert _run(spark, corpus, parts=1) == _run(spark, corpus, parts=5)
+
+
+def test_prescreen_output_identical(spark, corpus):
+    """prescreen_bits is a pure scale knob: 4-bit narrow keys force heavy
+    false-positive collisions, yet the exact second pass must remove them
+    all — output identical to the unscreened run."""
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    plain = exact_substring_stats(df, window=W).collect()
+    screened = exact_substring_stats(df, window=W, prescreen_bits=4).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, screened))
