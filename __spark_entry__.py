@@ -1665,9 +1665,24 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_semdedup(spark, sf_dir):
+    """Engine addition: SemDeDup semantic dedup (Abbas et al. 2023) —
+    k-means cells bound the cosine comparisons to within-cluster
+    equi-joins; keep = no smaller-id same-cluster neighbor above the
+    threshold. See operators/dedup.py:semdedup. Same milli-quantized
+    vectors + deterministic Lloyd training as knn_ivf, so the DuckDB
+    oracle reproduces clusters and keep decisions bit-for-bit."""
+    from see_spark.operators.dedup import semdedup
+
+    return semdedup(
+        _qvecs(spark, sf_dir), n_clusters=8, threshold=0.45, train_iters=1
+    )
+
+
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "semdedup": _q_semdedup,
     "dsir_select": _q_dsir_select,
     "exact_substring_dups": _q_exact_substring,
     "host_freq_cms": _q_host_freq_cms,
@@ -3409,6 +3424,75 @@ ORACLES_EXTRA.update(
         LEFT JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
         GROUP BY 1, 2
     """.replace("{_F}", _FRONTIER_SQL),
+    }
+)
+
+# Shared IVF fragment for extras oracles: reproduces
+# similarity.ivf_train_centroids(n=8, iters=1) + nearest-cell assignment —
+# the same deterministic Lloyd iteration the gated knn_ivf oracle inlines
+# (kept separate so the frozen gated SQL text is untouched). Ends with
+# lists(vec_id, v, nrm, centroid_id).
+_IVF_LISTS_SQL = _QNORM_SQL.format(qvec=_QVEC_SQL) + """
+    , cent0 AS (SELECT vec_id AS centroid_id,
+                       list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+                FROM nv WHERE vec_id < 8),
+    cn0 AS (SELECT centroid_id, cv,
+                   sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
+            FROM cent0),
+    a0 AS (
+      SELECT nv.vec_id, nv.v, nv.nrm, c.centroid_id,
+             CAST(list_sum(list_transform(range(1, len(nv.v)+1),
+                           i -> nv.v[i]*c.cv[i])) AS DOUBLE)
+               / (nv.nrm * c.cnrm) AS cc
+      FROM nv CROSS JOIN cn0 c),
+    m0 AS (
+      SELECT vec_id, v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cc DESC, centroid_id ASC) AS cr
+      FROM a0 QUALIFY cr = 1),
+    sums AS (
+      SELECT centroid_id, pos, SUM(x) AS s, COUNT(*) AS n
+      FROM (SELECT centroid_id, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS pos
+            FROM m0)
+      GROUP BY 1, 2),
+    cent1 AS (
+      SELECT c0.centroid_id, COALESCE(nc.cv, c0.cv) AS cv
+      FROM cent0 c0 LEFT JOIN
+           (SELECT centroid_id,
+                   list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cv
+            FROM sums GROUP BY centroid_id) nc USING (centroid_id)),
+    cn1 AS (SELECT centroid_id, cv,
+                   sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
+            FROM cent1),
+    assign AS (
+      SELECT nv.vec_id, nv.v, nv.nrm, c.centroid_id,
+             CAST(list_sum(list_transform(range(1, len(nv.v)+1),
+                           i -> nv.v[i]*c.cv[i])) AS DOUBLE)
+               / (nv.nrm * c.cnrm) AS cc
+      FROM nv CROSS JOIN cn1 c),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cc DESC, centroid_id ASC) AS cr
+      FROM assign),
+    lists AS (SELECT vec_id, v, nrm, centroid_id FROM ranked WHERE cr = 1)
+"""
+
+ORACLES_EXTRA.update(
+    {
+        "semdedup": _IVF_LISTS_SQL + """
+        , dup AS (
+          SELECT DISTINCT a.vec_id
+          FROM lists a JOIN lists b
+            ON a.centroid_id = b.centroid_id AND a.vec_id > b.vec_id
+          WHERE CAST(list_sum(list_transform(range(1, len(a.v)+1),
+                              i -> a.v[i]*b.v[i])) AS DOUBLE)
+                  / (a.nrm * b.nrm) >= 0.45)
+        SELECT l.vec_id, l.centroid_id,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS keep
+        FROM lists l LEFT JOIN dup d USING (vec_id)
+    """,
     }
 )
 

@@ -594,3 +594,65 @@ def exact_substring_stats(
         F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
         F.coalesce("n_dup_ranges", F.lit(0)).cast("long").alias("n_dup_ranges"),
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering then within-cluster cosine.
+
+    The method's scale point: instead of the O(N^2) cosine matrix, cluster
+    the corpus into k cells (reusing ``similarity.ivf_train_centroids`` —
+    deterministic first-N init + Lloyd refinement, exact rational means on
+    integer-quantized vectors) and compare only WITHIN a cell — an
+    equi-join on centroid_id, so candidate fan-out is ~(N/k)^2 per cell
+    and the corpus shuffles once by centroid. A document is a semantic
+    duplicate iff some same-cluster document with a SMALLER id has cosine
+    >= threshold (min-id canonical — the same deterministic keep rule as
+    ``exact_dedup``; the paper keeps the point farthest from the centroid,
+    any pinned rule gives the paper's dedup rate).
+
+    Returns one row per vector: (vec_id, centroid_id, keep) with keep in
+    {1, 0} — 1 = retained in the deduplicated corpus. With milli-quantized
+    vectors (the engine's vector-oracle convention) every arithmetic step
+    is bit-exact in any engine, so the operator has an exact SQL oracle.
+    """
+    from .similarity import ivf_assign, ivf_train_centroids
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    cents = ivf_train_centroids(e, n_clusters, iters=train_iters)
+    assigned = ivf_assign(e, cents, nprobe=1).select("vec_id", "vec", "centroid_id")
+    a = assigned.withColumn("norm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    dups = (
+        a.alias("x")
+        .join(a.alias("y"), "centroid_id")
+        .filter(F.col("x.vec_id") > F.col("y.vec_id"))
+        .withColumn(
+            "cosine",
+            dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.norm") * F.col("y.norm")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("__dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.when(F.col("__dup").isNull(), 1).otherwise(0).cast("long").alias("keep"),
+        )
+    )
