@@ -1665,6 +1665,17 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Engine addition: BPE tokenizer training (Sennrich et al. 2016) —
+    corpus -> word histogram (the one corpus-sized shuffle) -> 8 greedy
+    pair merges. See operators/bpe.py. The space-wrapped symbol-string
+    representation makes every merge a built-in replace with identical
+    greedy semantics in Spark and DuckDB, so the merge table is exact."""
+    from see_spark.operators.bpe import bpe_train
+
+    return bpe_train(_documents(spark, sf_dir), n_merges=8)
+
+
 def _q_semdedup(spark, sf_dir):
     """Engine addition: SemDeDup semantic dedup (Abbas et al. 2023) —
     k-means cells bound the cosine comparisons to within-cluster
@@ -1682,6 +1693,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "bpe_merges": _q_bpe_merges,
     "semdedup": _q_semdedup,
     "dsir_select": _q_dsir_select,
     "exact_substring_dups": _q_exact_substring,
@@ -3495,6 +3507,57 @@ ORACLES_EXTRA.update(
     """,
     }
 )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled-iteration BPE oracle (the same pattern as the pagerank /
+    hits unrolled-CTE oracles): each merge is one pair-count aggregate,
+    one pinned argmax, and one replace over the word histogram —
+    reproducing operators/bpe.py bit-for-bit, including the greedy
+    left-to-right within-word merge order (the '  ' symbol wrapping)."""
+    parts = [
+        """
+    WITH words_raw AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    w0 AS MATERIALIZED (
+      SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' '
+               AS word_str,
+             COUNT(*) AS cnt
+      FROM words_raw WHERE word <> '' GROUP BY 1)
+    """
+    ]
+    for i in range(n_merges):
+        parts.append(f"""
+    , p{i} AS (
+      SELECT pair, SUM(cnt) AS c
+      FROM (SELECT cnt,
+                   unnest(list_transform(range(1, len(t)),
+                          j -> t[j] || chr(1) || t[j+1])) AS pair
+            FROM (SELECT cnt, string_split(trim(word_str), '  ') AS t
+                  FROM w{i}))
+      GROUP BY 1),
+    b{i} AS MATERIALIZED (
+      SELECT split_part(pair, chr(1), 1) AS l,
+             split_part(pair, chr(1), 2) AS r, c
+      FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    w{i + 1} AS MATERIALIZED (
+      SELECT replace(word_str,
+               ' ' || (SELECT l FROM b{i}) || '  '
+                   || (SELECT r FROM b{i}) || ' ',
+               ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || ' ')
+               AS word_str,
+             cnt
+      FROM w{i})""")
+    selects = [
+        f"""SELECT CAST({i} AS BIGINT) AS rank, l AS "left", r AS "right",
+                   CAST(c AS BIGINT) AS pair_count FROM b{i}"""
+        for i in range(n_merges)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
