@@ -1665,6 +1665,37 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_url_trap_gate(spark, sf_dir):
+    """Engine addition: crawler-trap gate (frontier.py:trap_stats) over a
+    deterministic trap-shaped URL corpus synthesized from orders — some
+    URLs repeat a tiny segment alphabet (the /a/b/a/b loop shape), some
+    exceed depth/length bounds. Pure-Catalyst path heuristics; identical
+    synthesis + logic in the DuckDB oracle."""
+    from see_spark.operators.frontier import trap_stats
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = F.col("o_custkey") % 4 + 1
+    nseg = (F.col("o_orderkey") % 12).cast("long")
+    segs = F.when(
+        nseg >= 1,
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), nseg),
+            lambda i: F.concat(
+                F.lit("s"), ((F.col("o_orderkey") + i) % base).cast("string")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    urls = o.select(
+        F.concat(
+            F.lit("http://t"),
+            (F.col("o_custkey") % 7).cast("string"),
+            F.lit(".test/"),
+            F.array_join(segs, "/"),
+        ).alias("url")
+    )
+    return trap_stats(urls, max_depth=8, max_seg_repeat=3, max_len=45)
+
+
 def _q_bpe_merges(spark, sf_dir):
     """Engine addition: BPE tokenizer training (Sennrich et al. 2016) —
     corpus -> word histogram (the one corpus-sized shuffle) -> 8 greedy
@@ -1693,6 +1724,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "url_trap_gate": _q_url_trap_gate,
     "bpe_merges": _q_bpe_merges,
     "semdedup": _q_semdedup,
     "dsir_select": _q_dsir_select,
@@ -3558,6 +3590,40 @@ def _bpe_oracle_sql(n_merges: int) -> str:
 
 
 ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
+
+ORACLES_EXTRA.update(
+    {
+        "url_trap_gate": """
+        WITH u AS (
+          SELECT 'http://t' || CAST(o_custkey % 7 AS VARCHAR) || '.test/' ||
+                 COALESCE(array_to_string(
+                   list_transform(range(1, CAST(o_orderkey % 12 AS BIGINT) + 1),
+                     i -> 's' || CAST((o_orderkey + i) % (1 + o_custkey % 4)
+                                      AS VARCHAR)),
+                   '/'), '') AS url
+          FROM orders),
+        s AS (SELECT url,
+                     list_filter(
+                       string_split(
+                         regexp_replace(url, '^[a-z]+://[^/]*', ''), '/'),
+                       x -> x <> '') AS segs
+              FROM u),
+        m AS (SELECT url, segs,
+                     CAST(COALESCE(list_max(list_transform(segs,
+                            sg -> len(list_filter(segs, y -> y = sg)))), 0)
+                          AS BIGINT) AS max_repeat
+              FROM s)
+        SELECT url,
+               CAST(len(segs) AS BIGINT) AS depth_segs,
+               max_repeat,
+               CAST(strlen(url) AS BIGINT) AS url_len,
+               CAST(CASE WHEN len(segs) > 8 OR max_repeat >= 3
+                              OR strlen(url) > 45
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_trap
+        FROM m
+    """,
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

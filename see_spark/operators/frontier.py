@@ -374,3 +374,52 @@ def checkout_prioritized(
         .withColumn("priority", (-F.col("__negpri")).cast("long"))
         .drop("__negpri", "indegree")
     )
+
+
+def trap_stats(
+    urls: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 8,
+    max_seg_repeat: int = 3,
+    max_len: int = 512,
+) -> DataFrame:
+    """Crawler-trap gate: flag URLs whose shape indicates a spider trap —
+    calendar/session loops that re-embed the same path segments
+    (/a/b/a/b/a/b/...), unbounded-depth generators, or runaway URL
+    lengths. Heritrix-style path heuristics; applied to CANONICALIZED
+    urls (query strings are already dropped by the canonicalizer, O15),
+    ideally before URL-seen insertion so a trap never occupies frontier
+    budget.
+
+    Pure Catalyst (regexp strip of scheme+host, split, higher-order-
+    function segment-repeat count — O(depth^2) per url with depth <= ~20,
+    all JVM codegen, zero shuffle, zero Python), so it runs as a narrow
+    map over the 10^10-row frontier and has an exact SQL oracle.
+
+    Appends: depth (path segment count), max_repeat (occurrences of the
+    most repeated segment), url_len, is_trap in {1,0}.
+    """
+    path = F.regexp_replace(F.col(url_col), "^[a-z]+://[^/]*", "")
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    out = urls.withColumn("__segs", segs).select(
+        "*",
+        F.size("__segs").cast("long").alias("depth_segs"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    "__segs",
+                    lambda s: F.size(F.filter("__segs", lambda x: x == s)),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("max_repeat"),
+        F.length(url_col).cast("long").alias("url_len"),
+    ).drop("__segs")
+    return out.withColumn(
+        "is_trap",
+        (
+            (F.col("depth_segs") > max_depth)
+            | (F.col("max_repeat") >= max_seg_repeat)
+            | (F.col("url_len") > max_len)
+        ).cast("long"),
+    )
