@@ -1665,6 +1665,19 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """Engine addition: CCNet-style LM quality scoring (Wenzek et al.
+    2020) — add-1 bigram LM trained on the doc_id%5==0 reference slice,
+    every document scored by total bigram NLL in integer micro-nats
+    (order-independent integer sum, engine-exact). See operators/lm.py."""
+    from see_spark.operators.lm import doc_nll
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return doc_nll(d, d.filter(F.col("doc_id") % 5 == 0))
+
+
 def _q_url_trap_gate(spark, sf_dir):
     """Engine addition: crawler-trap gate (frontier.py:trap_stats) over a
     deterministic trap-shaped URL corpus synthesized from orders — some
@@ -1724,6 +1737,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "lm_perplexity": _q_lm_perplexity,
     "url_trap_gate": _q_url_trap_gate,
     "bpe_merges": _q_bpe_merges,
     "semdedup": _q_semdedup,
@@ -3593,6 +3607,37 @@ ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "lm_perplexity": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '')
+                            AS t
+                   FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(t)),
+                             j -> t[j] || chr(1) || t[j+1])) AS pair
+               FROM d WHERE len(t) >= 2),
+        refbg AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c12
+                  FROM bg WHERE doc_id % 5 = 0 GROUP BY 1),
+        refctx AS (SELECT split_part(pair, chr(1), 1) AS w1,
+                          CAST(SUM(c12) AS BIGINT) AS c1
+                   FROM refbg GROUP BY 1),
+        vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+                  FROM (SELECT unnest(t) AS w FROM d WHERE doc_id % 5 = 0)),
+        scored AS (
+          SELECT b.doc_id,
+                 CAST(round(-ln(CAST(COALESCE(rb.c12, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(rc.c1, 0) + (SELECT v FROM vocab)
+                              AS DOUBLE)) * 1000000) AS BIGINT) AS q
+          FROM bg b
+          LEFT JOIN refbg rb USING (pair)
+          LEFT JOIN refctx rc ON rc.w1 = split_part(b.pair, chr(1), 1)),
+        per AS (SELECT doc_id, COUNT(*) AS nb, SUM(q) AS nq
+                FROM scored GROUP BY 1)
+        SELECT ids.doc_id,
+               CAST(COALESCE(per.nb, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(per.nq, 0) AS BIGINT) AS nll_q
+        FROM (SELECT DISTINCT doc_id FROM d) ids LEFT JOIN per USING (doc_id)
+    """,
         "url_trap_gate": """
         WITH u AS (
           SELECT 'http://t' || CAST(o_custkey % 7 AS VARCHAR) || '.test/' ||

@@ -1,0 +1,121 @@
+"""N-gram language-model perplexity scoring for corpus quality filtering.
+
+CCNet (Wenzek et al. 2020, arXiv:1911.00359) filters web text by the
+perplexity of a language model trained on a trusted reference corpus
+(they use a KenLM 5-gram on Wikipedia); documents are kept by perplexity
+bucket. This is the Spark-first equivalent at bigram order:
+
+- **Training is two map-side-combinable aggregates** over the reference
+  slice: bigram counts keyed by (w1, w2) and context counts keyed by w1.
+  Both tables are vocab-sized, orders of magnitude below the corpus.
+- **Scoring is one join of document bigrams against the LM.** Per bigram,
+  add-1 smoothed conditional probability P(w2|w1) = (c(w1,w2)+1) /
+  (c(w1)+V); the per-bigram negative log-likelihood is quantized to
+  integer micro-nats BEFORE the per-document sum, so the document score
+  is an order-independent integer sum — bit-exact in any engine and at
+  any parallelism (the same strategy as DSIR's quantized weights; the
+  per-term round carries the established idf precedent for cross-engine
+  float determinism). At 100 TB the LM tables broadcast when small and
+  hash-join otherwise; the corpus shuffles once by doc_id for the final
+  aggregate.
+
+Unknown contexts degrade gracefully: c(w1) = 0 for OOV, so
+P = 1/V — the uniform prior. Documents with fewer than two tokens score
+(n_bigrams=0, nll_q=0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NLL_SCALE = 1_000_000  # micro-nats
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    t = _tokens(text_col)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda j: F.struct(
+                        F.element_at(F.col("t"), j).alias("w1"),
+                        F.element_at(F.col("t"), j + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def train_bigram_lm(ref_docs: DataFrame, text_col: str = "text"):
+    """Train the add-1 bigram LM on the reference slice. Returns
+    (bigrams(w1, w2, c12), contexts(w1, c1), vocab_df) — vocab_df is a
+    1-row frame with the distinct-unigram count V, kept as a DataFrame so
+    the scorer composes it without a driver round-trip."""
+    toks = ref_docs.select(F.explode(_tokens(text_col)).alias("w"))
+    contexts_all = toks.groupBy(F.col("w").alias("w1")).agg(
+        F.count("*").cast("long").alias("c1")
+    )
+    vocab = contexts_all.agg(F.count("*").cast("long").alias("v"))
+    bi = _doc_bigrams(
+        ref_docs.select(F.monotonically_increasing_id().alias("__id"), text_col),
+        text_col,
+        "__id",
+    )
+    bigrams = bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    # context counts must count w1 POSITIONS (all tokens but each doc's
+    # last), not raw unigram occurrences — derive from the bigram table so
+    # sum(c12 | w1) = c1 exactly
+    contexts = bigrams.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    return bigrams, contexts, vocab
+
+
+def doc_nll(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document's total bigram negative log-likelihood (in
+    integer micro-nats) under the add-1 bigram LM trained on ``ref_docs``.
+    Returns (doc_id, n_bigrams, nll_q) — ascending nll_q/n_bigrams is the
+    CCNet quality order (head = most reference-like)."""
+    bigrams, contexts, vocab = train_bigram_lm(ref_docs, text_col)
+    db = _doc_bigrams(docs, text_col, id_col)
+    scored = (
+        db.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .join(F.broadcast(contexts), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.coalesce("c12", F.lit(0)) + 1).cast("double")
+                    / (F.coalesce("c1", F.lit(0)) + F.col("v")).cast("double")
+                )
+                * NLL_SCALE
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("q").cast("long").alias("nll_q"),
+    )
+    all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"),
+    )

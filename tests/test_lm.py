@@ -1,0 +1,97 @@
+"""Bigram-LM perplexity scoring (operators/lm.py): hand-computed NLL
+parity, quality-ordering semantics (reference-like text scores lower),
+OOV uniform-prior fallback, short-doc edges, and partitioning
+invariance."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from see_spark.operators.lm import NLL_SCALE, doc_nll
+
+REF = [
+    (0, "the cat sat on the mat"),
+    (5, "the dog sat on the rug"),
+    (10, "the cat ran to the dog"),
+]
+SCORE = REF + [
+    (1, "the cat sat on the mat"),      # exactly reference-like
+    (2, "mat the on sat cat the"),      # same unigrams, scrambled order
+    (3, "zz qq zz qq zz"),              # fully OOV
+    (4, "single"),                      # < 2 tokens
+    (6, ""),                            # empty
+]
+
+
+def _replica():
+    bg = Counter()
+    for _, t in REF:
+        toks = [w for w in t.split(" ") if w]
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] += 1
+    ctx = Counter()
+    for (a, _), c in bg.items():
+        ctx[a] += c
+    vocab = {w for _, t in REF for w in t.split(" ") if w}
+    v = len(vocab)
+    out = {}
+    for doc_id, t in SCORE:
+        toks = [w for w in t.split(" ") if w]
+        pairs = list(zip(toks, toks[1:]))
+        q = sum(
+            round(-math.log((bg[(a, b)] + 1) / (ctx[a] + v)) * NLL_SCALE)
+            for a, b in pairs
+        )
+        out[doc_id] = (len(pairs), q)
+    return out
+
+
+def _df(spark, rows, parts=2):
+    return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(parts)
+
+
+def test_matches_replica(spark):
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll_q)
+        for r in doc_nll(_df(spark, SCORE), _df(spark, REF)).collect()
+    }
+    assert got == _replica()
+
+
+def test_quality_ordering(spark):
+    got = {
+        r.doc_id: r
+        for r in doc_nll(_df(spark, SCORE), _df(spark, REF)).collect()
+    }
+    # reference-like text must score strictly below scrambled and OOV text
+    # per bigram
+    like = got[1].nll_q / got[1].n_bigrams
+    scrambled = got[2].nll_q / got[2].n_bigrams
+    oov = got[3].nll_q / got[3].n_bigrams
+    assert like < scrambled
+    assert like < oov
+
+
+def test_oov_uniform_prior(spark):
+    # every OOV bigram scores exactly -ln(1/V) (c12 = c1 = 0)
+    got = {r.doc_id: r for r in doc_nll(_df(spark, SCORE), _df(spark, REF)).collect()}
+    v = len({w for _, t in REF for w in t.split(" ") if w})
+    per = round(-math.log(1 / v) * NLL_SCALE)
+    assert got[3].nll_q == got[3].n_bigrams * per
+
+
+def test_short_docs(spark):
+    got = {r.doc_id: r for r in doc_nll(_df(spark, SCORE), _df(spark, REF)).collect()}
+    assert (got[4].n_bigrams, got[4].nll_q) == (0, 0)
+    assert (got[6].n_bigrams, got[6].nll_q) == (0, 0)
+
+
+def test_partitioning_invariance(spark):
+    base = sorted(
+        map(tuple, doc_nll(_df(spark, SCORE, 1), _df(spark, REF, 1)).collect())
+    )
+    got = sorted(
+        map(tuple, doc_nll(_df(spark, SCORE, 5), _df(spark, REF, 3)).collect())
+    )
+    assert got == base
