@@ -1665,6 +1665,44 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_content_classify(spark, sf_dir):
+    """Engine addition: jusText-style boilerplate classification
+    (operators/content.py:classify_blocks) — context-free density rules +
+    the context-sensitive neighbor vote (two window passes on one doc_id
+    shuffle). Blocks are synthesized identically in both engines from the
+    documents table (12-word chunks; link chars from a pinned integer
+    formula), so the label pipeline — the Catalyst part that runs at
+    10^10-block scale — is exact-oracle-checked end to end; the HTML ->
+    blocks kernel (core/htmlx.blocks) is pytest-pinned separately."""
+    from see_spark.operators.content import classify_blocks
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    ).filter(F.size("t") >= 1)
+    nb = F.ceil(F.size("t").cast("double") / 12.0).cast("long")
+    texts = F.transform(
+        F.sequence(F.lit(0).cast("long"), nb - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("t"), (i * 12 + 1).cast("int"), 12), " "
+        ),
+    )
+    blk = d.select("doc_id", F.posexplode(texts).alias("block_id", "text")).select(
+        "doc_id",
+        F.col("block_id").cast("long").alias("block_id"),
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            (F.col("doc_id") * 7 + F.col("block_id") * 13)
+            % (F.length("text") + 1)
+        ).cast("long").alias("n_link_chars"),
+    )
+    return classify_blocks(blk).select(
+        "doc_id", "block_id", "n_chars", "n_link_chars",
+        "n_words", "n_stopwords", "ctx_label", "label",
+    )
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """Engine addition: CCNet-style LM quality scoring (Wenzek et al.
     2020) — add-1 bigram LM trained on the doc_id%5==0 reference slice,
@@ -1737,6 +1775,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "content_classify": _q_content_classify,
     "lm_perplexity": _q_lm_perplexity,
     "url_trap_gate": _q_url_trap_gate,
     "bpe_merges": _q_bpe_merges,
@@ -3607,6 +3646,69 @@ ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "content_classify": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '')
+                            AS t
+                   FROM documents),
+        dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 1),
+        blk AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS block_id,
+                 array_to_string(t[CAST(i*12+1 AS BIGINT)
+                                   : CAST(i*12+12 AS BIGINT)], ' ') AS btext
+          FROM (SELECT doc_id, t,
+                       unnest(range(0, CAST(ceil(len(t) / 12.0) AS BIGINT)))
+                         AS i
+                FROM dd)),
+        s AS (
+          SELECT doc_id, block_id,
+                 CAST(strlen(btext) AS BIGINT) AS n_chars,
+                 CAST((doc_id*7 + block_id*13) % (strlen(btext) + 1)
+                      AS BIGINT) AS n_link_chars,
+                 CAST(len(list_filter(string_split(btext, ' '),
+                                      x -> x <> '')) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(string_split(btext, ' '),
+                        x -> list_contains(
+                          ['the','of','and','a','to','in','is','it'],
+                          lower(x)))) AS BIGINT) AS n_stopwords
+          FROM blk),
+        c AS (
+          SELECT *,
+                 CASE WHEN n_chars = 0
+                           OR CAST(n_link_chars AS DOUBLE) / n_chars > 0.4
+                      THEN 'bad'
+                      WHEN n_words >= 20
+                           AND CAST(n_stopwords AS DOUBLE) / n_words >= 0.3
+                      THEN 'good'
+                      WHEN n_words < 5 THEN 'short'
+                      ELSE 'neargood' END AS ctx_label
+          FROM s),
+        f AS (
+          SELECT *,
+                 last_value(CASE WHEN ctx_label IN ('good','bad')
+                                 THEN ctx_label END IGNORE NULLS)
+                   OVER (PARTITION BY doc_id ORDER BY block_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev,
+                 first_value(CASE WHEN ctx_label IN ('good','bad')
+                                  THEN ctx_label END IGNORE NULLS)
+                   OVER (PARTITION BY doc_id ORDER BY block_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS nxt
+          FROM c)
+        SELECT doc_id, block_id, n_chars, n_link_chars, n_words,
+               n_stopwords, ctx_label,
+               CASE WHEN ctx_label IN ('good','bad') THEN ctx_label
+                    WHEN ctx_label = 'neargood' THEN
+                      CASE WHEN COALESCE(prev,'bad') = 'good'
+                                OR COALESCE(nxt,'bad') = 'good'
+                           THEN 'good' ELSE 'bad' END
+                    ELSE
+                      CASE WHEN COALESCE(prev,'bad') = 'good'
+                                AND COALESCE(nxt,'bad') = 'good'
+                           THEN 'good' ELSE 'bad' END END AS label
+        FROM f
+    """,
         "lm_perplexity": """
         WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                           list_filter(string_split(text, ' '), x -> x <> '')

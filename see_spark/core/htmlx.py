@@ -217,3 +217,61 @@ def _collect_links_text(node: Node, out: List[Tuple[str, str]]) -> None:
                 break
     for child in node.children:
         _collect_links_text(child, out)
+
+
+# block-level segmentation (engine addition: boilerplate removal) --------
+
+BLOCK_TAGS = frozenset(
+    {
+        "html", "body", "div", "section", "article", "header", "footer",
+        "nav", "aside", "main", "p", "h1", "h2", "h3", "h4", "h5", "h6",
+        "ul", "ol", "li", "dl", "dt", "dd", "table", "tr", "td", "th",
+        "blockquote", "pre", "form", "fieldset", "hr", "br", "title",
+    }
+)
+
+
+def blocks(content: str) -> List[Tuple[int, str, int, int]]:
+    """Segment a document into text blocks at block-level tag boundaries —
+    the input unit of jusText-style boilerplate classification
+    (operators/content.py). Engine addition on top of the reference's
+    flat text model (see_html.erl:39-52): the same tolerant tree, but
+    data nodes accumulate into a block that is flushed whenever a
+    block-level element opens or closes.
+
+    Returns ``(block_id, text, n_chars, n_link_chars)`` per non-empty
+    block in document order: text = the block's data nodes joined with
+    ' ' (the reference's separator convention), n_chars = total data-node
+    characters (separators excluded), n_link_chars = the subset inside
+    <a> subtrees — the numerator of jusText's link density.
+    """
+    tree = parse(content)
+    out: List[Tuple[str, int, int]] = []
+    parts: List[str] = []
+    counts = [0, 0]  # chars, link chars
+
+    def flush() -> None:
+        if parts:
+            out.append((" ".join(parts), counts[0], counts[1]))
+        parts.clear()
+        counts[0] = 0
+        counts[1] = 0
+
+    def walk(node: Node, in_link: bool) -> None:
+        if isinstance(node, str):
+            parts.append(node)
+            counts[0] += len(node)
+            if in_link:
+                counts[1] += len(node)
+            return
+        is_block = node.tag in BLOCK_TAGS
+        if is_block:
+            flush()
+        for child in node.children:
+            walk(child, in_link or node.tag == "a")
+        if is_block:
+            flush()
+
+    walk(tree, False)
+    flush()
+    return [(i, t, c, lc) for i, (t, c, lc) in enumerate(out)]
