@@ -1665,6 +1665,38 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_revisit_decide(spark, sf_dir):
+    """Engine addition: conditional-revisit outcome classification
+    (operators/revisit.py:revisit_decide) over a synthesized result table
+    covering all arms — 304 validator hit, 200 with unchanged body, 200
+    changed, 404, and null-status network failure. Pure Catalyst; md5
+    validators make the decision table engine-exact."""
+    from see_spark.operators.revisit import revisit_decide
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("long")
+    case = k % 5
+    results = o.select(
+        F.concat(
+            F.lit("http://host"), (F.col("o_custkey") % 97).cast("string"),
+            F.lit(".test/order/"), k.cast("string"),
+        ).alias("url"),
+        F.when(case == 0, 304)
+        .when(case.isin(1, 2), 200)
+        .when(case == 3, 404)
+        .otherwise(F.lit(None).cast("int"))
+        .alias("status"),
+        F.when(case == 1, F.concat(F.lit("s"), k.cast("string")))
+        .when(case == 2, F.concat(F.lit("b"), k.cast("string")))
+        .alias("body"),
+        F.md5(F.concat(F.lit("s"), k.cast("string"))).alias("stored_hash"),
+    )
+    return revisit_decide(results).select(
+        "url", F.col("status").cast("long").alias("status"),
+        "outcome", "new_hash", "saved_fetch",
+    )
+
+
 def _q_content_classify(spark, sf_dir):
     """Engine addition: jusText-style boilerplate classification
     (operators/content.py:classify_blocks) — context-free density rules +
@@ -1775,6 +1807,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "revisit_decide": _q_revisit_decide,
     "content_classify": _q_content_classify,
     "lm_perplexity": _q_lm_perplexity,
     "url_trap_gate": _q_url_trap_gate,
@@ -3646,6 +3679,30 @@ ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "revisit_decide": """
+        WITH r AS (
+          SELECT 'http://host' || CAST(o_custkey % 97 AS VARCHAR)
+                   || '.test/order/' || CAST(o_orderkey AS VARCHAR) AS url,
+                 CASE o_orderkey % 5 WHEN 0 THEN 304 WHEN 1 THEN 200
+                      WHEN 2 THEN 200 WHEN 3 THEN 404 END AS status,
+                 CASE o_orderkey % 5
+                      WHEN 1 THEN 's' || CAST(o_orderkey AS VARCHAR)
+                      WHEN 2 THEN 'b' || CAST(o_orderkey AS VARCHAR)
+                 END AS body,
+                 md5('s' || CAST(o_orderkey AS VARCHAR)) AS stored_hash
+          FROM orders)
+        SELECT url, CAST(status AS BIGINT) AS status,
+               CASE WHEN status = 304 THEN 'unchanged_304'
+                    WHEN status = 200 AND md5(COALESCE(body, '')) = stored_hash
+                         THEN 'unchanged_body'
+                    WHEN status = 200 THEN 'changed'
+                    ELSE 'error' END AS outcome,
+               CASE WHEN status = 200 THEN md5(COALESCE(body, ''))
+                    ELSE stored_hash END AS new_hash,
+               CAST(CASE WHEN status = 304 THEN 1 ELSE 0 END AS BIGINT)
+                 AS saved_fetch
+        FROM r
+    """,
         "content_classify": """
         WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                           list_filter(string_split(text, ' '), x -> x <> '')

@@ -25,6 +25,11 @@ KIND_TEXT = "text"
 KIND_BINARY = "binary"
 KIND_REDIRECT = "redirect"
 KIND_ERROR = "error"
+# engine addition (no see_http.erl arm — the reference's loop is
+# visit-once and never revalidates): 304 Not Modified on a conditional
+# revisit (operators/revisit.py). Only reachable when the caller sent a
+# validator (If-None-Match).
+KIND_UNCHANGED = "unchanged"
 
 
 @dataclass
@@ -53,4 +58,6 @@ def route_response(
         if location:
             return FetchOutcome(KIND_REDIRECT, location=location)
         return FetchOutcome(KIND_ERROR, error="redirect_without_location")
+    if status == 304:
+        return FetchOutcome(KIND_UNCHANGED)
     return FetchOutcome(KIND_ERROR, error=f"http_{status}")

@@ -53,16 +53,35 @@ class FixtureFetcher:
         site_bc = self._bc
 
         def _run(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib
+
             site = site_bc.value
             for frame in frames:
                 if len(frame) == 0:
                     continue
+                etags = (
+                    frame["if_none_match"]
+                    if "if_none_match" in frame.columns
+                    else [None] * len(frame)
+                )
                 rows = []
-                for url in frame["url"]:
+                for url, etag in zip(frame["url"], etags):
+                    if not isinstance(etag, str):  # None / pandas NA
+                        etag = None
                     entry = site.get(url)
                     if entry is None:
                         # connection-refused analog -> error outcome
                         rows.append((url, None, None, None, None))
+                    elif (
+                        etag is not None
+                        and entry["status"] == 200
+                        and hashlib.md5(
+                            (entry["body"] or "").encode()
+                        ).hexdigest() == etag
+                    ):
+                        # conditional revisit hit: validator (md5-of-body
+                        # ETag) matches -> 304, no body transferred
+                        rows.append((url, 304, entry["content_type"], None, None))
                     else:
                         rows.append(
                             (
@@ -96,7 +115,7 @@ USER_AGENT = "see-spark (PySpark crawl engine)"
 
 
 def http_get(
-    session, url: str, timeout: float = 10.0
+    session, url: str, timeout: float = 10.0, etag: Optional[str] = None
 ) -> Tuple[Optional[int], Optional[str], Optional[str], Optional[str]]:
     """One raw GET with the reference's fetch semantics
     (/root/reference/apps/crawler/src/see_http.erl:13-24,26-32):
@@ -113,10 +132,15 @@ def http_get(
     """
     import requests
 
+    headers = {"user-agent": USER_AGENT}
+    if etag is not None:
+        # conditional revalidation (RFC 9110 s13.1.2): a 304 reply routes
+        # to the 'unchanged' outcome and transfers no body
+        headers["if-none-match"] = etag
     try:
         resp = session.get(
             url,
-            headers={"user-agent": USER_AGENT},
+            headers=headers,
             allow_redirects=False,
             stream=True,
             timeout=timeout,
@@ -195,9 +219,20 @@ class RequestsFetcher:
                 for frame in frames:
                     if len(frame) == 0:
                         continue
+                    etags = (
+                        frame["if_none_match"]
+                        if "if_none_match" in frame.columns
+                        else [None] * len(frame)
+                    )
                     rows = [
-                        (url, *http_get(session, url, timeout))
-                        for url in frame["url"]
+                        (
+                            url,
+                            *http_get(
+                                session, url, timeout,
+                                etag=etag if isinstance(etag, str) else None,
+                            ),
+                        )
+                        for url, etag in zip(frame["url"], etags)
                     ]
                     out = pd.DataFrame(
                         rows,

@@ -53,6 +53,19 @@ def _make_server():
                 self.send_header("content-length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif self.path == "/conditional":
+                # RFC 9110 conditional GET: matching If-None-Match -> 304
+                if self.headers.get("if-none-match") == "etag-match":
+                    self.send_response(304)
+                    self.send_header("content-length", "0")
+                    self.end_headers()
+                else:
+                    body = b"fresh body"
+                    self.send_response(200)
+                    self.send_header("content-type", "text/plain")
+                    self.send_header("content-length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
             elif self.path == "/redirect":
                 self.send_response(301)
                 self.send_header("location", "/moved")
@@ -198,3 +211,23 @@ def test_mapinpandas_fetch_roundtrip(spark, http_server):
         "text": "text", "binary": "binary", "redirect": "redirect",
         "nope": "error",
     }
+
+
+def test_conditional_get_304(http_server):
+    from see_spark.core.fetch import KIND_UNCHANGED, route_response
+    from see_spark.sources.fetcher import http_get
+
+    base, seen = http_server
+    with requests.Session() as s:
+        # matching validator -> 304, no body pulled
+        status, _, body, _ = http_get(s, base + "/conditional", etag="etag-match")
+        assert (status, body) == (304, None)
+        assert seen["/conditional"]["if-none-match"] == "etag-match"
+        assert route_response(status, None, body, None).kind == KIND_UNCHANGED
+        # stale validator -> full 200
+        status, _, body, _ = http_get(s, base + "/conditional", etag="stale")
+        assert (status, body) == (200, "fresh body")
+        # no validator -> header not sent at all
+        status, _, _, _ = http_get(s, base + "/conditional")
+        assert status == 200
+        assert "if-none-match" not in seen["/conditional"]
