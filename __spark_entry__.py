@@ -1665,6 +1665,42 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_reindex_df_delta(spark, sf_dir):
+    """Engine addition: signed word_stats delta when changed documents are
+    re-indexed (indexer.py:word_stats_reindex_delta — the index-
+    maintenance arm of conditional revisits). Changed slice = doc_id%3==0;
+    the new version truncates the text to its first half and appends two
+    marker words, so the delta has both negative rows (words lost with
+    the tail) and positive rows (the markers). Tokenization is the pinned
+    O8 pipeline in both engines."""
+    from see_spark.functions.udfs import tokenize_expr
+    from see_spark.operators.indexer import word_stats_reindex_delta
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("doc_id") % 3 == 0)
+    new_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring(
+                F.col("text"), 1, F.floor(F.length("text") / 2).cast("int")
+            ),
+            F.lit(" reindexed marker"),
+        ).alias("text"),
+    )
+
+    def postings(d):
+        return (
+            d.select("doc_id", F.explode(tokenize_expr(F.col("text"))).alias("word"))
+            .groupBy("doc_id", "word")
+            .count()
+        )
+
+    return word_stats_reindex_delta(postings(docs), postings(new_docs)).select(
+        "word", F.col("df").alias("df_delta")
+    )
+
+
 def _q_revisit_decide(spark, sf_dir):
     """Engine addition: conditional-revisit outcome classification
     (operators/revisit.py:revisit_decide) over a synthesized result table
@@ -1807,6 +1843,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "reindex_df_delta": _q_reindex_df_delta,
     "revisit_decide": _q_revisit_decide,
     "content_classify": _q_content_classify,
     "lm_perplexity": _q_lm_perplexity,
@@ -3679,6 +3716,39 @@ ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "reindex_df_delta": f"""
+        WITH changed AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+          FROM documents WHERE doc_id % 3 = 0),
+        newdocs AS (
+          SELECT doc_id,
+                 substr(text, 1, CAST(floor(length(text) / 2) AS INT))
+                   || ' reindexed marker' AS text
+          FROM changed),
+        old_t AS (
+          SELECT DISTINCT doc_id, lower(tok) AS word
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                         regexp_replace(text, '{_SEP_SQL}', ' ', 'g'),
+                         '[ \t\n\r]')) AS tok
+                FROM changed)
+          WHERE strlen(tok) >= 2),
+        new_t AS (
+          SELECT DISTINCT doc_id, lower(tok) AS word
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                         regexp_replace(text, '{_SEP_SQL}', ' ', 'g'),
+                         '[ \t\n\r]')) AS tok
+                FROM newdocs)
+          WHERE strlen(tok) >= 2),
+        oc AS (SELECT word, COUNT(*) AS c FROM old_t GROUP BY 1),
+        nc AS (SELECT word, COUNT(*) AS c FROM new_t GROUP BY 1)
+        SELECT COALESCE(oc.word, nc.word) AS word,
+               CAST(COALESCE(nc.c, 0) - COALESCE(oc.c, 0) AS BIGINT)
+                 AS df_delta
+        FROM oc FULL OUTER JOIN nc ON oc.word = nc.word
+        WHERE COALESCE(nc.c, 0) - COALESCE(oc.c, 0) <> 0
+    """,
         "revisit_decide": """
         WITH r AS (
           SELECT 'http://host' || CAST(o_custkey % 97 AS VARCHAR)

@@ -64,3 +64,33 @@ def word_stats_increment(fresh_postings: DataFrame) -> DataFrame:
     append-only delta instead of a read-modify-write of the vocabulary.
     Map-side combinable: one narrow shuffle on word per round."""
     return fresh_postings.groupBy("word").agg(F.count("*").alias("df"))
+
+
+def word_stats_reindex_delta(
+    old_postings: DataFrame, new_postings: DataFrame
+) -> DataFrame:
+    """Signed df delta for RE-indexed documents — the index-maintenance
+    arm of conditional revisits (operators/revisit.py): when a revisit
+    finds changed content, the doc's postings rows are replaced and
+    word_stats must move by (new df contribution - old df contribution)
+    per word.
+
+    Inputs are the changed docs' CURRENT postings and their replacement
+    postings (one row per (word, doc_id) each, the postings invariant).
+    Returns (word, df) with df possibly negative — the same append-only
+    delta shape ``word_stats_increment`` commits, so Σ deltas stays the
+    exact posting-set size whether a doc was indexed once or re-indexed
+    many times. Two map-side-combinable word aggregates + one word-keyed
+    outer join; rows only for words whose df actually moved."""
+    oldc = old_postings.groupBy("word").agg(F.count("*").alias("__old"))
+    newc = new_postings.groupBy("word").agg(F.count("*").alias("__new"))
+    return (
+        oldc.join(newc, "word", "full_outer")
+        .select(
+            "word",
+            (
+                F.coalesce("__new", F.lit(0)) - F.coalesce("__old", F.lit(0))
+            ).cast("long").alias("df"),
+        )
+        .filter(F.col("df") != 0)
+    )
