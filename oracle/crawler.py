@@ -75,8 +75,24 @@ def crawl(
     sitemap_waves: int = 3,
     honor_crawl_delay: bool = False,
     seconds_per_round: float = 1.0,
+    trap_gate: bool = False,
+    trap_max_depth: int = 8,
+    trap_max_seg_repeat: int = 3,
+    trap_max_url_len: int = 512,
 ) -> OracleResult:
     robots = robots or {}
+
+    def _is_trap(canon: str) -> bool:
+        """Same rule as frontier.trap_stats over the canonical url."""
+        import re
+
+        path = re.sub(r"^[a-z]+://[^/]*", "", canon, count=1)
+        segs = [s for s in path.split("/") if s]
+        if len(segs) > trap_max_depth:
+            return True
+        if segs and max(segs.count(s) for s in segs) >= trap_max_seg_repeat:
+            return True
+        return len(canon) > trap_max_url_len
     # RFC 9309 mode: robots rules come from the site's own
     # http://host/robots.txt bodies (parsed once per host with the SAME
     # kernel the engine's vectorized parse uses), full allow/disallow
@@ -155,14 +171,19 @@ def crawl(
     doc_len: Dict[str, int] = {}
     host_last_round: Dict[str, int] = {}
 
-    def queue(raw_url: str, depth: int, round_no: int) -> str:
-        """see_db_srv:queue/1 three-way outcome (erl :83-96)."""
+    def queue(raw_url: str, depth: int, round_no: int, gate: bool = False) -> str:
+        """see_db_srv:queue/1 three-way outcome (erl :83-96). ``gate``:
+        apply the trap gate (engine: _apply_trap_gate runs on DISCOVERED
+        candidates — links, redirect targets, sitemap pages — never on
+        operator-supplied seeds)."""
         nonlocal next_seq
         canon = try_canonicalize(raw_url)
         if canon is None:
             return "url_error"
         if not host_matches(canon, domain_filter):
             return "filter_mismatch"
+        if gate and trap_gate and _is_trap(canon):
+            return "trap"
         if canon in frontier:  # add-if-absent no-op (ets :84-92)
             return "ok"
         frontier[canon] = OracleEntry(
@@ -217,7 +238,7 @@ def crawl(
                 # crawl continues (mirrors run_round's early-return branch)
                 rounds = round_no + 1
                 for u in sitemap_pages:
-                    queue(u, 0, round_no)
+                    queue(u, 0, round_no, gate=True)
                 continue
             if any(e.state == "unvisited" for e in frontier.values()):
                 # idle politeness wait: unvisited URLs remain but every
@@ -260,7 +281,7 @@ def crawl(
                 for link in links:
                     queue(
                         absolute_link(entry.url, link),
-                        entry.depth + 1, round_no,
+                        entry.depth + 1, round_no, gate=True,
                     )
             elif outcome.kind == "binary":
                 entry.state = "binary"
@@ -272,7 +293,7 @@ def crawl(
                 target = absolute_link(entry.url, outcome.location)
                 entry.state = "redirect"
                 entry.detail = target
-                queue(target, entry.depth + 1, round_no)
+                queue(target, entry.depth + 1, round_no, gate=True)
             else:
                 entry.state = "error"
                 entry.detail = outcome.error
@@ -281,7 +302,7 @@ def crawl(
         # discoveries (engine: link_rank base 2^61 sorts them last in the
         # same first-enqueue-wins batch)
         for u in sitemap_pages:
-            queue(u, 0, round_no)
+            queue(u, 0, round_no, gate=True)
 
     return OracleResult(
         frontier=frontier, visit_order=visit_order, docs=docs,

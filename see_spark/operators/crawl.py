@@ -126,6 +126,16 @@ class CrawlConfig:
     # of refetching).
     archive_dir: Optional[str] = None
     archive_files_per_round: int = 4
+    # Crawler-trap gate (frontier.trap_stats): when enabled, discovered
+    # candidates (page links and sitemap URLs — operator-supplied seeds
+    # are trusted) whose path shape flags a spider trap are dropped
+    # BEFORE URL-seen filtering, so traps never occupy frontier rows or
+    # bloom bits. Zero-shuffle narrow map; parity with the oracle
+    # crawler's identical rule is pinned by tests/test_crawl_trap.py.
+    trap_gate: bool = False
+    trap_max_depth: int = 8
+    trap_max_seg_repeat: int = 3
+    trap_max_url_len: int = 512
 
 
 @dataclass
@@ -204,6 +214,21 @@ def append_ok_candidates(
         },
     )
     return n_new
+
+
+def _apply_trap_gate(candidates: DataFrame, config: "CrawlConfig") -> DataFrame:
+    """Drop trap-shaped discoveries (CrawlConfig.trap_gate) before
+    URL-seen filtering. No-op when disabled."""
+    if not config.trap_gate:
+        return candidates
+    return frontier_ops.trap_stats(
+        candidates,
+        max_depth=config.trap_max_depth,
+        max_seg_repeat=config.trap_max_seg_repeat,
+        max_len=config.trap_max_url_len,
+    ).filter(F.col("is_trap") == 0).drop(
+        "depth_segs", "max_repeat", "url_len", "is_trap"
+    )
 
 
 def _next_seq(catalog: SnapshotCatalog, frontier: DataFrame) -> int:
@@ -529,6 +554,7 @@ def run_round(
                 sitemap_cands, url_col="abs_link",
                 domain_filter=config.domain_filter,
             ).filter(F.col("ingest_status") == "ok").drop("ingest_status")
+            cand = _apply_trap_gate(cand, config)
             fresh = frontier_ops.dedup_within_batch(
                 frontier_ops.seen_filter(cand, frontier), "link_rank"
             )
@@ -709,6 +735,7 @@ def run_round(
         url_col="abs_link",
         domain_filter=config.domain_filter,
     ).filter(F.col("ingest_status") == "ok").drop("ingest_status")
+    candidates = _apply_trap_gate(candidates, config)
 
     seq_start = _next_seq(catalog, frontier)
     # next_seq counts every URL ever enqueued == frontier row count (rows
