@@ -1665,6 +1665,19 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_host_quota(spark, sf_dir):
+    """Engine addition: per-host document quota (textfilters.py:
+    host_quota_sample) over the synthetic frontier — keep <= 7 urls per
+    host by salted-hash order (deterministic fair sample). One window
+    shuffle; md5 ordering makes survivors engine-exact."""
+    from see_spark.operators.textfilters import host_quota_sample
+
+    f = _orders_frontier(spark, sf_dir).select("url", "host", "seq")
+    return host_quota_sample(f, cap=7, host_col="host", id_col="seq").select(
+        "url", "host", "seq", "host_rank"
+    )
+
+
 def _q_reindex_df_delta(spark, sf_dir):
     """Engine addition: signed word_stats delta when changed documents are
     re-indexed (indexer.py:word_stats_reindex_delta — the index-
@@ -1843,6 +1856,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "host_quota_sample": _q_host_quota,
     "reindex_df_delta": _q_reindex_df_delta,
     "revisit_decide": _q_revisit_decide,
     "content_classify": _q_content_classify,
@@ -3716,6 +3730,18 @@ ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "host_quota_sample": """
+        WITH f AS ({_F}),
+        ranked AS (
+          SELECT url, host, seq,
+                 CAST(row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY ('0x' || substr(md5('hq:' || CAST(seq AS VARCHAR)),
+                             1, 15))::BIGINT ASC, seq ASC) AS BIGINT)
+                   AS host_rank
+          FROM f)
+        SELECT url, host, seq, host_rank FROM ranked WHERE host_rank <= 7
+    """.replace("{_F}", _FRONTIER_SQL),
         "reindex_df_delta": f"""
         WITH changed AS (
           SELECT CAST(doc_id AS BIGINT) AS doc_id, text

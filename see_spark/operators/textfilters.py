@@ -294,3 +294,36 @@ def stratified_sample(
         .filter(F.col("bucket") < F.col("rate"))
         .select("doc_id", "lang", F.col("bucket").cast("long").alias("bucket"))
     )
+
+
+def host_quota_sample(
+    docs: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    salt: str = "hq",
+) -> DataFrame:
+    """Per-host document quota — the domain-diversity cap every web-scale
+    corpus recipe applies (a handful of hosts otherwise contribute an
+    outsized share of pages; Dolma/FineWeb-style per-domain caps): keep at
+    most ``cap`` documents per host, chosen by a salted-hash order so the
+    survivors are a deterministic fair sample — reproducible across
+    engines, partitionings, and reruns, unlike any RNG-based pick — with
+    doc_id as the total-order tie-break.
+
+    ONE host-keyed shuffle (the window); at 10^10 docs the only skew risk
+    is a mega-host's partition, which the cap itself bounds downstream —
+    for the window pass, AQE's skew-split handles it because row_number
+    needs no cross-partition state beyond the sort. Appends host_rank
+    (1-based within host) and keeps only rows with host_rank <= cap.
+    """
+    order = hash60(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(host_col).orderBy(
+        order.asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_rank") <= cap)
+    )
