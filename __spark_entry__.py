@@ -1665,6 +1665,34 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_redirect_chains(spark, sf_dir):
+    """Engine addition: redirect-chain resolution by pointer doubling
+    (operators/redirects.py) — O(log L) self-joins instead of L chases.
+    Synthesized functional graph from orders: runs of consecutive
+    orderkeys form chains (k -> k+1 for k%5<3), some k%5==3 rows close
+    their chain into a 4-cycle, and k%5==4 & k%11==0 rows self-loop —
+    guaranteed cycle coverage. Oracle = recursive-CTE step-by-step walk."""
+    from see_spark.operators.redirects import resolve_redirect_chains
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("long")
+
+    def url_of(expr):
+        return F.concat(F.lit("http://r.test/p/"), expr.cast("string"))
+
+    e1 = o.filter(k % 5 < 3).select(
+        url_of(k).alias("url"), url_of(k + 1).alias("target")
+    )
+    e2 = o.filter((k % 5 == 3) & (k % 7 == 0)).select(
+        url_of(k).alias("url"), url_of(k - 3).alias("target")
+    )
+    e3 = o.filter((k % 5 == 4) & (k % 11 == 0)).select(
+        url_of(k).alias("url"), url_of(k).alias("target")
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    return resolve_redirect_chains(edges, max_doublings=6)
+
+
 def _q_host_quota(spark, sf_dir):
     """Engine addition: per-host document quota (textfilters.py:
     host_quota_sample) over the synthetic frontier — keep <= 7 urls per
@@ -1856,6 +1884,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "redirect_chains": _q_redirect_chains,
     "host_quota_sample": _q_host_quota,
     "reindex_df_delta": _q_reindex_df_delta,
     "revisit_decide": _q_revisit_decide,
@@ -3730,6 +3759,40 @@ ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "redirect_chains": """
+        WITH RECURSIVE ks AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        e AS (
+          SELECT 'http://r.test/p/' || CAST(k AS VARCHAR) AS src,
+                 'http://r.test/p/' || CAST(k + 1 AS VARCHAR) AS dst
+          FROM ks WHERE k % 5 < 3
+          UNION ALL
+          SELECT 'http://r.test/p/' || CAST(k AS VARCHAR),
+                 'http://r.test/p/' || CAST(k - 3 AS VARCHAR)
+          FROM ks WHERE k % 5 = 3 AND k % 7 = 0
+          UNION ALL
+          SELECT 'http://r.test/p/' || CAST(k AS VARCHAR),
+                 'http://r.test/p/' || CAST(k AS VARCHAR)
+          FROM ks WHERE k % 5 = 4 AND k % 11 = 0),
+        walk(u, p, hops) AS (
+          SELECT src, dst, CAST(1 AS BIGINT) FROM e
+          UNION ALL
+          SELECT w.u, e2.dst, w.hops + 1
+          FROM walk w JOIN e e2 ON w.p = e2.src
+          WHERE w.hops < 64),
+        last AS (
+          SELECT u, p, hops,
+                 row_number() OVER (PARTITION BY u ORDER BY hops DESC) AS rn
+          FROM walk QUALIFY rn = 1),
+        srcs AS (SELECT DISTINCT src FROM e)
+        SELECT l.u AS url,
+               CASE WHEN s.src IS NULL THEN l.p END AS final_url,
+               CAST(CASE WHEN s.src IS NULL THEN l.hops ELSE 0 END AS BIGINT)
+                 AS chain_len,
+               CAST(CASE WHEN s.src IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                 AS is_cycle
+        FROM last l LEFT JOIN srcs s ON l.p = s.src
+    """,
         "host_quota_sample": """
         WITH f AS ({_F}),
         ranked AS (
