@@ -1665,6 +1665,23 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_spell_suggest(spark, sf_dir):
+    """Engine addition: query spell suggestion (lexicon.py:
+    suggest_corrections) — best correction per term by (edit distance,
+    df desc, word); exact hits self-suggest at dist 0, hopeless terms
+    emit nulls. Vocab = the corpus df table (word_stats shape)."""
+    from see_spark.operators.lexicon import suggest_corrections
+
+    vocab = (
+        _doc_postings(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+    return suggest_corrections(
+        spark, ["table", "tabel", "queryy", "zzzzxxxx"], vocab, max_dist=2
+    )
+
+
 def _q_redirect_chains(spark, sf_dir):
     """Engine addition: redirect-chain resolution by pointer doubling
     (operators/redirects.py) — O(log L) self-joins instead of L chases.
@@ -1884,6 +1901,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "spell_suggest": _q_spell_suggest,
     "redirect_chains": _q_redirect_chains,
     "host_quota_sample": _q_host_quota,
     "reindex_df_delta": _q_reindex_df_delta,
@@ -3759,6 +3777,22 @@ ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "spell_suggest": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        vocab AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM postings GROUP BY word),
+        t AS (SELECT unnest(['table','tabel','queryy','zzzzxxxx']) AS term),
+        exp AS (SELECT term, word,
+                       CAST(levenshtein(term, word) AS BIGINT) AS dist, df
+                FROM vocab, t WHERE levenshtein(term, word) <= 2),
+        best AS (
+          SELECT term, word, dist, df,
+                 row_number() OVER (PARTITION BY term
+                      ORDER BY dist ASC, df DESC, word ASC) AS rn
+          FROM exp QUALIFY rn = 1)
+        SELECT t.term, b.word AS suggestion, b.dist, b.df
+        FROM t LEFT JOIN best b USING (term)
+    """,
         "redirect_chains": """
         WITH RECURSIVE ks AS (
           SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),

@@ -17,7 +17,7 @@ lexicon stage is shared.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 MAX_RESULTS = 100  # see_db_srv.erl:21
@@ -240,4 +240,43 @@ def substring_search(
         )
         .orderBy(F.desc("hits"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def suggest_corrections(
+    spark: SparkSession,
+    terms: list,
+    vocab: DataFrame,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Query spell suggestion ("did you mean"): the best vocabulary
+    correction per query term — the standard search-engine fallback when
+    a term has zero (or few) hits. Candidate set = ``fuzzy_expand``
+    (one vocab scan against the broadcast terms, codegen levenshtein);
+    pick is pinned: smallest edit distance, then HIGHEST document
+    frequency (the most attested spelling wins ties), then word asc. An
+    exact vocab hit suggests itself at dist 0 — callers key "did you
+    mean" UI off dist > 0. Terms with no candidate inside ``max_dist``
+    emit (term, null, null, null).
+
+    ``vocab``: (word, df) — the materialized word_stats table at
+    production scale, so suggestion costs one scan of the vocabulary and
+    never touches postings or documents.
+    """
+    exp = fuzzy_expand(spark, terms, vocab.select("word"), max_dist)
+    cand = exp.join(vocab.select("word", "df"), "word")
+    w = Window.partitionBy("term").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("word")
+    )
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    tdf = _broadcast_literals(spark, "term", terms)
+    return tdf.join(best, "term", "left").select(
+        "term",
+        F.col("word").alias("suggestion"),
+        F.col("dist").cast("long").alias("dist"),
+        F.col("df").cast("long").alias("df"),
     )
