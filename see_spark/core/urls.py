@@ -33,8 +33,6 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 from typing import Optional
-from urllib.parse import unquote_to_bytes
-
 _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://")
 _ABS_LINK_RE = re.compile(r"[^/]+://")  # see_crawler_worker.erl:92
 
@@ -78,12 +76,36 @@ def _percent_decode(url: str) -> str:
     """hackney_url:urldecode — decode %XX byte escapes (see_db_srv.erl:127).
 
     Arbitrary decoded bytes survive via surrogateescape so that re-encoding
-    at normalize time round-trips them.
+    at normalize time round-trips them. Implemented over surrogateescape
+    bytes rather than urllib's unquote_to_bytes: the reference is a pure
+    byte pipeline, and a canonical URL can legitimately carry a raw
+    non-UTF-8 byte (e.g. ``%a0`` decodes into the HOST, which — unlike
+    path/qs — is never re-percent-encoded). unquote_to_bytes utf-8-STRICT
+    encodes its input first, so re-canonicalizing such a URL raised and
+    broke the idempotence invariant the crawl requeue path depends on
+    (hypothesis counterexample ``%a0``; pinned in test_properties.py).
+    Same malformed-escape rule as unquote_to_bytes: ``%`` without two hex
+    digits passes through verbatim.
     """
+    hexdigits = b"0123456789abcdefABCDEF"
     try:
-        raw = unquote_to_bytes(url)
-        return raw.decode("utf-8", errors="surrogateescape")
-    except Exception as exc:  # pragma: no cover - unquote rarely raises
+        raw = url.encode("utf-8", errors="surrogateescape")
+        out = bytearray()
+        i, n = 0, len(raw)
+        while i < n:
+            if (
+                raw[i] == 0x25  # '%'
+                and i + 2 < n
+                and raw[i + 1] in hexdigits
+                and raw[i + 2] in hexdigits
+            ):
+                out.append(int(raw[i + 1:i + 3], 16))
+                i += 3
+            else:
+                out.append(raw[i])
+                i += 1
+        return bytes(out).decode("utf-8", errors="surrogateescape")
+    except Exception as exc:  # pragma: no cover - defensive
         raise UrlError(str(exc))
 
 
@@ -194,7 +216,20 @@ def canonicalize(url: str) -> str:
     path = simplify_path(path)
     parsed.path = _percent_encode(path, _PATH_SAFE)
     parsed.qs = _percent_encode(parsed.qs, _QS_SAFE) if parsed.qs else ""
-    return parsed.unparse()
+    out = parsed.unparse()
+    # Engine deviation (documented): the reference is a byte pipeline and
+    # would keep a host carrying raw non-UTF-8 bytes (e.g. '%a0' decodes
+    # to byte 0xa0 in the HOST, which — unlike path/qs — is never
+    # re-percent-encoded). This engine's columns are UTF-8 strings and a
+    # surrogate-escaped byte cannot cross the Arrow boundary, so such
+    # URLs are url_error at queue time. This also keeps canonicalize a
+    # fixpoint (hypothesis counterexample '%a0', pinned in
+    # test_properties.py).
+    try:
+        out.encode("utf-8")
+    except UnicodeEncodeError:
+        raise UrlError(f"non-utf8 bytes in canonical url {out!r}")
+    return out
 
 
 def try_canonicalize(url: str) -> Optional[str]:

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from see_spark.core.rank import rank, top_k
@@ -24,6 +24,9 @@ url_text = st.text(
 
 @SETTINGS
 @given(url_text)
+@example(
+    raw='%a0',
+).via('discovered failure')
 def test_canonicalize_is_idempotent(raw):
     """canonicalize(canonicalize(u)) == canonicalize(u): queue-time
     canonicalization must be a fixpoint or re-enqueuing a canonical URL
