@@ -1665,6 +1665,20 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_corpus_pipeline(spark, sf_dir):
+    """Engine addition: the composed corpus keep/drop decision
+    (operators/pipeline.py:corpus_quality_pipeline) — language + Gopher
+    repetition + length + heuristic quality + LM perplexity, each an
+    individually exact-tested component, conjoined per doc_id. Reference
+    slice for the LM = doc_id%5==0 (the lm_perplexity convention)."""
+    from see_spark.operators.pipeline import corpus_quality_pipeline
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return corpus_quality_pipeline(d, d.filter(F.col("doc_id") % 5 == 0))
+
+
 def _q_spell_suggest(spark, sf_dir):
     """Engine addition: query spell suggestion (lexicon.py:
     suggest_corrections) — best correction per term by (edit distance,
@@ -1901,6 +1915,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "corpus_pipeline": _q_corpus_pipeline,
     "spell_suggest": _q_spell_suggest,
     "redirect_chains": _q_redirect_chains,
     "host_quota_sample": _q_host_quota,
@@ -3777,6 +3792,112 @@ ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        # composed from the individually gated lang_id / gopher_repetition /
+        # quality_score / lm_perplexity fragments (CTE-prefixed to avoid
+        # collisions); the keep rule mirrors pipeline.corpus_quality_pipeline
+        # defaults: en, not flagged, 20<=n_tokens<=100000, quality>=0.05,
+        # nll_q <= n_bigrams * 3_400_000 (integer compare).
+        "corpus_pipeline": """
+        WITH lg_t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                             string_split(lower(text), ' ') AS toks
+                      FROM documents),
+        lg_h AS (SELECT doc_id,
+          CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS BIGINT) AS hits_de,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS hits_en,
+          CAST(len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un'], x))) AS BIGINT) AS hits_es,
+          CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un'], x))) AS BIGINT) AS hits_fr,
+          CAST(len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) AS BIGINT) AS hits_zh
+          FROM lg_t),
+        lg AS (SELECT doc_id,
+               CASE WHEN hits_de = best THEN 'de'
+                    WHEN hits_en = best THEN 'en'
+                    WHEN hits_es = best THEN 'es'
+                    WHEN hits_fr = best THEN 'fr'
+                    ELSE 'zh' END AS predicted_lang
+          FROM (SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr,
+                                   hits_zh) AS best FROM lg_h)),
+        g_toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          string_split(text, ' ') AS t FROM documents),
+        g_base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+            list_transform(range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
+                i -> array_to_string(
+                       t[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' '))
+              AS lines,
+            CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, CAST(len(t) AS BIGINT)),
+                                     i -> t[i] || ' ' || t[i+1])
+                 ELSE [] END AS bigrams
+          FROM g_toks),
+        g_ls AS (SELECT doc_id, n_tokens,
+                        CAST(len(lines) AS BIGINT) AS n_lines,
+                        CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct
+                 FROM g_base),
+        g_bg AS (SELECT doc_id, unnest(bigrams) AS bigram FROM g_base),
+        g_bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM g_bg GROUP BY 1, 2),
+        g_top AS (SELECT doc_id, MAX(c) AS top_cnt FROM g_bc GROUP BY doc_id),
+        g AS (SELECT doc_id, n_tokens,
+               CAST(CASE WHEN dup_line_frac > CAST(0.30 AS DOUBLE)
+                           OR top_bigram_frac > CAST(0.20 AS DOUBLE)
+                    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+          FROM (SELECT l.doc_id, l.n_tokens,
+                       1.0 - l.n_distinct / l.n_lines AS dup_line_frac,
+                       COALESCE(2*t.top_cnt / l.n_tokens, CAST(0 AS DOUBLE))
+                         AS top_bigram_frac
+                FROM g_ls l LEFT JOIN g_top t USING (doc_id))),
+        q_t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                       string_split(text, ' ') AS toks
+                FROM documents),
+        q_f AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS n_repeats,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop
+          FROM q_t),
+        q AS (SELECT doc_id,
+               least(n_tokens, 200) / 200.0
+                 * (1.0 - n_repeats / n_tokens)
+                 * (0.5 + 0.5 * n_stop / n_tokens) AS quality
+          FROM q_f),
+        lm_d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '')
+                          AS t
+                 FROM documents),
+        lm_bg AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t)),
+                                j -> t[j] || chr(1) || t[j+1])) AS pair
+                  FROM lm_d WHERE len(t) >= 2),
+        lm_refbg AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c12
+                     FROM lm_bg WHERE doc_id % 5 = 0 GROUP BY 1),
+        lm_refctx AS (SELECT split_part(pair, chr(1), 1) AS w1,
+                             CAST(SUM(c12) AS BIGINT) AS c1
+                      FROM lm_refbg GROUP BY 1),
+        lm_vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+                     FROM (SELECT unnest(t) AS w FROM lm_d
+                           WHERE doc_id % 5 = 0)),
+        lm_scored AS (
+          SELECT b.doc_id,
+                 CAST(round(-ln(CAST(COALESCE(rb.c12, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(rc.c1, 0) + (SELECT v FROM lm_vocab)
+                              AS DOUBLE)) * 1000000) AS BIGINT) AS qn
+          FROM lm_bg b
+          LEFT JOIN lm_refbg rb USING (pair)
+          LEFT JOIN lm_refctx rc ON rc.w1 = split_part(b.pair, chr(1), 1)),
+        lm_per AS (SELECT doc_id, COUNT(*) AS nb, SUM(qn) AS nq
+                   FROM lm_scored GROUP BY 1),
+        lm AS (SELECT ids.doc_id,
+                      CAST(COALESCE(lm_per.nb, 0) AS BIGINT) AS n_bigrams,
+                      CAST(COALESCE(lm_per.nq, 0) AS BIGINT) AS nll_q
+               FROM (SELECT DISTINCT doc_id FROM lm_d) ids
+               LEFT JOIN lm_per USING (doc_id))
+        SELECT lg.doc_id, lg.predicted_lang, g.flagged, g.n_tokens,
+               q.quality, lm.n_bigrams, lm.nll_q,
+               CAST(CASE WHEN lg.predicted_lang = 'en' AND g.flagged = 0
+                          AND g.n_tokens >= 20 AND g.n_tokens <= 100000
+                          AND q.quality >= 0.05
+                          AND lm.nll_q <= lm.n_bigrams * 3400000
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM lg JOIN g USING (doc_id) JOIN q USING (doc_id)
+        JOIN lm USING (doc_id)
+    """,
         "spell_suggest": f"""
         WITH postings AS ({_POSTINGS_SQL}),
         vocab AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
