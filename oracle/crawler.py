@@ -79,8 +79,15 @@ def crawl(
     trap_max_depth: int = 8,
     trap_max_seg_repeat: int = 3,
     trap_max_url_len: int = 512,
+    robots_ttl_rounds: Optional[int] = None,
 ) -> OracleResult:
     robots = robots or {}
+
+    def site_at(round_no: int) -> Dict[str, dict]:
+        """Site snapshot for a round — ``site`` may be a callable
+        (round -> dict) for time-dependent fixtures (engine analogue:
+        PhasedFixtureFetcher + run_round's set_round hook)."""
+        return site(round_no) if callable(site) else site
 
     def _is_trap(canon: str) -> bool:
         """Same rule as frontier.trap_stats over the canonical url."""
@@ -100,23 +107,43 @@ def crawl(
     # out-of-band: never queued, never in visit order or the seen set —
     # matching crawl._refresh_robots_rfc.
     _rfc_cache: Dict[str, dict] = {}
+    _rfc_fetched_round: Dict[str, int] = {}
 
-    def rfc_rules(host: str) -> dict:
+    def _fetch_robots(host: str, round_no: int) -> None:
+        entry = site_at(round_no).get(f"http://{host}/robots.txt")
+        if entry is not None and entry["status"] == 200 and entry["body"]:
+            _rfc_cache[host] = parse_robots(entry["body"], agent=robots_agent)
+        else:
+            _rfc_cache[host] = {"allow": [], "disallow": [],
+                                "crawl_delay": None, "sitemaps": []}
+        _rfc_fetched_round[host] = round_no
+
+    def refresh_robots(round_no: int) -> None:
+        """Engine parity (_refresh_robots_rfc): the round a host has
+        unvisited URLs, fetch its robots if never fetched — or if the
+        cached copy is >= robots_ttl_rounds old (TTL mode)."""
+        for h in sorted(
+            {e.host for e in frontier.values() if e.state == "unvisited"}
+        ):
+            if h not in _rfc_cache:
+                _fetch_robots(h, round_no)
+            elif (
+                robots_ttl_rounds is not None
+                and _rfc_fetched_round[h] <= round_no - robots_ttl_rounds
+            ):
+                _fetch_robots(h, round_no)
+
+    def rfc_rules(host: str, round_no: int = 0) -> dict:
         if host not in _rfc_cache:
-            entry = site.get(f"http://{host}/robots.txt")
-            if entry is not None and entry["status"] == 200 and entry["body"]:
-                _rfc_cache[host] = parse_robots(entry["body"], agent=robots_agent)
-            else:
-                _rfc_cache[host] = {"allow": [], "disallow": [],
-                                    "crawl_delay": None, "sitemaps": []}
+            _fetch_robots(host, round_no)
         return _rfc_cache[host]
 
-    def host_gap_rounds(host: str) -> int:
+    def host_gap_rounds(host: str, round_no: int) -> int:
         """Effective checkout gap (matching crawl.run_round's host_gap):
         max(min_gap_rounds, ceil(crawl_delay / seconds_per_round))."""
         if not (robots_rfc and honor_crawl_delay):
             return min_gap_rounds
-        cd = rfc_rules(host).get("crawl_delay")
+        cd = rfc_rules(host, round_no).get("crawl_delay")
         if cd is None:
             return min_gap_rounds
         import math
@@ -144,7 +171,7 @@ def crawl(
             {
                 sm
                 for h in new_hosts
-                for sm in rfc_rules(h).get("sitemaps", [])
+                for sm in rfc_rules(h, round_no).get("sitemaps", [])
             }
             - _sitemaps_fetched
         )
@@ -155,7 +182,7 @@ def crawl(
             nested = set()
             for sm in wave_urls:  # lexicographic == engine's sm_idx order
                 _sitemaps_fetched.add(sm)
-                entry = site.get(sm)
+                entry = site_at(round_no).get(sm)
                 if entry is None or entry["status"] != 200 or not entry["body"]:
                     continue
                 parsed = parse_sitemap(entry["body"])
@@ -198,6 +225,8 @@ def crawl(
 
     rounds = 0
     for round_no in range(max_rounds):
+        if robots_rfc:
+            refresh_robots(round_no)
         sitemap_pages: List[str] = []
         if robots_rfc and use_sitemaps:
             sitemap_pages = sitemap_wave_pages(round_no)
@@ -208,7 +237,7 @@ def crawl(
             path = entry.url.split(entry.host, 1)[1]
             blocked = False
             if robots_rfc:
-                r = rfc_rules(entry.host)
+                r = rfc_rules(entry.host, round_no)
                 blocked = not robots_allowed(path, r["allow"], r["disallow"])
             else:
                 rules = robots.get(entry.host)
@@ -223,7 +252,8 @@ def crawl(
             key=lambda e: (e.depth, e.seq),
         ):
             last = host_last_round.get(entry.host)
-            if last is not None and round_no - last < host_gap_rounds(entry.host):
+            if last is not None and round_no - last < host_gap_rounds(
+                    entry.host, round_no):
                 continue
             bucket = per_host.setdefault(entry.host, [])
             if len(bucket) < host_budget:
@@ -254,7 +284,7 @@ def crawl(
             entry.fetch_order = len(visit_order)
             entry.fetched_in_round = round_no
             visit_order.append(entry.url)
-            resp = site.get(entry.url)
+            resp = site_at(round_no).get(entry.url)
             if resp is None:
                 outcome = route_response(None, None, None, None)
             else:

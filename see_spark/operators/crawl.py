@@ -117,6 +117,15 @@ class CrawlConfig:
     # deterministically (no wall clock anywhere).
     honor_crawl_delay: bool = False
     seconds_per_round: float = 1.0
+    # robots cache TTL (requires robots_rfc): RFC 9309 §2.4 caps robots
+    # caching (24h standard); with a TTL set, a host whose newest
+    # robots_rfc row is >= robots_ttl_rounds old is REFETCHED the next
+    # round it has unvisited URLs. Refetches append a newer row to the
+    # ledger (provenance kept); reads take latest-per-host. None = cache
+    # forever (the once-ever legacy behavior). TTL refetches do NOT
+    # re-trigger sitemap seeding (new hosts only; the sitemaps_fetched
+    # ledger would dedup anyway).
+    robots_ttl_rounds: Optional[int] = None
     # Raw-fetch archiving: when set, every round's fetch results are
     # written as WARC files under {archive_dir}/round-NNNNN/ before
     # parsing (sources/warc.py — deterministic record ids, byte-
@@ -356,10 +365,26 @@ def _refresh_robots_rfc(
         unvisited.filter(F.col("state") == STATE_UNVISITED)
         .select("host").distinct()
     )
-    new_hosts = hosts.join(dim.select("host"), "host", "left_anti")
-    if new_hosts.isEmpty():
-        return dim, None
-    to_fetch = new_hosts.select(
+    seen_hosts = dim.select("host").distinct()
+    new_hosts = hosts.join(seen_hosts, "host", "left_anti")
+    to_fetch_hosts = new_hosts
+    if config.robots_ttl_rounds is not None:
+        # TTL expiry (RFC 9309 §2.4): refetch hosts whose newest rules row
+        # is robots_ttl_rounds old AND that still have unvisited URLs
+        stale = hosts.join(
+            robots_ops.latest_per_host(dim)
+            .filter(
+                F.col("fetched_in_round")
+                <= round_no - int(config.robots_ttl_rounds)
+            )
+            .select("host"),
+            "host",
+            "left_semi",
+        )
+        to_fetch_hosts = new_hosts.unionByName(stale)
+    if to_fetch_hosts.isEmpty():
+        return robots_ops.latest_per_host(dim), None
+    to_fetch = to_fetch_hosts.select(
         F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
         "host",
     )
@@ -373,7 +398,14 @@ def _refresh_robots_rfc(
         "robots_rfc", appended=inc,
         meta={"round": round_no, "op": "robots_refresh"},
     )
-    return catalog.read("robots_rfc"), inc
+    # sitemap seeding keys off genuinely NEW hosts only (oracle parity;
+    # the sitemaps_fetched ledger would dedup re-listed sitemaps anyway)
+    new_inc = inc.join(seen_hosts, "host", "left_anti").localCheckpoint(
+        eager=True
+    )
+    if new_inc.isEmpty():
+        new_inc = None
+    return robots_ops.latest_per_host(catalog.read("robots_rfc")), new_inc
 
 
 # Sitemap-candidate link_rank layout: sorts AFTER every page-link rank
@@ -495,6 +527,10 @@ def run_round(
     round_no: int,
 ) -> RoundMetrics:
     metrics = RoundMetrics(round_no)
+    if hasattr(fetcher, "set_round"):
+        # round-aware fetchers (PhasedFixtureFetcher): one consistent
+        # site per round, for time-dependent behaviors (robots TTL)
+        fetcher.set_round(round_no)
     frontier = catalog.read("frontier")
     frontier = frontier_ops.expire_leases(frontier, round_no, config.lease_rounds)
 

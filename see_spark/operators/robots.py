@@ -172,3 +172,20 @@ def sitemap_seed_urls(fetched_sitemaps: DataFrame) -> DataFrame:
     return fetched_sitemaps.select("url", "body").mapInPandas(
         _parse, schema=SITEMAP_SCHEMA
     )
+
+
+def latest_per_host(robots_rfc: DataFrame) -> DataFrame:
+    """Current rules view over the append-only robots_rfc ledger: the row
+    with the highest fetched_in_round per host (TTL refetches append a
+    newer row rather than rewriting — the same provenance-keeping shape
+    as every other ledger table). One window over a dimension-sized
+    table; with TTL off the ledger has one row per host and this is the
+    identity."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.desc("fetched_in_round"))
+    return (
+        robots_rfc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -350,3 +350,31 @@ class SyntheticFetcher:
         return batch.mapInPandas(
             self.frame_fn(), schema=_fetch_schema(batch.schema)
         )
+
+
+class PhasedFixtureFetcher(FixtureFetcher):
+    """FixtureFetcher over a site that CHANGES between crawl rounds —
+    the test vehicle for time-dependent crawl behavior (robots TTL
+    refetch, conditional revisits against mutating content).
+
+    ``phases``: list of (from_round, site_dict), ascending; the active
+    site for round r is the last phase with from_round <= r. The crawl
+    loop calls ``set_round`` at the top of each round (run_crawl does
+    this for any fetcher exposing the hook), and ``frame_fn`` — built
+    fresh per fetch call — captures the active round's dict, so
+    executors always see one consistent site per round."""
+
+    def __init__(self, spark: SparkSession, phases):
+        self._phases = sorted(phases, key=lambda p: p[0])
+        self._bcs = [
+            (start, spark.sparkContext.broadcast(site))
+            for start, site in self._phases
+        ]
+        self._round = 0
+        self._bc = self._bcs[0][1]
+
+    def set_round(self, round_no: int) -> None:
+        self._round = round_no
+        for start, bc in self._bcs:
+            if start <= round_no:
+                self._bc = bc
