@@ -1665,6 +1665,19 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_nll_buckets(spark, sf_dir):
+    """Engine addition: CCNet head/middle/tail perplexity partition
+    (lm.py:nll_buckets) — integer-quantized per-bigram avg NLL, exact
+    interpolated terciles (the events_median percentile convention),
+    bucket by threshold compare. Reference slice = doc_id%5==0."""
+    from see_spark.operators.lm import nll_buckets
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return nll_buckets(d, d.filter(F.col("doc_id") % 5 == 0))
+
+
 def _q_corpus_pipeline(spark, sf_dir):
     """Engine addition: the composed corpus keep/drop decision
     (operators/pipeline.py:corpus_quality_pipeline) — language + Gopher
@@ -1915,6 +1928,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "nll_buckets": _q_nll_buckets,
     "corpus_pipeline": _q_corpus_pipeline,
     "spell_suggest": _q_spell_suggest,
     "redirect_chains": _q_redirect_chains,
@@ -3792,6 +3806,53 @@ ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "nll_buckets": """
+        WITH b_d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                            list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS t
+                     FROM documents),
+        b_bg AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(t)),
+                               j -> t[j] || chr(1) || t[j+1])) AS pair
+                 FROM b_d WHERE len(t) >= 2),
+        b_refbg AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c12
+                    FROM b_bg WHERE doc_id % 5 = 0 GROUP BY 1),
+        b_refctx AS (SELECT split_part(pair, chr(1), 1) AS w1,
+                            CAST(SUM(c12) AS BIGINT) AS c1
+                     FROM b_refbg GROUP BY 1),
+        b_vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+                    FROM (SELECT unnest(t) AS w FROM b_d
+                          WHERE doc_id % 5 = 0)),
+        b_sc AS (
+          SELECT b.doc_id,
+                 CAST(round(-ln(CAST(COALESCE(rb.c12, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(rc.c1, 0) + (SELECT v FROM b_vocab)
+                              AS DOUBLE)) * 1000000) AS BIGINT) AS qn
+          FROM b_bg b
+          LEFT JOIN b_refbg rb USING (pair)
+          LEFT JOIN b_refctx rc ON rc.w1 = split_part(b.pair, chr(1), 1)),
+        b_per AS (SELECT doc_id, COUNT(*) AS nb, SUM(qn) AS nq
+                  FROM b_sc GROUP BY 1),
+        b_all AS (SELECT ids.doc_id,
+                         CAST(COALESCE(b_per.nb, 0) AS BIGINT) AS n_bigrams,
+                         CAST(COALESCE(b_per.nq, 0) AS BIGINT) AS nll_q
+                  FROM (SELECT DISTINCT doc_id FROM b_d) ids
+                  LEFT JOIN b_per USING (doc_id)),
+        b_avg AS (SELECT *,
+                         CASE WHEN n_bigrams > 0
+                              THEN CAST((nll_q * 1000) // n_bigrams AS BIGINT)
+                         END AS avg_q
+                  FROM b_all),
+        b_thr AS (SELECT quantile_cont(avg_q, 0.3333333333333333) AS t1,
+                         quantile_cont(avg_q, 0.6666666666666666) AS t2
+                  FROM b_avg WHERE n_bigrams > 0)
+        SELECT doc_id, n_bigrams, nll_q, avg_q,
+               CASE WHEN avg_q IS NULL THEN 'tail'
+                    WHEN avg_q <= (SELECT t1 FROM b_thr) THEN 'head'
+                    WHEN avg_q <= (SELECT t2 FROM b_thr) THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM b_avg
+    """,
         # composed from the individually gated lang_id / gopher_repetition /
         # quality_score / lm_perplexity fragments (CTE-prefixed to avoid
         # collisions); the keep rule mirrors pipeline.corpus_quality_pipeline

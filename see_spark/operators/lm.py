@@ -119,3 +119,50 @@ def doc_nll(
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"),
     )
+
+
+def nll_buckets(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail partition (Wenzek et al. 2020 §4.3): rank
+    documents by per-bigram average NLL under the reference LM and split
+    at the corpus terciles — head = most reference-like third, the slice
+    CCNet keeps outright.
+
+    Determinism: avg_q = (nll_q * 1000) integer-DIV n_bigrams (exact in
+    any engine); the tercile thresholds are exact interpolated
+    percentiles over the integer avg_q values (the events_median
+    convention — Spark ``percentile`` == DuckDB ``quantile_cont``), and
+    bucket assignment is avg_q <= threshold. Documents with no bigrams
+    have no likelihood evidence and are pinned to 'tail'.
+
+    Scale: scoring is doc_nll's broadcast-LM join; the thresholds are ONE
+    global two-value aggregate broadcast back (at 10^10 docs swap the
+    exact percentile for approx_percentile — the gate keeps the exact
+    form so the oracle can reproduce it bit-for-bit).
+
+    Returns (doc_id, n_bigrams, nll_q, avg_q, bucket).
+    """
+    scored = doc_nll(docs, ref_docs, text_col, id_col)
+    avg_q = F.when(
+        F.col("n_bigrams") > 0,
+        F.expr("(nll_q * 1000) div n_bigrams"),
+    ).cast("long")
+    scored = scored.withColumn("avg_q", avg_q)
+    thr = F.broadcast(
+        scored.filter(F.col("n_bigrams") > 0).agg(
+            F.percentile("avg_q", F.lit(1.0 / 3.0)).alias("t1"),
+            F.percentile("avg_q", F.lit(2.0 / 3.0)).alias("t2"),
+        )
+    )
+    return scored.crossJoin(thr).select(
+        "doc_id", "n_bigrams", "nll_q", "avg_q",
+        F.when(F.col("avg_q").isNull(), "tail")
+        .when(F.col("avg_q") <= F.col("t1"), "head")
+        .when(F.col("avg_q") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -95,3 +95,39 @@ def test_partitioning_invariance(spark):
         map(tuple, doc_nll(_df(spark, SCORE, 5), _df(spark, REF, 3)).collect())
     )
     assert got == base
+
+
+def test_nll_buckets(spark):
+    from see_spark.operators.lm import nll_buckets
+
+    got = {
+        r.doc_id: r
+        for r in nll_buckets(_df(spark, SCORE), _df(spark, REF)).collect()
+    }
+    # reference-like text lands in head, OOV text in tail, no-bigram docs
+    # pinned to tail
+    assert got[1].bucket == "head"
+    assert got[3].bucket == "tail"
+    assert got[4].bucket == "tail" and got[4].avg_q is None
+    assert got[6].bucket == "tail" and got[6].avg_q is None
+    # terciles partition the scored docs roughly evenly
+    from collections import Counter
+
+    scored = [r for r in got.values() if r.n_bigrams > 0]
+    mix = Counter(r.bucket for r in scored)
+    assert set(mix) == {"head", "middle", "tail"}
+    # avg_q is the exact integer division
+    for r in scored:
+        assert r.avg_q == (r.nll_q * 1000) // r.n_bigrams
+
+
+def test_nll_buckets_partitioning_invariance(spark):
+    from see_spark.operators.lm import nll_buckets
+
+    base = sorted(
+        map(tuple, nll_buckets(_df(spark, SCORE, 1), _df(spark, REF, 1)).collect())
+    )
+    got = sorted(
+        map(tuple, nll_buckets(_df(spark, SCORE, 5), _df(spark, REF, 3)).collect())
+    )
+    assert got == base
