@@ -1665,6 +1665,19 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Engine addition: within-document token chunking with overlap
+    (packing.py:chunk_documents — the retrieval/embedding manifest;
+    chunk 32 / overlap 8). Zero-shuffle array transform; pinned tiling
+    reproduced by list slicing in the oracle."""
+    from see_spark.operators.packing import chunk_documents
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
 def _q_nll_buckets(spark, sf_dir):
     """Engine addition: CCNet head/middle/tail perplexity partition
     (lm.py:nll_buckets) — integer-quantized per-bigram avg NLL, exact
@@ -1928,6 +1941,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "chunk_documents": _q_chunk_documents,
     "nll_buckets": _q_nll_buckets,
     "corpus_pipeline": _q_corpus_pipeline,
     "spell_suggest": _q_spell_suggest,
@@ -3806,6 +3820,27 @@ ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "chunk_documents": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '')
+                            AS t
+                   FROM documents),
+        b AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+              FROM d WHERE len(t) >= 1),
+        c AS (SELECT doc_id, t, n,
+                     unnest(range(0, CASE WHEN n > 32
+                                          THEN 1 + (n - 32 + 23) // 24
+                                          ELSE 1 END)) AS i
+              FROM b)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               CAST(i*24 + 1 AS BIGINT) AS start_tok,
+               CAST(len(t[CAST(i*24+1 AS BIGINT) : CAST(i*24+32 AS BIGINT)])
+                    AS BIGINT) AS n_tok,
+               array_to_string(
+                 t[CAST(i*24+1 AS BIGINT) : CAST(i*24+32 AS BIGINT)], ' ')
+                 AS chunk_text
+        FROM c
+    """,
         "nll_buckets": """
         WITH b_d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                             list_filter(string_split(text, ' '),

@@ -141,3 +141,62 @@ def epoch_mix(
         )
         .select("doc_id", "source", F.col("copy").cast("long").alias("copy"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document fixed-size token chunks with overlap — the chunk
+    manifest retrieval/embedding pipelines build (pack_sequences is the
+    cross-document sibling for LM training; this one never crosses a
+    document boundary and repeats ``overlap`` tokens between neighbors so
+    no span of meaning is cut).
+
+    Pinned tiling: stride = chunk_tokens - overlap; chunk i covers token
+    positions [i*stride+1, i*stride+chunk_tokens] (1-based, clipped at the
+    doc end); n_chunks = 1 + ceil((n - chunk_tokens)/stride) when
+    n > chunk_tokens else 1 — so the final chunk always reaches the last
+    token and every token is in >= 1 chunk. Empty docs emit nothing.
+
+    Zero shuffle: tokens never leave their row — chunk rows explode from
+    an array transform (one narrow map over the corpus), so at 100 TB
+    this is scan-bound. Returns (doc_id, chunk_id, start_tok, n_tok,
+    chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), t.alias("t"), F.size(t).alias("n")
+    ).filter(F.col("n") >= 1)
+    n_chunks = F.when(
+        F.col("n") > chunk_tokens,
+        1 + (F.col("n") - chunk_tokens + stride - 1).cast("long") / F.lit(stride),
+    ).otherwise(F.lit(1))
+    # integer ceil-div via floor cast (operands positive)
+    n_chunks = F.floor(n_chunks).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * stride + 1).alias("start_tok"),
+            F.slice(F.col("t"), (i * stride + 1).cast("int"), chunk_tokens).alias(
+                "toks"
+            ),
+        ),
+    )
+    return (
+        base.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.start_tok").cast("long").alias("start_tok"),
+            F.size("c.toks").cast("long").alias("n_tok"),
+            F.array_join("c.toks", " ").alias("chunk_text"),
+        )
+    )
