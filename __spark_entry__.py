@@ -1665,6 +1665,29 @@ def _q_dsir_select(spark, sf_dir):
     return dsir_topk(d, k=100, n_buckets=64, scale=1_000_000)
 
 
+def _q_normalize_text(spark, sf_dir):
+    """Engine addition: Unicode normalization (textfilters.py:
+    normalize_text) over documents with deterministic mess injected in
+    BOTH engines — decomposed accents (combining U+0301/U+0308), a BEL
+    control char, and double spaces — so NFC composition, control strip,
+    and whitespace collapse all fire. DuckDB nfc_normalize == Python
+    unicodedata NFC, verified."""
+    from see_spark.operators.textfilters import normalize_text
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("  Cafe\u0301 "),  # decomposed e + combining acute
+                F.lit("\x07nai\u0308ve"),  # BEL + decomposed diaeresis
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return normalize_text(d)
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Engine addition: within-document token chunking with overlap
     (packing.py:chunk_documents — the retrieval/embedding manifest;
@@ -1941,6 +1964,7 @@ def _q_semdedup(spark, sf_dir):
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "normalize_text": _q_normalize_text,
     "chunk_documents": _q_chunk_documents,
     "nll_buckets": _q_nll_buckets,
     "corpus_pipeline": _q_corpus_pipeline,
@@ -3820,6 +3844,26 @@ ORACLES_EXTRA.update({"bpe_merges": _bpe_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "normalize_text": """
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN text || '  Cafe' || chr(769) || ' ' || chr(7)
+                           || 'nai' || chr(776) || 've'
+                      ELSE text END AS text
+          FROM documents),
+        n AS (SELECT doc_id, text,
+                     trim(regexp_replace(
+                       regexp_replace(nfc_normalize(text),
+                         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                       '[ \\t]+', ' ', 'g')) AS text_norm
+              FROM d)
+        SELECT doc_id, text_norm,
+               CAST(CASE WHEN text_norm <> text THEN 1 ELSE 0 END AS BIGINT)
+                 AS changed,
+               CAST(length(text_norm) AS BIGINT) AS n_chars
+        FROM n
+    """,
         "chunk_documents": """
         WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                           list_filter(string_split(text, ' '), x -> x <> '')

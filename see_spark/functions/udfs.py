@@ -180,3 +180,15 @@ def anchors_udf(bodies: pd.Series) -> pd.Series:
             for b in bodies
         ]
     )
+
+
+@pandas_udf(T.StringType())
+def nfc_udf(text: pd.Series) -> pd.Series:
+    """Unicode NFC canonical composition (textfilters.normalize_text
+    step 1) — the one normalization step Catalyst has no builtin for;
+    DuckDB's nfc_normalize reproduces it exactly."""
+    import unicodedata
+
+    return text.map(
+        lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+    )

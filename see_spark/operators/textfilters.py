@@ -327,3 +327,38 @@ def host_quota_sample(
         docs.withColumn("host_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("host_rank") <= cap)
     )
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode text normalization — the cleanup stage web pipelines run
+    before tokenization/dedup so byte-different renderings of the same
+    text (decomposed accents, stray control bytes, ragged whitespace)
+    hash and tokenize identically. Pinned step order:
+
+      1. NFC canonical composition (Arrow-batched ``unicodedata`` — the
+         one step Catalyst lacks; DuckDB's ``nfc_normalize`` reproduces
+         it exactly, so the operator keeps an exact oracle);
+      2. strip C0/C1-ish control chars except tab/newline (Catalyst
+         regexp, zero shuffle);
+      3. collapse space/tab runs to one space and trim.
+
+    Returns (doc_id, text_norm, changed, n_chars) — ``changed`` flags
+    rows whose bytes moved, so a pipeline can count normalization debt.
+    All row-local: the only Python is the NFC pass, Arrow-batched like
+    the other kernel UDFs; at 100 TB this is scan-bound.
+    """
+    from ..functions.udfs import nfc_udf
+
+    nfc = nfc_udf(F.col(text_col))
+    stripped = F.regexp_replace(
+        nfc, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
+    )
+    collapsed = F.trim(F.regexp_replace(stripped, "[ \\t]+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        collapsed.alias("text_norm"),
+        (collapsed != F.col(text_col)).cast("long").alias("changed"),
+        F.length(collapsed).cast("long").alias("n_chars"),
+    )
