@@ -1961,9 +1961,54 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+URL_BANNED_WORDS = [
+    ("casino", 700),
+    ("pills", 400),
+    ("poker", 500),
+    ("webcam", 900),
+    ("torrent", 300),  # never injected: pins the zero-hit term to 0
+]
+URL_BANNED_DOMAINS = ["host3.test", "host7.test"]
+
+
+def _q_url_filter(spark, sf_dir):
+    """Engine addition: RefinedWeb-style URL filtering
+    (operators/urlfilter.py:url_blocklist_score) — weighted banned-word
+    soft score + strict domain blocklist, decided before any fetch.
+    URLs are synthesized from orders with deterministic contamination:
+    independent suffix slots (k%13 casino, k%11 pills, k%17 poker,
+    k%29 webcam) so weights SUM on collision rows (700+400 >= the 800
+    threshold), a mixed-case injection exercising lower(), and k%23
+    rows on a cdn. subdomain of a blocked domain exercising the
+    ends_with arm. Host comes from the URL via HOST_RE in both
+    engines."""
+    from see_spark.operators.urlfilter import url_blocklist_score
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("long")
+    h = (F.col("o_custkey") % N_HOSTS).cast("string")
+    sub = F.when(k % 23 == 0, F.lit("cdn.")).otherwise(F.lit(""))
+    sfx = F.concat(
+        F.when(k % 13 == 0, F.lit("?ref=CasinoFun")).otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.lit("/cheap-pills")).otherwise(F.lit("")),
+        F.when(k % 17 == 0, F.lit("/poker-night")).otherwise(F.lit("")),
+        F.when(k % 29 == 0, F.lit("/live-webcam-hd")).otherwise(F.lit("")),
+    )
+    f = o.select(
+        F.concat(
+            F.lit("http://"), sub, F.lit("host"), h, F.lit(".test/order/"),
+            k.cast("string"), sfx,
+        ).alias("url")
+    )
+    return url_blocklist_score(
+        f, URL_BANNED_WORDS, URL_BANNED_DOMAINS, threshold_milli=800
+    )
+
+
 # embedding_near_dup_lsh is the bucketed scale path of the gated
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
+    "url_filter": _q_url_filter,
     "normalize_text": _q_normalize_text,
     "chunk_documents": _q_chunk_documents,
     "nll_buckets": _q_nll_buckets,
@@ -4279,6 +4324,54 @@ ORACLES_EXTRA.update(
                               OR strlen(url) > 45
                          THEN 1 ELSE 0 END AS BIGINT) AS is_trap
         FROM m
+    """,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "url_filter": f"""
+        WITH f AS (
+            SELECT 'http://'
+                || (CASE WHEN o_orderkey % 23 = 0 THEN 'cdn.' ELSE '' END)
+                || 'host' || CAST(o_custkey % {N_HOSTS} AS VARCHAR)
+                || '.test/order/' || CAST(o_orderkey AS VARCHAR)
+                || (CASE WHEN o_orderkey % 13 = 0 THEN '?ref=CasinoFun' ELSE '' END)
+                || (CASE WHEN o_orderkey % 11 = 0 THEN '/cheap-pills' ELSE '' END)
+                || (CASE WHEN o_orderkey % 17 = 0 THEN '/poker-night' ELSE '' END)
+                || (CASE WHEN o_orderkey % 29 = 0 THEN '/live-webcam-hd' ELSE '' END)
+                AS url
+            FROM orders
+        ), m AS (
+            SELECT url,
+                regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                CAST((CASE WHEN contains(lower(url), 'casino') THEN 700 ELSE 0 END)
+                   + (CASE WHEN contains(lower(url), 'pills') THEN 400 ELSE 0 END)
+                   + (CASE WHEN contains(lower(url), 'poker') THEN 500 ELSE 0 END)
+                   + (CASE WHEN contains(lower(url), 'webcam') THEN 900 ELSE 0 END)
+                   + (CASE WHEN contains(lower(url), 'torrent') THEN 300 ELSE 0 END)
+                  AS BIGINT) AS score_milli,
+                CAST((CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END)
+                   + (CASE WHEN contains(lower(url), 'pills') THEN 1 ELSE 0 END)
+                   + (CASE WHEN contains(lower(url), 'poker') THEN 1 ELSE 0 END)
+                   + (CASE WHEN contains(lower(url), 'webcam') THEN 1 ELSE 0 END)
+                   + (CASE WHEN contains(lower(url), 'torrent') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+            FROM f
+        ), b AS (
+            SELECT *,
+                CAST(CASE WHEN host = 'host3.test'
+                       OR ends_with(host, '.host3.test')
+                       OR host = 'host7.test'
+                       OR ends_with(host, '.host7.test')
+                     THEN 1 ELSE 0 END AS BIGINT) AS domain_blocked
+            FROM m
+        )
+        SELECT url, host, score_milli, n_hits, domain_blocked,
+            CAST(CASE WHEN domain_blocked = 1 OR score_milli >= 800
+                 THEN 1 ELSE 0 END AS BIGINT) AS dropped
+        FROM b
     """,
     }
 )
