@@ -1961,6 +1961,95 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """Engine addition: trainable quality classifier (operators/
+    classifier.py — the fastText/DCLM filtering shape) with the WHOLE
+    logistic-regression training loop in int64 fixed point, so the
+    DuckDB oracle reproduces every iteration bit-for-bit (weights,
+    margins, fast-sigmoid outputs, gradient sums, final predictions).
+    Corpus: documents with four marker tokens appended to the
+    doc_id%3==0 slice in BOTH engines; labels = that same rule — a
+    separable problem the trained model must actually solve (the pytest
+    asserts accuracy, this gate asserts exactness)."""
+    from see_spark.operators.classifier import train_and_score
+
+    docs = _documents(spark, sf_dir)
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" xqza xqzb xqzc xqzd")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 3 == 0).cast("long").alias("label"),
+    )
+    return train_and_score(d, n_buckets=64, iters=8, lr_num=1, lr_den=2)
+
+
+def _classifier_oracle_sql(
+    iters: int, d: int = 64, lr_num: int = 1, lr_den: int = 2
+) -> str:
+    """Unrolled-CTE replica of train_and_score: one (z, e, g, w) CTE
+    block per gradient iteration (the BPE-oracle idiom). All integer."""
+    fp = 1 << 20
+    pfp = (
+        f"({fp // 2} + (CASE WHEN z_int > 0 THEN 1 WHEN z_int < 0 THEN -1"
+        f" ELSE 0 END) * ((abs(z_int) * {fp}) // (2 * ({fp} + abs(z_int)))))"
+    )
+    step = f"(({lr_num} * abs(g.g)) // ({lr_den} * n.c))"
+    parts = [
+        f"""
+        WITH docs AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' xqza xqzb xqzc xqzd' ELSE text END AS text,
+                 CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y
+          FROM documents),
+        feats AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(tok), 1, 4))::BIGINT % {d} AS bucket
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs)
+          UNION ALL
+          SELECT doc_id, {d} AS bucket FROM docs),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM docs),
+        w0 AS (SELECT CAST(b AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+               FROM range({d + 1}) t(b))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+        z{i} AS (SELECT f.doc_id, CAST(SUM(w.w) AS BIGINT) AS z_int
+                 FROM feats f JOIN w{i - 1} w USING (bucket)
+                 GROUP BY f.doc_id),
+        e{i} AS (SELECT doc_id, CAST({pfp} - y * {fp} AS BIGINT) AS e
+                 FROM (SELECT z.doc_id, z.z_int, dd.y
+                       FROM z{i} z JOIN docs dd USING (doc_id))),
+        g{i} AS (SELECT f.bucket, CAST(SUM(e.e) AS BIGINT) AS g
+                 FROM feats f JOIN e{i} e USING (doc_id)
+                 GROUP BY f.bucket),
+        w{i} AS (SELECT w.bucket,
+                        CAST(w.w - (CASE WHEN g.g > 0 THEN {step}
+                                         WHEN g.g < 0 THEN -{step}
+                                         ELSE 0 END) AS BIGINT) AS w
+                 FROM w{i - 1} w LEFT JOIN g{i} g USING (bucket)
+                 CROSS JOIN n)"""
+        )
+    parts.append(
+        f""",
+        zf AS (SELECT f.doc_id, CAST(SUM(w.w) AS BIGINT) AS z_int
+               FROM feats f JOIN w{iters} w USING (bucket)
+               GROUP BY f.doc_id)
+        SELECT m.doc_id, m.y, m.z_int,
+               CAST({pfp} AS BIGINT) AS p_fp,
+               CAST(CASE WHEN {pfp} >= {fp // 2} THEN 1 ELSE 0 END AS BIGINT)
+                 AS predicted
+        FROM (SELECT z.doc_id, z.z_int, dd.y
+              FROM zf z JOIN docs dd USING (doc_id)) m"""
+    )
+    return "".join(parts)
+
+
 URL_BANNED_WORDS = [
     ("casino", 700),
     ("pills", 400),
@@ -2009,6 +2098,7 @@ def _q_url_filter(spark, sf_dir):
 # embedding_near_dup (all-pairs exact baseline).
 QUERIES_EXTRA: dict = {
     "url_filter": _q_url_filter,
+    "quality_classifier": _q_quality_classifier,
     "normalize_text": _q_normalize_text,
     "chunk_documents": _q_chunk_documents,
     "nll_buckets": _q_nll_buckets,
@@ -4328,6 +4418,8 @@ ORACLES_EXTRA.update(
     }
 )
 
+
+ORACLES_EXTRA.update({"quality_classifier": _classifier_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
