@@ -1,0 +1,205 @@
+"""Minimal GIF codec — stdlib only (struct + numpy).
+
+A second REAL image decode path for the multimodal pipeline (beside
+core/png.py): GIF87a/89a with full LZW decompression implemented from
+the spec (GIF89a specification Appendix F; variable 3..12-bit codes,
+LSB-first packing, Clear/EOI codes, the KwKwK code==next case). Scope
+is an honest subset of real-world GIFs: non-interlaced, first image
+frame, global or local color table; extensions (graphic control,
+comment, application) are walked and skipped. Out-of-subset features
+(interlace) raise ValueError with the reason — at 100 TB those rows
+route to the decode_error column, they don't kill the job (same
+contract as decode_png / decode_wav).
+
+``decode_gif`` returns an (h, w, 3) uint8 RGB array via palette lookup.
+
+``encode_gif`` exists so tests can synthesize real GIFs
+deterministically: it emits literal LZW codes with a preemptive Clear
+before the decoder's table would force a code-width change ("LZW-less"
+encoding — every conformant decoder accepts it; size is irrelevant for
+fixtures). Conformance of the DECODER is additionally pinned by a
+hand-packed bitstream in tests/test_gif.py, not only by roundtrip.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _color_table(data: bytes, pos: int, packed: int):
+    """Read a color table if the flag bit is set; returns (table|None, pos)."""
+    if not packed & 0x80:
+        return None, pos
+    n = 2 << (packed & 0x07)
+    table = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+    if table.shape[0] != n:
+        raise ValueError("truncated color table")
+    return table, pos + 3 * n
+
+
+def _sub_blocks(data: bytes, pos: int):
+    """Concatenate data sub-blocks; returns (bytes, pos past terminator)."""
+    out = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("unterminated sub-blocks")
+        size = data[pos]
+        pos += 1
+        if size == 0:
+            return bytes(out), pos
+        out += data[pos : pos + size]
+        pos += size
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code = eoi + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: int | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = table[: eoi + 1]
+                next_code = eoi + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                if len(out) < n_pixels:
+                    raise ValueError("EOI before all pixels decoded")
+                return bytes(out[:n_pixels])
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError(f"first code {code} out of table")
+                out += table[code]
+            else:
+                if code < next_code:
+                    entry = table[code]
+                elif code == next_code:  # the KwKwK case
+                    entry = table[prev] + table[prev][:1]
+                else:
+                    raise ValueError(f"code {code} beyond table {next_code}")
+                out += entry
+                if next_code < 4096:
+                    table.append(table[prev] + entry[:1])
+                    next_code += 1
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+            prev = code
+            if len(out) >= n_pixels:
+                # some encoders omit EOI; accept once output is complete
+                return bytes(out[:n_pixels])
+    raise ValueError("bitstream ended before EOI")
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    data = bytes(payload)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    if len(data) < 13:
+        raise ValueError("truncated screen descriptor")
+    packed = data[10]
+    global_table, pos = _color_table(data, 13, packed)
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            _, pos = _sub_blocks(data, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated image descriptor")
+        _, _, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        local_table, pos = _color_table(data, pos, ipacked)
+        table = local_table if local_table is not None else global_table
+        if table is None:
+            raise ValueError("no color table")
+        min_code_size = data[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"bad LZW min code size {min_code_size}")
+        compressed, pos = _sub_blocks(data, pos)
+        idx = np.frombuffer(
+            _lzw_decode(min_code_size, compressed, w * h), dtype=np.uint8
+        )
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("pixel index beyond color table")
+        return table[idx].reshape(h, w, 3)
+    raise ValueError("no image block before trailer")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 index array + (n, 3) palette -> GIF89a bytes.
+
+    Literal-code LZW: each pixel is emitted as its own code, with a
+    Clear emitted whenever the decoder's next table entry would force a
+    width change, so the stream stays at min_code_size+1 bits/code."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = pal.shape[0]
+    bits = max(2, (n - 1).bit_length())
+    if n > 256 or pal.shape[1] != 3:
+        raise ValueError("palette must be (<=256, 3)")
+    full = 1 << bits
+    pal_bytes = np.vstack([pal, np.zeros((full - n, 3), np.uint8)]).tobytes()
+
+    clear = 1 << bits
+    eoi = clear + 1
+    width = bits + 1
+    codes: list[int] = [clear]
+    next_code = eoi + 1
+    for px in idx.reshape(-1).tolist():
+        # reading a literal makes the decoder add one entry (after the
+        # first post-clear code); clear preemptively so width never grows
+        if next_code + 1 == (1 << width):
+            codes.append(clear)
+            next_code = eoi + 1
+        codes.append(int(px))
+        next_code += 1
+    codes.append(eoi)
+
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += pal_bytes
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(bits)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -90,15 +90,29 @@ def _decode_buffer(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     if kind == "audio" and payload[:4] == b"RIFF":
         samples, _ = decode_wav(payload)
         return np.frombuffer(samples.tobytes(), dtype=np.uint8)
-    if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
-        from see_spark.core.png import decode_png
-
-        return decode_png(payload).reshape(-1)
+    if kind == "image":
+        return _decode_image(payload).reshape(-1)
     raise NotImplementedError(
         f"real {kind} decode requires codec libraries not present in this "
-        "environment (RIFF/WAVE audio and 8-bit non-interlaced PNG decode "
-        "natively via stdlib); pass fake=True for the deterministic stand-in"
+        "environment (RIFF/WAVE audio, 8-bit non-interlaced PNG, and "
+        "non-interlaced GIF decode natively via stdlib); pass fake=True "
+        "for the deterministic stand-in"
     )
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Sniff the container signature and decode through the matching
+    stdlib codec (PNG or GIF). ValueError for anything else — the
+    honest boundary of the sandbox (JPEG needs a DCT/huffman stack)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from see_spark.core.png import decode_png
+
+        return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from see_spark.core.gif import decode_gif
+
+        return decode_gif(payload)
+    raise ValueError("unrecognized image container (PNG and GIF supported)")
 
 
 FEATURES_SCHEMA = T.StructType(
@@ -221,22 +235,20 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def image_features(media: DataFrame) -> DataFrame:
     """REAL image feature extraction — no fake: every payload decodes
-    through the stdlib PNG path (``core.png.decode_png``) inside
-    mapInPandas; rows whose container fails to parse (or uses a PNG
+    through a stdlib codec (PNG via ``core.png.decode_png``, GIF via
+    ``core.gif.decode_gif``, sniffed by signature) inside mapInPandas; rows whose container fails to parse (or uses a PNG
     feature outside the supported subset) carry the error instead of
     killing the job. Same plumbing contract as ``audio_features``: column
     pruning keeps the payload out of upstream scans, Arrow batch size
     bounds peak memory, one Python worker per task."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from see_spark.core.png import decode_png
-
         cols = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
         for batch in batches:
             rows = []
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
                 try:
-                    px = decode_png(bytes(payload or b""))
+                    px = _decode_image(bytes(payload or b""))
                 except Exception as exc:
                     rows.append(
                         (media_id, None, None, None, None, None,
