@@ -80,6 +80,9 @@ def crawl(
     trap_max_seg_repeat: int = 3,
     trap_max_url_len: int = 512,
     robots_ttl_rounds: Optional[int] = None,
+    url_blocklist_words: tuple = (),
+    url_blocklist_domains: tuple = (),
+    url_blocklist_threshold: int = 1000,
 ) -> OracleResult:
     robots = robots or {}
 
@@ -100,6 +103,23 @@ def crawl(
         if segs and max(segs.count(s) for s in segs) >= trap_max_seg_repeat:
             return True
         return len(canon) > trap_max_url_len
+
+    def _is_blocked(canon: str) -> bool:
+        """Same rule as urlfilter.blocklist_keep over the canonical url:
+        domain-blocked OR banned-word milli-score >= threshold."""
+        import re
+
+        m = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]+)", canon)
+        host = m.group(1) if m else ""
+        if any(
+            host == d or host.endswith("." + d) for d in url_blocklist_domains
+        ):
+            return True
+        low = canon.lower()
+        score = sum(
+            g for w, g in url_blocklist_words if w.lower() in low
+        )
+        return score >= url_blocklist_threshold
     # RFC 9309 mode: robots rules come from the site's own
     # http://host/robots.txt bodies (parsed once per host with the SAME
     # kernel the engine's vectorized parse uses), full allow/disallow
@@ -211,6 +231,12 @@ def crawl(
             return "filter_mismatch"
         if gate and trap_gate and _is_trap(canon):
             return "trap"
+        if (
+            gate
+            and (url_blocklist_words or url_blocklist_domains)
+            and _is_blocked(canon)
+        ):
+            return "blocked"
         if canon in frontier:  # add-if-absent no-op (ets :84-92)
             return "ok"
         frontier[canon] = OracleEntry(

@@ -145,6 +145,17 @@ class CrawlConfig:
     trap_max_depth: int = 8
     trap_max_seg_repeat: int = 3
     trap_max_url_len: int = 512
+    # URL blocklist gate (operators/urlfilter.py, the RefinedWeb shape):
+    # discovered candidates whose canonical URL is domain-blocked or
+    # whose banned-word soft score reaches the threshold are dropped at
+    # the same point as trap candidates — before URL-seen filtering —
+    # so blocked URLs never occupy frontier rows, bloom bits, or fetch
+    # budget. Applied after the trap gate; operator seeds are never
+    # gated. Parity with the oracle crawler's identical rule is pinned
+    # by tests/test_crawl_blocklist.py.
+    url_blocklist_words: tuple = ()        # ((word, weight_milli), ...)
+    url_blocklist_domains: tuple = ()
+    url_blocklist_threshold: int = 1000
 
 
 @dataclass
@@ -237,6 +248,21 @@ def _apply_trap_gate(candidates: DataFrame, config: "CrawlConfig") -> DataFrame:
         max_len=config.trap_max_url_len,
     ).filter(F.col("is_trap") == 0).drop(
         "depth_segs", "max_repeat", "url_len", "is_trap"
+    )
+
+
+def _apply_url_blocklist(candidates: DataFrame, config: "CrawlConfig") -> DataFrame:
+    """Drop blocklisted discoveries (CrawlConfig.url_blocklist_*) before
+    URL-seen filtering. No-op when both lists are empty."""
+    if not (config.url_blocklist_words or config.url_blocklist_domains):
+        return candidates
+    from .urlfilter import blocklist_keep
+
+    return blocklist_keep(
+        candidates,
+        list(config.url_blocklist_words),
+        list(config.url_blocklist_domains),
+        threshold_milli=config.url_blocklist_threshold,
     )
 
 
@@ -591,6 +617,7 @@ def run_round(
                 domain_filter=config.domain_filter,
             ).filter(F.col("ingest_status") == "ok").drop("ingest_status")
             cand = _apply_trap_gate(cand, config)
+            cand = _apply_url_blocklist(cand, config)
             fresh = frontier_ops.dedup_within_batch(
                 frontier_ops.seen_filter(cand, frontier), "link_rank"
             )
@@ -772,6 +799,7 @@ def run_round(
         domain_filter=config.domain_filter,
     ).filter(F.col("ingest_status") == "ok").drop("ingest_status")
     candidates = _apply_trap_gate(candidates, config)
+    candidates = _apply_url_blocklist(candidates, config)
 
     seq_start = _next_seq(catalog, frontier)
     # next_seq counts every URL ever enqueued == frontier row count (rows

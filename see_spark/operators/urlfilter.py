@@ -20,10 +20,15 @@ Scale design:
   in production is millions of rows (UT1 ships ~4M domains): a
   broadcast LEFT SEMI join of the frontier's reversed-host prefix
   against the list. The 10^10-row frontier never shuffles; only the
-  dimension-sized blocklist moves. Subdomain semantics are handled by
-  exploding each host into its ancestor-domain chain (a.b.c.test ->
-  [a.b.c.test, b.c.test, c.test]) — bounded by URL label depth (~a
-  handful), so the fan-out is a small constant, not a cross join.
+  dimension-sized blocklist moves. Subdomain semantics come from each
+  host's ancestor-domain chain (a.b.c.test -> [c.test, b.c.test,
+  a.b.c.test]) joined position-by-position — bounded by URL label
+  depth, so the cost is a few broadcast probes per row, no explode.
+- ``blocklist_keep`` is the filter-predicate form the crawl loop wires
+  in (CrawlConfig.url_blocklist_*): candidates are dropped BEFORE
+  URL-seen insertion, so blocked URLs never occupy frontier rows,
+  bloom bits, or fetch budget — the cheapest byte saved in the whole
+  pipeline.
 """
 
 from __future__ import annotations
@@ -43,6 +48,26 @@ def _host(url_col, host_col):
     if host_col is not None:
         return F.col(host_col)
     return F.regexp_extract(F.col(url_col), HOST_RE, 1)
+
+
+def _score_expr(url_col: str, banned_words: Sequence[Tuple[str, int]]):
+    url_l = F.lower(F.col(url_col))
+    return reduce(
+        lambda a, b: a + b,
+        [
+            F.when(url_l.contains(w.lower()), F.lit(int(g))).otherwise(F.lit(0))
+            for w, g in banned_words
+        ],
+    )
+
+
+def _blocked_expr(host, banned_domains: Sequence[str]):
+    if not banned_domains:
+        return F.lit(False)
+    return reduce(
+        lambda a, b: a | b,
+        [(host == d) | host.endswith("." + d) for d in banned_domains],
+    )
 
 
 def url_blocklist_score(
@@ -69,13 +94,7 @@ def url_blocklist_score(
     if not banned_words:
         raise ValueError("banned_words must be non-empty")
     url_l = F.lower(F.col(url_col))
-    score = reduce(
-        lambda a, b: a + b,
-        [
-            F.when(url_l.contains(w.lower()), F.lit(int(g))).otherwise(F.lit(0))
-            for w, g in banned_words
-        ],
-    )
+    score = _score_expr(url_col, banned_words)
     hits = reduce(
         lambda a, b: a + b,
         [
@@ -84,13 +103,7 @@ def url_blocklist_score(
         ],
     )
     host = _host(url_col, host_col)
-    if banned_domains:
-        blocked = reduce(
-            lambda a, b: a | b,
-            [(host == d) | host.endswith("." + d) for d in banned_domains],
-        )
-    else:
-        blocked = F.lit(False)
+    blocked = _blocked_expr(host, banned_domains)
     out = frontier.select(
         F.col(url_col).alias("url"),
         host.alias("host"),
@@ -158,3 +171,23 @@ def domain_block_join(
         .drop("__anc", *[f"__blk{i}" for i in range(1, max_labels + 1)])
         .withColumnRenamed("__host", "host")
     )
+
+
+def blocklist_keep(
+    df: DataFrame,
+    banned_words: Sequence[Tuple[str, int]],
+    banned_domains: Sequence[str] = (),
+    threshold_milli: int = 1000,
+    url_col: str = "url",
+) -> DataFrame:
+    """Predicate form for pipeline wiring (CrawlConfig.url_blocklist):
+    keeps only non-dropped rows, preserving every input column. Same
+    unrolled-codegen semantics as ``url_blocklist_score`` — drop when
+    domain-blocked OR soft score >= threshold."""
+    if not banned_words and not banned_domains:
+        return df
+    score = (
+        _score_expr(url_col, banned_words) if banned_words else F.lit(0)
+    )
+    blocked = _blocked_expr(_host(url_col, None), banned_domains)
+    return df.filter(~(blocked | (score >= F.lit(int(threshold_milli)))))
