@@ -1961,6 +1961,36 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _q_bfs_depths(spark, sf_dir):
+    """Engine addition: exact shortest-hop BFS distance from a seed set
+    (linkgraph.py:bfs_depths, the crawl-depth audit) over a synthesized
+    link graph from orders: chain edges (k -> k+1 for k%5<3), shortcut
+    edges (k -> k+10 for k%7==0, creating diamonds whose MIN depth must
+    win), and back edges (k -> k-20 for k%13==0, creating cycles that
+    must terminate). Seeds = k%101==0. Delta-frontier iterative joins in
+    Spark; recursive CTE with UNION dedup + MIN in DuckDB."""
+    from see_spark.operators.linkgraph import bfs_depths
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("long")
+
+    def url_of(expr):
+        return F.concat(F.lit("http://g.test/p/"), expr.cast("string"))
+
+    e1 = o.filter(k % 5 < 3).select(
+        url_of(k).alias("src"), url_of(k + 1).alias("dst")
+    )
+    e2 = o.filter(k % 7 == 0).select(
+        url_of(k).alias("src"), url_of(k + 10).alias("dst")
+    )
+    e3 = o.filter((k % 13 == 0) & (k >= 20)).select(
+        url_of(k).alias("src"), url_of(k - 20).alias("dst")
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    seeds = o.filter(k % 101 == 0).select(url_of(k).alias("url"))
+    return bfs_depths(edges, seeds, max_iters=8)
+
+
 def _q_quality_classifier(spark, sf_dir):
     """Engine addition: trainable quality classifier (operators/
     classifier.py — the fastText/DCLM filtering shape) with the WHOLE
@@ -2099,6 +2129,7 @@ def _q_url_filter(spark, sf_dir):
 QUERIES_EXTRA: dict = {
     "url_filter": _q_url_filter,
     "quality_classifier": _q_quality_classifier,
+    "bfs_depths": _q_bfs_depths,
     "normalize_text": _q_normalize_text,
     "chunk_documents": _q_chunk_documents,
     "nll_buckets": _q_nll_buckets,
@@ -4420,6 +4451,38 @@ ORACLES_EXTRA.update(
 
 
 ORACLES_EXTRA.update({"quality_classifier": _classifier_oracle_sql(8)})
+
+ORACLES_EXTRA.update(
+    {
+        "bfs_depths": """
+        WITH RECURSIVE ks AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        e AS (
+          SELECT 'http://g.test/p/' || CAST(k AS VARCHAR) AS src,
+                 'http://g.test/p/' || CAST(k + 1 AS VARCHAR) AS dst
+          FROM ks WHERE k % 5 < 3
+          UNION ALL
+          SELECT 'http://g.test/p/' || CAST(k AS VARCHAR),
+                 'http://g.test/p/' || CAST(k + 10 AS VARCHAR)
+          FROM ks WHERE k % 7 = 0
+          UNION ALL
+          SELECT 'http://g.test/p/' || CAST(k AS VARCHAR),
+                 'http://g.test/p/' || CAST(k - 20 AS VARCHAR)
+          FROM ks WHERE k % 13 = 0 AND k >= 20),
+        s AS (
+          SELECT 'http://g.test/p/' || CAST(k AS VARCHAR) AS url
+          FROM ks WHERE k % 101 = 0),
+        r(url, depth) AS (
+          SELECT url, CAST(0 AS BIGINT) FROM s
+          UNION
+          SELECT e.dst, r.depth + 1
+          FROM r JOIN e ON e.src = r.url
+          WHERE r.depth < 8)
+        SELECT url, CAST(MIN(depth) AS BIGINT) AS depth
+        FROM r GROUP BY url
+    """,
+    }
+)
 
 ORACLES_EXTRA.update(
     {

@@ -321,3 +321,54 @@ def hits(
             F.round("authority", round_dp).alias("authority"),
         )
     return out
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "url",
+) -> DataFrame:
+    """Exact shortest-hop distance from a seed set — the crawl-depth
+    audit: a frontier's stored ``depth`` is DISCOVERY depth (the round a
+    URL was first queued), which upper-bounds but need not equal the
+    link-graph BFS distance; this computes the true distance so the two
+    can be diffed (a persistent gap flags scheduler starvation — a page
+    one hop from a seed crawled only at depth 9 means its host budget
+    starved it for eight rounds).
+
+    Delta-frontier BFS (the Pregel shape): iteration i joins ONLY the
+    nodes first reached at depth i-1 against the edge table, anti-joins
+    the already-settled set, and stops early when no new node appears.
+    Each iteration therefore shuffles the frontier-adjacent edge slice,
+    not the graph; total work is O(E) across all iterations — the same
+    bound as single-machine BFS, just bucketed by depth. Out-degree hub
+    skew lands in the edges-side join key, where AQE's skew-join split
+    applies. Lineage is cut per iteration (localCheckpoint), matching
+    pagerank's loop hygiene. Returns (url, depth) for every node
+    reachable within ``max_iters`` hops; depths are exact integers, so
+    the result is bit-identical at any parallelism.
+    """
+    edge = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    )
+    dist = seeds.select(
+        F.col(seed_col).alias("url"), F.lit(0).cast("long").alias("depth")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = dist
+    for i in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(edge, frontier["url"] == edge["__src"])
+            .select(F.col("__dst").alias("url"))
+            .distinct()
+            .join(dist, "url", "left_anti")
+            .select("url", F.lit(i).cast("long").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

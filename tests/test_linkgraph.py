@@ -273,3 +273,61 @@ def test_hits_matches_reference(spark):
         assert got[v][1] == pytest.approx(round(auth[v], ROUND_DP), abs=1e-9), v
     # node 3 is a pure sink: authority > 0, hub == 0
     assert got[3][1] > 0 and got[3][0] == 0.0
+
+
+# ---- bfs_depths (crawl-depth audit) ----------------------------------------
+
+def _bfs_edges(spark, rows):
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def test_bfs_diamond_takes_min_depth(spark):
+    from see_spark.operators.linkgraph import bfs_depths
+
+    edges = _bfs_edges(spark, [
+        ("a", "b"), ("b", "c"), ("c", "d"),   # long path a->d = 3
+        ("a", "d"),                           # shortcut a->d = 1
+        ("d", "e"),
+    ])
+    seeds = spark.createDataFrame([("a",)], ["url"])
+    got = {r["url"]: r["depth"] for r in bfs_depths(edges, seeds).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 1, "e": 2}
+
+
+def test_bfs_cycle_terminates_and_unreachable_excluded(spark):
+    from see_spark.operators.linkgraph import bfs_depths
+
+    edges = _bfs_edges(spark, [
+        ("a", "b"), ("b", "a"),       # 2-cycle
+        ("x", "y"),                   # disconnected
+    ])
+    seeds = spark.createDataFrame([("a",)], ["url"])
+    got = {r["url"]: r["depth"] for r in bfs_depths(edges, seeds, 10).collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_bfs_max_iters_bounds_depth(spark):
+    from see_spark.operators.linkgraph import bfs_depths
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(10)]
+    seeds = spark.createDataFrame([("n0",)], ["url"])
+    got = bfs_depths(_bfs_edges(spark, chain), seeds, max_iters=3).collect()
+    assert max(r["depth"] for r in got) == 3
+    assert len(got) == 4
+
+
+def test_bfs_multi_seed_and_partitioning_invariance(spark):
+    from see_spark.operators.linkgraph import bfs_depths
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(8)]
+    seeds = spark.createDataFrame([("n0",), ("n5",)], ["url"])
+    edges = _bfs_edges(spark, chain)
+    a = sorted(tuple(r) for r in bfs_depths(edges, seeds, 6).collect())
+    b = sorted(
+        tuple(r)
+        for r in bfs_depths(edges.repartition(5), seeds.repartition(3), 6).collect()
+    )
+    assert a == b
+    got = dict(a)
+    # n5..n8 are 0..3 from the n5 seed, never 5..8 from n0
+    assert got["n5"] == 0 and got["n6"] == 1 and got["n8"] == 3
