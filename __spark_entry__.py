@@ -1961,6 +1961,60 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _q_search_anchor_boost(spark, sf_dir):
+    """Engine addition: anchor-text-boosted ranking — THE classic web
+    signal (terms other pages use to describe a target) folded into the
+    fielded scorer. Link graph: doc k links to doc (k%97)*5 (~5
+    in-links per target, so anchor term counts SUM across in-links)
+    with anchor text = k's 40-char sanitized prefix; the anchor field
+    rides the real HTML-parse -> resolver -> tokenizer path
+    (linkgraph.anchor_postings) and search_fielded scores body +
+    anchors at weight 1.5 with body-only df."""
+    from see_spark.operators.linkgraph import anchor_postings
+    from see_spark.operators.search import search_fielded
+
+    docs = _documents(spark, sf_dir)
+    raw = docs.select(
+        F.concat(
+            F.lit("http://d"), F.col("doc_id").cast("string"), F.lit(".test/")
+        ).alias("url"),
+        F.concat(
+            F.lit('<a href="http://d'),
+            ((F.col("doc_id") % 97) * 5).cast("long").cast("string"),
+            F.lit('.test/">'),
+            F.substring(F.regexp_replace(F.col("text"), "[<>&]", " "), 1, 40),
+            F.lit("</a>"),
+        ).alias("body"),
+    )
+    ap = anchor_postings(raw)
+    target = F.regexp_extract(
+        F.col("dst_url"), r"http://d([0-9]+)\.test/", 1
+    ).cast("long")
+    acounts = (
+        ap.select(target.alias("doc_id"), "word", "term_count")
+        .groupBy("doc_id", "word")
+        .agg(F.sum("term_count").alias("term_count"))
+    )
+    anchor_post = acounts.withColumn(
+        "tf",
+        F.col("term_count")
+        / F.sum("term_count").over(Window.partitionBy("doc_id")),
+    )
+    res = search_fielded(
+        spark,
+        " ".join(_SEARCH_WORDS),
+        _doc_postings_tf(spark, sf_dir),
+        anchor_post,
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source").alias("title"),
+        ),
+        docs.count(),
+        title_weight=1.5,
+    )
+    return res.select(F.col("url").alias("doc_id"), "title", "score")
+
+
 def _q_bfs_depths(spark, sf_dir):
     """Engine addition: exact shortest-hop BFS distance from a seed set
     (linkgraph.py:bfs_depths, the crawl-depth audit) over a synthesized
@@ -2130,6 +2184,7 @@ QUERIES_EXTRA: dict = {
     "url_filter": _q_url_filter,
     "quality_classifier": _q_quality_classifier,
     "bfs_depths": _q_bfs_depths,
+    "search_anchor_boost": _q_search_anchor_boost,
     "normalize_text": _q_normalize_text,
     "chunk_documents": _q_chunk_documents,
     "nll_buckets": _q_nll_buckets,
@@ -4454,6 +4509,50 @@ ORACLES_EXTRA.update({"quality_classifier": _classifier_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "search_anchor_boost": f"""
+        WITH postings AS ({{_P}}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        q AS (SELECT unnest(['table','join','query']) AS word),
+        anchors AS (
+          SELECT (doc_id % 97) * 5 AS tgt,
+                 substr(regexp_replace(text, '[<>&]', ' ', 'g'), 1, 40)
+                   AS anchor
+          FROM documents),
+        atoks AS (
+          SELECT tgt, lower(tok) AS word
+          FROM (SELECT tgt,
+                       unnest(regexp_split_to_array(
+                         regexp_replace(anchor, '{_SEP_SQL}', ' ', 'g'),
+                         '[ \t\n\r]')) AS tok
+                FROM anchors)
+          WHERE strlen(tok) >= 2),
+        acounts AS (SELECT tgt AS doc_id, word, COUNT(*) AS term_count
+                    FROM atoks GROUP BY 1, 2),
+        apost AS (SELECT doc_id, word, term_count,
+                         CAST(SUM(term_count) OVER (PARTITION BY doc_id)
+                              AS BIGINT) AS alen
+                  FROM acounts),
+        dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                FROM postings JOIN q USING (word) GROUP BY word),
+        fields AS (
+          SELECT doc_id, word, term_count / doc_len AS tf, 1.0 AS fweight
+          FROM postings
+          UNION ALL
+          SELECT doc_id, word, term_count / alen AS tf, 1.5 AS fweight
+          FROM apost),
+        matched AS (
+          SELECT f.doc_id, f.tf, f.fweight, COALESCE(dfs.df, 0) AS df
+          FROM fields f JOIN q USING (word) LEFT JOIN dfs USING (word)),
+        scored AS (
+          SELECT doc_id,
+                 SUM(fweight * tf
+                     * ln((SELECT n_docs FROM n) / (1.0 + df))) AS score
+          FROM matched GROUP BY doc_id),
+        top AS (SELECT doc_id, score FROM scored
+                ORDER BY score DESC, doc_id ASC LIMIT 100)
+        SELECT t.doc_id, d.source AS title, ROUND(t.score, 6) AS score
+        FROM top t JOIN documents d USING (doc_id)
+    """.replace("{_P}", _POSTINGS_SQL),
         "bfs_depths": """
         WITH RECURSIVE ks AS (
           SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),

@@ -331,3 +331,30 @@ def test_bfs_multi_seed_and_partitioning_invariance(spark):
     got = dict(a)
     # n5..n8 are 0..3 from the n5 seed, never 5..8 from n0
     assert got["n5"] == 0 and got["n6"] == 1 and got["n8"] == 3
+
+
+def test_anchor_only_match_is_retrievable(spark):
+    """A document matched ONLY through anchor text (zero body hits)
+    must still rank: df comes from the body field (0 -> idf=ln(N/1)>0)
+    and the anchor field supplies the tf (the search_anchor_boost gate
+    query pins the full composed pipeline; this pins the semantics)."""
+    from see_spark.operators.search import search_fielded
+
+    body = spark.createDataFrame(
+        [(1, "pear", 1.0)], ["doc_id", "word", "tf"]
+    )
+    anchor = spark.createDataFrame(
+        [(2, "apple", 1.0)], ["doc_id", "word", "tf"]
+    )
+    docs = spark.createDataFrame([(1, "one"), (2, "two")], ["doc_id", "title"])
+    got = {
+        r["url"]: r["score"]
+        for r in search_fielded(
+            spark, "apple", body, anchor, docs, page_count=2,
+            title_weight=1.5,
+        ).collect()
+    }
+    assert set(got) == {2}
+    import math
+
+    assert got[2] == pytest.approx(round(1.5 * 1.0 * math.log(2.0), 6))
