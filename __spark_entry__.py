@@ -1961,6 +1961,35 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _q_host_reputation(spark, sf_dir):
+    """Engine addition: host-reputation gate (operators/reputation.py —
+    the FineWeb domain-level curation arm). Documents map onto hosts
+    host{doc_id%50}.test (the frontier's host space is host{0..96}, so
+    hosts 50..96 have NO evidence and must PASS via the cold-start
+    rule); per-doc quality is the integer rational form of the pinned
+    quality_score composite; the gate fails hosts with >= 3 scored docs
+    whose summed q_milli < 60 * n_docs (integer cross-multiply — the
+    measured per-host distribution spans 48..72, so both arms fire)."""
+    from see_spark.operators.reputation import (
+        doc_quality_milli,
+        host_quality_gate,
+        host_quality_stats,
+    )
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 50).cast("string"), F.lit(".test")
+        ).alias("host"),
+    )
+    stats = host_quality_stats(doc_quality_milli(docs))
+    f = _orders_frontier(spark, sf_dir).select("url", "host", "seq")
+    return host_quality_gate(f, stats, min_docs=3, min_avg_milli=60).select(
+        "url", "host", "seq", "n_docs", "sum_q_milli", "passed"
+    )
+
+
 def _q_search_anchor_boost(spark, sf_dir):
     """Engine addition: anchor-text-boosted ranking — THE classic web
     signal (terms other pages use to describe a target) folded into the
@@ -2185,6 +2214,7 @@ QUERIES_EXTRA: dict = {
     "quality_classifier": _q_quality_classifier,
     "bfs_depths": _q_bfs_depths,
     "search_anchor_boost": _q_search_anchor_boost,
+    "host_reputation": _q_host_reputation,
     "normalize_text": _q_normalize_text,
     "chunk_documents": _q_chunk_documents,
     "nll_buckets": _q_nll_buckets,
@@ -4509,6 +4539,43 @@ ORACLES_EXTRA.update({"quality_classifier": _classifier_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "host_reputation": f"""
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          'host' || CAST(doc_id % 50 AS VARCHAR) || '.test'
+                            AS host,
+                          string_split(text, ' ') AS toks
+                   FROM documents),
+        feats AS (SELECT doc_id, host,
+            CAST(len(toks) AS BIGINT) AS n,
+            CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS rep,
+            CAST(len(list_filter(toks,
+                 x -> list_contains(['the','a','of','and','to','in','is'], x)))
+              AS BIGINT) AS stop
+          FROM t),
+        dq AS (SELECT host,
+                      (1000 * least(n, 200) * (n - rep) * (n + stop))
+                        // (400 * n * n) AS q_milli
+               FROM feats),
+        hs AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(q_milli) AS BIGINT) AS sum_q_milli
+               FROM dq GROUP BY host),
+        f AS (
+          SELECT 'http://host' || CAST(o_custkey % {N_HOSTS} AS VARCHAR)
+                   || '.test/order/' || CAST(o_orderkey AS VARCHAR) AS url,
+                 'host' || CAST(o_custkey % {N_HOSTS} AS VARCHAR) || '.test'
+                   AS host,
+                 CAST(o_orderkey AS BIGINT) AS seq
+          FROM orders),
+        j AS (
+          SELECT f.url, f.host, f.seq,
+                 COALESCE(hs.n_docs, 0) AS n_docs,
+                 COALESCE(hs.sum_q_milli, 0) AS sum_q_milli
+          FROM f LEFT JOIN hs USING (host))
+        SELECT url, host, seq, n_docs, sum_q_milli,
+               CAST(CASE WHEN n_docs >= 3 AND sum_q_milli < 60 * n_docs
+                    THEN 0 ELSE 1 END AS BIGINT) AS passed
+        FROM j
+    """,
         "search_anchor_boost": f"""
         WITH postings AS ({{_P}}),
         n AS (SELECT COUNT(*) AS n_docs FROM documents),
