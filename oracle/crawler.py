@@ -83,6 +83,9 @@ def crawl(
     url_blocklist_words: tuple = (),
     url_blocklist_domains: tuple = (),
     url_blocklist_threshold: int = 1000,
+    reputation_gate: bool = False,
+    reputation_min_docs: int = 3,
+    reputation_min_avg_milli: int = 10,
 ) -> OracleResult:
     robots = robots or {}
 
@@ -120,6 +123,33 @@ def crawl(
             g for w, g in url_blocklist_words if w.lower() in low
         )
         return score >= url_blocklist_threshold
+
+    # host-reputation evidence (engine: host_quality table). Increments
+    # buffered per round and flushed AFTER the batch loop, so round r's
+    # own pages never gate round r's discoveries — matching the engine's
+    # stats-as-of-round-start read.
+    host_q: Dict[str, list] = {}
+    pending_q: list = []
+
+    def _q_milli(text: str) -> int:
+        """Integer rational form of textstats.quality_score's composite
+        (reputation.doc_quality_milli replica)."""
+        toks = text.split(" ")
+        n = len(toks)
+        rep = n - len(set(toks))
+        stop = sum(
+            1 for t in toks
+            if t in ("the", "a", "of", "and", "to", "in", "is")
+        )
+        return (1000 * min(n, 200) * (n - rep) * (n + stop)) // (400 * n * n)
+
+    def _is_lowrep(canon: str) -> bool:
+        st = host_q.get(host_of(canon))
+        return bool(
+            st
+            and st[0] >= reputation_min_docs
+            and st[1] < reputation_min_avg_milli * st[0]
+        )
     # RFC 9309 mode: robots rules come from the site's own
     # http://host/robots.txt bodies (parsed once per host with the SAME
     # kernel the engine's vectorized parse uses), full allow/disallow
@@ -237,6 +267,8 @@ def crawl(
             and _is_blocked(canon)
         ):
             return "blocked"
+        if gate and reputation_gate and _is_lowrep(canon):
+            return "lowrep"
         if canon in frontier:  # add-if-absent no-op (ets :84-92)
             return "ok"
         frontier[canon] = OracleEntry(
@@ -333,6 +365,11 @@ def crawl(
                 for word in words:
                     postings.setdefault(word, {}).setdefault(entry.url, 0)
                     postings[word][entry.url] += 1
+                if reputation_gate:
+                    pending_q.append((
+                        entry.host,
+                        _q_milli(" ".join(s[1] for s in spans if s[0] == "text")),
+                    ))
                 links = [s[2] for s in spans if s[0] == "link"]
                 for link in links:
                     queue(
@@ -359,6 +396,15 @@ def crawl(
         # same first-enqueue-wins batch)
         for u in sitemap_pages:
             queue(u, 0, round_no, gate=True)
+
+        # flush this round's quality evidence AFTER every discovery of
+        # the round was gated (engine: host_quality committed at round
+        # end, read at next round's start)
+        for h, q in pending_q:
+            st = host_q.setdefault(h, [0, 0])
+            st[0] += 1
+            st[1] += q
+        pending_q = []
 
     return OracleResult(
         frontier=frontier, visit_order=visit_order, docs=docs,

@@ -156,6 +156,19 @@ class CrawlConfig:
     url_blocklist_words: tuple = ()        # ((word, weight_milli), ...)
     url_blocklist_domains: tuple = ()
     url_blocklist_threshold: int = 1000
+    # Host-reputation gate (operators/reputation.py — the FineWeb
+    # domain-level arm): per-round increments of integer doc quality
+    # accumulate in the append-only host_quality table; candidates from
+    # hosts with >= min_docs evidence and summed quality below
+    # min_avg * n_docs (integer cross-multiply) are dropped at the same
+    # discovery point as trap/blocklist candidates. Evidence visible to
+    # round r is what rounds < r committed — a page fetched in round r
+    # never influences round r's own discoveries, which keeps the gate
+    # deterministic and replay-safe. Parity with the oracle crawler's
+    # identical rule is pinned by tests/test_crawl_reputation.py.
+    reputation_gate: bool = False
+    reputation_min_docs: int = 3
+    reputation_min_avg_milli: int = 10
 
 
 @dataclass
@@ -249,6 +262,24 @@ def _apply_trap_gate(candidates: DataFrame, config: "CrawlConfig") -> DataFrame:
     ).filter(F.col("is_trap") == 0).drop(
         "depth_segs", "max_repeat", "url_len", "is_trap"
     )
+
+
+def _apply_reputation_gate(
+    candidates: DataFrame, host_rep, config: "CrawlConfig"
+) -> DataFrame:
+    """Drop discoveries from hosts whose accumulated quality evidence
+    fails the reputation rule. ``host_rep`` is the aggregated
+    host_quality view read ONCE at round start (None = gate off)."""
+    if host_rep is None:
+        return candidates
+    from .reputation import host_quality_gate
+
+    return host_quality_gate(
+        candidates,
+        host_rep,
+        min_docs=config.reputation_min_docs,
+        min_avg_milli=config.reputation_min_avg_milli,
+    ).filter(F.col("passed") == 1).drop("n_docs", "sum_q_milli", "passed")
 
 
 def _apply_url_blocklist(candidates: DataFrame, config: "CrawlConfig") -> DataFrame:
@@ -564,6 +595,11 @@ def run_round(
     # never change, so the robots gate + checkout only touch the mutable
     # unvisited slice — and only that partition is rewritten at commit.
     robots = catalog.read("robots")
+    host_rep = None
+    if config.reputation_gate:
+        from .reputation import host_quality_agg
+
+        host_rep = host_quality_agg(catalog.read("host_quality"))
     unvisited = frontier.filter(F.col("state") == STATE_UNVISITED)
     gated = frontier_ops.robots_block(unvisited, robots)
     rfc_active = False
@@ -618,6 +654,7 @@ def run_round(
             ).filter(F.col("ingest_status") == "ok").drop("ingest_status")
             cand = _apply_trap_gate(cand, config)
             cand = _apply_url_blocklist(cand, config)
+            cand = _apply_reputation_gate(cand, host_rep, config)
             fresh = frontier_ops.dedup_within_batch(
                 frontier_ops.seen_filter(cand, frontier), "link_rank"
             )
@@ -800,6 +837,7 @@ def run_round(
     ).filter(F.col("ingest_status") == "ok").drop("ingest_status")
     candidates = _apply_trap_gate(candidates, config)
     candidates = _apply_url_blocklist(candidates, config)
+    candidates = _apply_reputation_gate(candidates, host_rep, config)
 
     seq_start = _next_seq(catalog, frontier)
     # next_seq counts every URL ever enqueued == frontier row count (rows
@@ -941,6 +979,35 @@ def run_round(
             ),
         )
 
+    def _commit_host_quality():
+        if not config.reputation_gate:
+            return
+        from .reputation import (
+            doc_quality_milli,
+            host_quality_agg,
+            host_quality_stats,
+        )
+
+        qdocs = parsed.filter(F.col("kind") == "text").select(
+            F.col("url").alias("doc_id"),
+            "host",
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.col("parsed.spans"), lambda sp: sp["kind"] == "text"
+                    ),
+                    lambda sp: sp["text"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        catalog.commit_delta(
+            "host_quality",
+            appended=host_quality_stats(doc_quality_milli(qdocs)),
+            meta={"round": round_no},
+            compact_agg=host_quality_agg,
+        )
+
     def _commit_hoststats():
         catalog.commit_delta(
             "hoststats",
@@ -949,10 +1016,13 @@ def run_round(
             compact_agg=hoststats_agg,
         )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
         futures = [
             pool.submit(fn)
-            for fn in (_commit_docs, _commit_postings, _commit_hoststats)
+            for fn in (
+                _commit_docs, _commit_postings, _commit_hoststats,
+                _commit_host_quality,
+            )
         ]
         for fut in futures:
             fut.result()  # re-raise any commit failure BEFORE the flip

@@ -100,3 +100,13 @@ def host_quality_gate(
         F.col("sum_q_milli") < F.lit(int(min_avg_milli)) * F.col("n_docs")
     )
     return out.withColumn("passed", (~failed).cast("long"))
+
+
+def host_quality_agg(df: DataFrame) -> DataFrame:
+    """Aggregated view over the append-only host_quality increment table
+    (both sums decomposable — the word_stats/hoststats compaction
+    idiom)."""
+    return df.groupBy("host").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_q_milli").cast("long").alias("sum_q_milli"),
+    )

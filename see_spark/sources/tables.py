@@ -143,12 +143,25 @@ SITEMAPS_FETCHED_SCHEMA = T.StructType(
     ]
 )
 
+# Host-level quality evidence (operators/reputation.py): append-only
+# per-round increments; the aggregated view sums (n_docs, sum_q_milli)
+# per host — both decomposable, so compaction folds increments without
+# changing reads (the hoststats/word_stats idiom).
+HOST_QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("sum_q_milli", T.LongType(), False),
+    ]
+)
+
 SCHEMAS = {
     "frontier": FRONTIER_SCHEMA,
     "docs": DOCS_SCHEMA,
     "postings": POSTINGS_SCHEMA,
     "word_stats": WORD_STATS_SCHEMA,
     "hoststats": HOSTSTATS_SCHEMA,
+    "host_quality": HOST_QUALITY_SCHEMA,
     "robots": ROBOTS_SCHEMA,
     "robots_rfc": ROBOTS_RFC_SCHEMA,
     "sitemaps_fetched": SITEMAPS_FETCHED_SCHEMA,
@@ -193,5 +206,6 @@ def iceberg_ddl(catalog: str = "crawl", db: str = "see") -> dict:
             PARTITIONED BY (bucket(512, word))
         """,
         "hoststats": f"CREATE TABLE {q}.hoststats (host string, last_fetch_round int, fetched_total bigint) USING iceberg",
+        "host_quality": f"CREATE TABLE {q}.host_quality (host string, n_docs bigint, sum_q_milli bigint) USING iceberg",
         "robots": f"CREATE TABLE {q}.robots (host string, disallow array<string>, fetched_in_round int) USING iceberg",
     }
