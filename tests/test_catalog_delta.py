@@ -243,3 +243,28 @@ def test_rollback_restores_old_manifest(spark, catalog):
     catalog.rollback("frontier", snap1)
     got = {(r["url"], r["state"]) for r in catalog.read("frontier").collect()}
     assert got == {("a", "unvisited")}
+
+
+def test_resume_rolls_back_torn_host_quality(spark, catalog):
+    """host_quality participates in SCHEMAS-driven resume: an increment
+    committed for a round past the checkpoint is discarded by
+    resume_point(), so replayed rounds never double-count evidence."""
+
+    def _inc(host, n, s, rnd):
+        catalog.commit_delta(
+            "host_quality",
+            appended=spark.createDataFrame(
+                [(host, n, s)], "host string, n_docs long, sum_q_milli long"
+            ),
+            meta={"round": rnd},
+        )
+
+    _inc("h.test", 2, 40, 0)
+    catalog.commit_round(0, {})
+    _inc("h.test", 3, 9, 1)  # torn: round 1 content landed, frontier didn't
+    assert catalog.resume_point() == 1
+    rows = {
+        (r["host"], r["n_docs"], r["sum_q_milli"])
+        for r in catalog.read("host_quality").collect()
+    }
+    assert rows == {("h.test", 2, 40)}
