@@ -1961,6 +1961,26 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _q_search_diversify(spark, sf_dir):
+    """Engine addition: SERP host-collapse
+    (operators/search.py:diversify_by_host) — per-host cap before the
+    global top-k. Scores are a deterministic integer-valued double
+    ((doc_id*37)%101) with heavy cross-host ties, so both the
+    within-host rank tie-break and the global-cut tie-break are
+    exercised; hosts = doc_id%7."""
+    from see_spark.operators.search import diversify_by_host
+
+    d = _documents(spark, sf_dir)
+    r = d.select(
+        F.col("doc_id").cast("long").alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".test")
+        ).alias("host"),
+        ((F.col("doc_id") * 37) % 101).cast("double").alias("score"),
+    )
+    return diversify_by_host(r, k=20, per_host=2)
+
+
 def _q_host_reputation(spark, sf_dir):
     """Engine addition: host-reputation gate (operators/reputation.py —
     the FineWeb domain-level curation arm). Documents map onto hosts
@@ -2215,6 +2235,7 @@ QUERIES_EXTRA: dict = {
     "bfs_depths": _q_bfs_depths,
     "search_anchor_boost": _q_search_anchor_boost,
     "host_reputation": _q_host_reputation,
+    "search_diversify": _q_search_diversify,
     "normalize_text": _q_normalize_text,
     "chunk_documents": _q_chunk_documents,
     "nll_buckets": _q_nll_buckets,
@@ -4539,6 +4560,20 @@ ORACLES_EXTRA.update({"quality_classifier": _classifier_oracle_sql(8)})
 
 ORACLES_EXTRA.update(
     {
+        "search_diversify": """
+        WITH r AS (
+          SELECT CAST(doc_id AS BIGINT) AS url,
+                 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host,
+                 CAST((doc_id * 37) % 101 AS DOUBLE) AS score
+          FROM documents),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY host ORDER BY score DESC, url ASC) AS host_rank
+          FROM r)
+        SELECT url, host, score, CAST(host_rank AS BIGINT) AS host_rank
+        FROM ranked WHERE host_rank <= 2
+        ORDER BY score DESC, url ASC LIMIT 20
+    """,
         "host_reputation": f"""
         WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                           'host' || CAST(doc_id % 50 AS VARCHAR) || '.test'

@@ -25,7 +25,7 @@ k-cut, so it touches ≤ k rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.text import extract_words
@@ -560,4 +560,34 @@ def search_query(
             F.round("__total", round_dp).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
+def diversify_by_host(
+    results: DataFrame,
+    k: int = MAX_RESULTS,
+    per_host: int = 2,
+    host_col: str = "host",
+    score_col: str = "score",
+    id_col: str = "url",
+) -> DataFrame:
+    """SERP host-collapse (engine addition): cap each host at
+    ``per_host`` results before the global top-k, so one mega-site
+    cannot monopolize a results page — the standard web-search
+    diversification the reference's flat top-100 lacks.
+
+    One window shuffle keyed by host (the host cardinality of a top-k
+    CANDIDATE set, not the corpus — this runs after scoring, typically
+    over k..100k rows) followed by the same TakeOrderedAndProject k-cut
+    as the flat ranking. Appends ``host_rank`` (1-based within host).
+    Ties are pinned (score desc, id asc) so the cut is deterministic in
+    any engine."""
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        results.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_rank") <= per_host)
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
     )

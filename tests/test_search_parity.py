@@ -110,3 +110,27 @@ def test_negative_idf_ranks_common_words_low(search_env):
     for row in rows:
         tf = oracle.postings["chopin"].get(row["url"], 0) / oracle.doc_len[row["url"]]
         assert row["score"] == pytest.approx(tf * math.log(page_count / (1 + df)))
+
+
+def test_diversify_by_host_caps_and_cuts(spark):
+    """Host collapse: a host flooding the top scores is capped at
+    per_host; the freed slots go to the next-best other-host results;
+    the plan keeps the TakeOrderedAndProject k-cut."""
+    from see_spark.operators.search import diversify_by_host
+
+    rows = (
+        # big.test would fill the whole top-4 without the cap
+        [(f"b{i}", "big.test", 100.0 - i) for i in range(4)]
+        + [("o1", "other.test", 50.0), ("o2", "two.test", 40.0)]
+    )
+    r = spark.createDataFrame(rows, ["url", "host", "score"])
+    got = [
+        (x["url"], x["host_rank"])
+        for x in diversify_by_host(r, k=4, per_host=2).collect()
+    ]
+    assert got == [("b0", 1), ("b1", 2), ("o1", 1), ("o2", 1)]
+    plan = (
+        diversify_by_host(r, k=4, per_host=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
