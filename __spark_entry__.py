@@ -2183,6 +2183,92 @@ def _classifier_oracle_sql(
     return "".join(parts)
 
 
+def _dust_pages(spark, sf_dir):
+    """Synthetic (url, fp) page set for the DUST queries: 7 shop hosts,
+    paths /item/{k%500}, params id=k (always), sid=orderkey (k%3==0 —
+    a session id, content-irrelevant), page=orderkey%4 (k%5==0 —
+    content-SELECTING). fp depends on (k, page) only, so sid earns
+    evidence and page earns both evidence (page=0 collides with the
+    no-page fingerprint) and counterexamples (page!=0)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ok = F.col("o_orderkey").cast("long")
+    k = (ok % 500).cast("long")
+    host = F.concat(
+        F.lit("shop"), (F.col("o_custkey") % 7).cast("string"), F.lit(".test")
+    )
+    qs = F.concat(
+        F.lit("id="),
+        k.cast("string"),
+        F.when(
+            ok % 3 == 0, F.concat(F.lit("&sid="), ok.cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(
+            ok % 5 == 0, F.concat(F.lit("&page="), (ok % 4).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/item/"), k.cast("string"),
+        F.lit("?"), qs,
+    )
+    fp = (
+        k * 7919
+        + F.when(ok % 5 == 0, (ok % 4) * 13).otherwise(F.lit(0))
+    ).cast("long")
+    return o.select(url.alias("url"), fp.alias("fp")).distinct()
+
+
+def _q_dust_param_rules(spark, sf_dir):
+    """Engine addition: DUST-style query-param rule mining
+    (operators/urlalias.py:mine_param_rules — Bar-Yossef et al. WWW'07).
+    Evidence/counterexample counting over residual-URL lookups; a rule
+    is strippable iff support >= 3 with zero counterexamples. The
+    reference canonicalizer (see_crawler_url.erl) is syntax-only; this
+    is the content-evidence loop on top of it."""
+    from see_spark.operators.urlalias import mine_param_rules
+
+    return mine_param_rules(_dust_pages(spark, sf_dir), min_support=3)
+
+
+def _q_dust_apply(spark, sf_dir):
+    """Engine addition: apply mined DUST rules to the same page set
+    (operators/urlalias.py:apply_param_rules) and report the per-host
+    frontier compression (distinct URLs vs distinct aliases)."""
+    from see_spark.operators.urlalias import (
+        apply_param_rules,
+        mine_param_rules,
+    )
+
+    pages = _dust_pages(spark, sf_dir)
+    rules = mine_param_rules(pages, min_support=3)
+    aliased = apply_param_rules(pages, rules)
+    return aliased.groupBy("host").agg(
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct("alias_url").alias("n_aliases"),
+    )
+
+
+def _q_mirror_hosts(spark, sf_dir):
+    """Engine addition: mirror-host detection
+    (operators/urlalias.py:mirror_hosts) — hosts m0..m7 serve the same
+    50 paths with path-determined fingerprints (mirrors of each other);
+    m8/m9 serve host-specific content on the same paths (never pair).
+    Integer Jaccard resemblance over an equi-join on (signature, fp) —
+    no host x host cross join."""
+    from see_spark.operators.urlalias import mirror_hosts
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ok = F.col("o_orderkey").cast("long")
+    hi = (F.col("o_custkey") % 10).cast("long")
+    k = (ok % 50).cast("long")
+    url = F.concat(
+        F.lit("http://m"), hi.cast("string"), F.lit(".test/p/"),
+        k.cast("string"),
+    )
+    fp = F.when(hi >= 8, k * 100 + hi).otherwise(k).cast("long")
+    pages = o.select(url.alias("url"), fp.alias("fp")).distinct()
+    return mirror_hosts(pages, min_shared=20, min_resemblance_milli=800)
+
+
 URL_BANNED_WORDS = [
     ("casino", 700),
     ("pills", 400),
@@ -2289,6 +2375,9 @@ QUERIES_EXTRA: dict = {
     "epoch_mix": _q_epoch_mix,
     "error_backoff_checkout": _q_error_backoff_checkout,
     "search_query_language": _q_search_query,
+    "dust_param_rules": _q_dust_param_rules,
+    "dust_apply": _q_dust_apply,
+    "mirror_hosts": _q_mirror_hosts,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -4728,6 +4817,121 @@ ORACLES_EXTRA.update(
             CAST(CASE WHEN domain_blocked = 1 OR score_milli >= 800
                  THEN 1 ELSE 0 END AS BIGINT) AS dropped
         FROM b
+    """,
+    }
+)
+
+# DUST alias-mining oracles: shared CTE chain (pages -> url parts ->
+# positioned param occurrences -> residual lookup -> rules)
+_DUST_CORE_SQL = r"""
+    raw AS (
+      SELECT DISTINCT
+        'http://shop' || CAST(o_custkey % 7 AS VARCHAR) || '.test/item/'
+          || CAST(o_orderkey % 500 AS VARCHAR)
+          || '?id=' || CAST(o_orderkey % 500 AS VARCHAR)
+          || (CASE WHEN o_orderkey % 3 = 0
+              THEN '&sid=' || CAST(o_orderkey AS VARCHAR) ELSE '' END)
+          || (CASE WHEN o_orderkey % 5 = 0
+              THEN '&page=' || CAST(o_orderkey % 4 AS VARCHAR) ELSE '' END)
+          AS url,
+        CAST((o_orderkey % 500) * 7919
+          + (CASE WHEN o_orderkey % 5 = 0
+             THEN (o_orderkey % 4) * 13 ELSE 0 END) AS BIGINT) AS fp
+      FROM orders),
+    parts AS (
+      SELECT url, fp,
+        regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+        regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+          AS path,
+        CASE WHEN contains(url, '?')
+             THEN regexp_extract(url, '\?([^#]*)', 1) ELSE '' END AS qs
+      FROM raw),
+    kv AS (
+      SELECT url, host, path, fp,
+             unnest(string_split(qs, '&')) AS kvs,
+             unnest(range(len(string_split(qs, '&')))) AS pos
+      FROM parts WHERE qs <> ''),
+    res AS (
+      SELECT a.url, a.host, a.path, a.fp, a.pos, a.kvs,
+             COALESCE(string_agg(b.kvs, '&' ORDER BY b.pos), '') AS rqs
+      FROM kv a LEFT JOIN kv b ON b.url = a.url AND b.pos <> a.pos
+      GROUP BY a.url, a.host, a.path, a.fp, a.pos, a.kvs),
+    ev AS (
+      SELECT r.host, string_split(r.kvs, '=')[1] AS param,
+             CASE WHEN t.fp = r.fp THEN 1 ELSE 0 END AS evid,
+             CASE WHEN t.fp <> r.fp THEN 1 ELSE 0 END AS cex
+      FROM res r JOIN parts t
+        ON t.host = r.host AND t.path = r.path AND t.qs = r.rqs),
+    rules AS (
+      SELECT host, param,
+             CAST(SUM(evid) AS BIGINT) AS support,
+             CAST(SUM(cex) AS BIGINT) AS counterexamples,
+             CAST(CASE WHEN SUM(evid) >= 3 AND SUM(cex) = 0
+                  THEN 1 ELSE 0 END AS BIGINT) AS strippable
+      FROM ev GROUP BY host, param)
+"""
+
+ORACLES_EXTRA.update(
+    {
+        "dust_param_rules": f"""
+        WITH {_DUST_CORE_SQL}
+        SELECT host, param, support, counterexamples, strippable
+        FROM rules
+    """,
+        "dust_apply": f"""
+        WITH {_DUST_CORE_SQL},
+        strip AS (SELECT host, param FROM rules WHERE strippable = 1),
+        kept AS (
+          SELECT k.url, k.pos, k.kvs
+          FROM kv k LEFT JOIN strip s
+            ON s.host = k.host AND s.param = string_split(k.kvs, '=')[1]
+          WHERE s.host IS NULL),
+        rebuilt AS (
+          SELECT url, string_agg(kvs, '&' ORDER BY pos) AS new_qs
+          FROM kept GROUP BY url),
+        alias AS (
+          SELECT p.url, p.host,
+                 regexp_extract(p.url, '^([a-z][a-z0-9+.-]*)://', 1)
+                   || '://' || p.host || p.path
+                   || (CASE WHEN COALESCE(r.new_qs, '') <> ''
+                       THEN '?' || r.new_qs ELSE '' END) AS alias_url
+          FROM parts p LEFT JOIN rebuilt r USING (url))
+        SELECT host, CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT alias_url) AS BIGINT) AS n_aliases
+        FROM alias GROUP BY host
+    """,
+        "mirror_hosts": """
+        WITH raw AS (
+          SELECT DISTINCT
+            'http://m' || CAST(o_custkey % 10 AS VARCHAR) || '.test/p/'
+              || CAST(o_orderkey % 50 AS VARCHAR) AS url,
+            CAST(CASE WHEN o_custkey % 10 >= 8
+                 THEN (o_orderkey % 50) * 100 + (o_custkey % 10)
+                 ELSE o_orderkey % 50 END AS BIGINT) AS fp
+          FROM orders),
+        sigs AS (
+          SELECT DISTINCT
+            regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+            regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+              AS sig,
+            fp
+          FROM raw),
+        sizes AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS sz
+                  FROM sigs GROUP BY host),
+        pairs AS (
+          SELECT a.host AS host_a, b.host AS host_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM sigs a JOIN sigs b
+            ON a.sig = b.sig AND a.fp = b.fp AND a.host < b.host
+          GROUP BY 1, 2)
+        SELECT host_a, host_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+               CAST((1000 * shared) // (sa.sz + sb.sz - shared)
+                    AS BIGINT) AS resemblance_milli
+        FROM pairs
+        JOIN sizes sa ON sa.host = host_a
+        JOIN sizes sb ON sb.host = host_b
+        WHERE shared >= 20
+          AND (1000 * shared) // (sa.sz + sb.sz - shared) >= 800
     """,
     }
 )
