@@ -1319,6 +1319,34 @@ def _q_search_or(spark, sf_dir):
     return res.select(F.col("url").alias("doc_id"), "title", "score")
 
 
+def _q_search_pruned(spark, sf_dir):
+    """Engine addition: impact-index pruned disjunctive top-k
+    (operators/search.py:search_or_pruned — the batch WAND/max-score
+    shape with a Fagin threshold certificate). The oracle is the FLAT
+    exact top-10 SQL: a pass proves the pruned path returns the exact
+    answer, not an approximation. k=10 with a c=40 prefix so the
+    certificate has to do real work at sf0.01 (the three query words
+    are near-stopwords there — df ~ 0.78N, idf ~ 0.24 — and a c=40
+    prefix's bound lands ABOVE the k-th score, so c=100 is the smallest
+    round prefix that certifies; measured in round 3)."""
+    from see_spark.operators.search import search_or_pruned
+
+    docs = _documents(spark, sf_dir)
+    res = search_or_pruned(
+        spark,
+        " ".join(_SEARCH_WORDS),
+        _doc_postings_tf(spark, sf_dir),
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source").alias("title"),
+        ),
+        docs.count(),
+        k=10,
+        c=100,
+    )
+    return res.select(F.col("url").alias("doc_id"), "title", "score")
+
+
 def _q_search_title_boost(spark, sf_dir):
     """Engine addition: fielded (title-boosted) ranking
     (operators/search.py:search_fielded). The documents table has no real
@@ -2362,6 +2390,7 @@ QUERIES_EXTRA: dict = {
     "host_distinct_hll": _q_host_distinct_hll,
     "recrawl_schedule": _q_recrawl_schedule,
     "search_or": _q_search_or,
+    "search_topk_pruned": _q_search_pruned,
     "search_title_boost": _q_search_title_boost,
     "fuzzy_term_expand": _q_fuzzy_term_expand,
     "fuzzy_search": _q_fuzzy_search,
@@ -3611,6 +3640,27 @@ ORACLES_EXTRA.update(
           FROM matched GROUP BY doc_id),
         top AS (SELECT doc_id, score FROM scored
                 ORDER BY score DESC, doc_id ASC LIMIT 100)
+        SELECT t.doc_id, d.source AS title, ROUND(t.score, 6) AS score
+        FROM top t JOIN documents d USING (doc_id)
+    """,
+        # the pruned query's oracle is the FLAT exact top-10: equality
+        # proves the impact-prefix certificate produced the exact answer
+        "search_topk_pruned": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        q AS (SELECT unnest(['table','join','query']) AS word),
+        dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                FROM postings JOIN q USING (word) GROUP BY word),
+        matched AS (
+          SELECT p.doc_id, p.term_count, p.doc_len, dfs.df
+          FROM postings p JOIN q USING (word) JOIN dfs USING (word)),
+        scored AS (
+          SELECT doc_id,
+                 SUM((term_count / doc_len)
+                     * ln((SELECT n_docs FROM n) / (1.0 + df))) AS score
+          FROM matched GROUP BY doc_id),
+        top AS (SELECT doc_id, score FROM scored
+                ORDER BY score DESC, doc_id ASC LIMIT 10)
         SELECT t.doc_id, d.source AS title, ROUND(t.score, 6) AS score
         FROM top t JOIN documents d USING (doc_id)
     """,

@@ -202,6 +202,132 @@ def search_or(
     )
 
 
+def build_impact_index(postings: DataFrame, c: int):
+    """Impact-ordered index prefix (engine addition): per word, the top-``c``
+    postings by tf (tf desc, doc_id asc — the pinned tie-break), plus
+    per-word stats carrying the c-th tf for query-time pruning bounds.
+
+    This is the batch materialization of WAND/max-score impact ordering
+    (Broder et al. CIKM'03; Turtle & Flood's max_score): built ONCE at
+    index time (one window shuffle keyed by word), it lets the query path
+    touch O(|query| * c) rows instead of every posting of every query
+    word. ``cth_tf`` is NULL for words with < c postings — those words'
+    postings are all in the prefix, so an unseen doc contributes 0.
+
+    Returns (impact_postings(word, doc_id, tf),
+             impact_stats(word, n_postings, cth_tf)).
+    """
+    w = Window.partitionBy("word").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = postings.select("word", "doc_id", "tf").withColumn(
+        "__r", F.row_number().over(w)
+    )
+    impact = ranked.where(F.col("__r") <= c).drop("__r")
+    stats = ranked.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_postings"),
+        F.max(F.when(F.col("__r") == c, F.col("tf"))).alias("cth_tf"),
+    )
+    return impact, stats
+
+
+def search_or_pruned(
+    spark: SparkSession,
+    query: str,
+    postings: DataFrame,
+    docs: DataFrame,
+    page_count: int,
+    k: int = MAX_RESULTS,
+    c: int = None,
+    impact: DataFrame = None,
+    impact_stats: DataFrame = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Disjunctive tf-idf top-k via impact-index pruning, PROVABLY exact:
+    identical output contract to ``search_or`` (url, title, score).
+
+    Fagin-style threshold certificate over the ``build_impact_index``
+    prefix: candidates = docs in any query word's top-``c`` prefix; they
+    are scored exactly (every query-word posting they own). Any
+    non-candidate doc d satisfies, per query word w,
+
+        contrib(w, d) <= max(0, qcount(w) * idf(w) * cth_tf(w))
+
+    — if idf(w) <= 0 every contribution of w is <= 0; if w has < c
+    postings d cannot contain w at all (bound 0); otherwise d's tf is at
+    most the c-th tf of the prefix. Summing bounds gives tau; if the
+    k-th candidate score is STRICTLY above tau no non-candidate can
+    displace the top-k (strictness also protects the doc_id tie-break),
+    and the pruned result is certified exact. When the certificate fails
+    (adversarial distributions, fewer than k candidates) this falls back
+    to the flat ``search_or`` — exactness is unconditional, pruning is
+    the fast path.
+
+    Scale shape: with a materialized (impact, impact_stats) pair the
+    query path reads O(|query| * c) prefix rows, broadcasts the
+    candidate ids, and shuffles only candidate postings to the doc_id
+    aggregate — the flat path's shuffle of EVERY matched posting (the
+    dominant cost for common words) disappears. The certificate costs
+    two scalar actions (tau, k-th score) on dimension-sized data.
+    """
+    words = extract_words(query)
+    if not words:
+        return spark.createDataFrame([], "url string, title string, score double")
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    c = c if c is not None else 4 * k
+    qdf = _query_multiset(spark, counts)
+    qpost = postings.join(qdf.select("word"), "word", "left_semi")
+    if impact is None or impact_stats is None:
+        # on-the-fly build over the query's slice only (index-time builds
+        # pass the materialized pair and skip this window entirely)
+        impact, impact_stats = build_impact_index(qpost, c)
+    df_by_word = (
+        qpost.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = F.log(F.lit(float(page_count)) / (F.lit(1.0) + F.col("df")))
+
+    cand = (
+        impact.join(qdf.select("word"), "word", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    matched = postings.join(qdf, "word").join(F.broadcast(df_by_word), "word")
+    scored = (
+        matched.join(F.broadcast(cand), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("qcount") * F.col("tf") * idf).alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # certificate: tau = sum of per-word non-candidate bounds
+    bound = F.when(
+        F.col("cth_tf").isNotNull() & (idf > 0),
+        F.col("qcount") * F.col("cth_tf") * idf,
+    ).otherwise(F.lit(0.0))
+    tau_row = (
+        impact_stats.join(qdf, "word")
+        .join(F.broadcast(df_by_word), "word")
+        .agg(F.coalesce(F.sum(bound), F.lit(0.0)).alias("tau"))
+        .collect()
+    )
+    tau = tau_row[0]["tau"]
+    topk_rows = top.collect()
+    certified = len(topk_rows) >= k and topk_rows[-1]["score"] > tau
+    if not certified:
+        return search_or(
+            spark, query, postings, docs, page_count, k=k, round_dp=round_dp
+        )
+    return (
+        top.join(docs.select(F.col("doc_id"), F.col("title")), "doc_id")
+        .select(
+            F.col("doc_id").alias("url"),
+            "title",
+            F.round("score", round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
 def search_fielded(
     spark: SparkSession,
     query: str,
