@@ -2211,6 +2211,49 @@ def _classifier_oracle_sql(
     return "".join(parts)
 
 
+def _q_autocomplete(spark, sf_dir):
+    """Engine addition: query autocomplete
+    (operators/lexicon.py:autocomplete) — per-prefix top-8 vocabulary
+    completions by df desc, word asc; prefix 'zz' has no completion and
+    must emit nothing. Vocab derived from the documents postings (the
+    materialized word_stats table in the crawl deployment)."""
+    from see_spark.operators.lexicon import autocomplete, vocabulary
+
+    return autocomplete(
+        spark,
+        ["jo", "qu", "ta", "zz"],
+        vocabulary(_doc_postings(spark, sf_dir)),
+        k=8,
+    )
+
+
+def _q_adaptive_politeness(spark, sf_dir):
+    """Engine addition: latency-adaptive politeness
+    (operators/frontier.py:adaptive_host_delay). Observations synthesized
+    from events (value pre-quantized to integer milli by _events): hosts
+    h0/h1 get value div 100 latencies (forcing the MIN clamp at mult=8)
+    while the 1..5x scale spread pushes every other host past the MAX
+    clamp — both arms fire; all latency arithmetic is integer. p75 is the exact
+    interpolated quartile (binary-exact fractions, events_median
+    convention); delay and gap_rounds are integer-exact."""
+    from see_spark.operators.frontier import adaptive_host_delay
+
+    ev = _events(spark, sf_dir)  # value arrives quantized to milli (long)
+    hi = F.col("user_id") % 40
+    lat = (
+        F.when(hi < 2, F.expr("value div 100"))
+        .otherwise(F.col("value") * (1 + (hi % 5)))
+        .cast("long")
+    )
+    obs = ev.select(
+        F.concat(F.lit("h"), hi.cast("string"), F.lit(".test")).alias("host"),
+        lat.alias("latency_ms"),
+    )
+    return adaptive_host_delay(
+        obs, mult=8, min_delay_ms=100, max_delay_ms=10_000, round_ms=1000
+    )
+
+
 def _dust_pages(spark, sf_dir):
     """Synthetic (url, fp) page set for the DUST queries: 7 shop hosts,
     paths /item/{k%500}, params id=k (always), sid=orderkey (k%3==0 —
@@ -2407,6 +2450,8 @@ QUERIES_EXTRA: dict = {
     "dust_param_rules": _q_dust_param_rules,
     "dust_apply": _q_dust_apply,
     "mirror_hosts": _q_mirror_hosts,
+    "autocomplete": _q_autocomplete,
+    "adaptive_politeness": _q_adaptive_politeness,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -4982,6 +5027,50 @@ ORACLES_EXTRA.update(
         JOIN sizes sb ON sb.host = host_b
         WHERE shared >= 20
           AND (1000 * shared) // (sa.sz + sb.sz - shared) >= 800
+    """,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "autocomplete": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        vocab AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM postings GROUP BY word),
+        p AS (SELECT unnest(['jo','qu','ta','zz']) AS prefix),
+        cand AS (SELECT p.prefix, v.word, v.df
+                 FROM vocab v JOIN p ON starts_with(v.word, p.prefix)),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY prefix ORDER BY df DESC, word ASC) AS rank
+          FROM cand)
+        SELECT prefix, word, df, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 8
+    """,
+        "adaptive_politeness": """
+        WITH ev AS (
+          SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS v
+          FROM events),
+        obs AS (
+          SELECT 'h' || CAST(user_id % 40 AS VARCHAR) || '.test' AS host,
+                 CAST(CASE WHEN user_id % 40 < 2 THEN v // 100
+                      ELSE v * (1 + (user_id % 40) % 5) END
+                   AS BIGINT) AS latency_ms
+          FROM ev),
+        agg AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                       quantile_cont(latency_ms, 0.75) AS p75_ms
+                FROM obs GROUP BY host),
+        d AS (SELECT *,
+                CAST(least(CAST(10000 AS BIGINT),
+                     greatest(CAST(100 AS BIGINT),
+                              CAST(floor(8 * p75_ms) AS BIGINT)))
+                  AS BIGINT) AS delay_ms
+              FROM agg)
+        SELECT host, n_obs, p75_ms, delay_ms,
+               greatest(CAST(1 AS BIGINT),
+                        (delay_ms + 1000 - 1) // 1000) AS gap_rounds
+        FROM d
     """,
     }
 )

@@ -423,3 +423,55 @@ def trap_stats(
             | (F.col("url_len") > max_len)
         ).cast("long"),
     )
+
+
+def adaptive_host_delay(
+    observations: DataFrame,
+    mult: int = 3,
+    min_delay_ms: int = 100,
+    max_delay_ms: int = 10_000,
+    round_ms: int = 1000,
+) -> DataFrame:
+    """Latency-adaptive politeness (engine addition): derive each host's
+    crawl delay from its OBSERVED fetch latency — the standard
+    production refinement of a fixed politeness window (slow servers get
+    longer gaps; a host signalling distress is backed off before it
+    errors). The reference's scheduler uses a fixed queue discipline
+    only (see_crawler_queue.erl); robots Crawl-delay (when present)
+    composes with this by taking the greater gap upstream.
+
+    ``observations``: (host, latency_ms:int) rows from completed
+    fetches.  Per host:
+
+      p75_ms     exact interpolated 75th percentile (quartile fractions
+                 are binary-exact, so any engine reproduces the double
+                 bit-for-bit — the events_median convention)
+      delay_ms   clamp(min_delay_ms, max_delay_ms, floor(mult * p75))
+      gap_rounds ceil(delay_ms / round_ms), integer arithmetic, >= 1 —
+                 feed straight into ``checkout(host_gap=...)`` like
+                 robots Crawl-delay and error_backoff_gap.
+
+    One map-side-combinable aggregate onto ~|hosts| keys; no joins. At
+    10^10 URLs the observation stream is the fetch log, already
+    partitioned by host."""
+    agg = observations.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.percentile("latency_ms", F.lit(0.75)).alias("p75_ms"),
+    )
+    delay = F.expr(
+        f"cast(least(cast({int(max_delay_ms)} as bigint),"
+        f" greatest(cast({int(min_delay_ms)} as bigint),"
+        f" cast(floor({int(mult)} * p75_ms) as bigint))) as bigint)"
+    )
+    return agg.select(
+        "host",
+        "n_obs",
+        "p75_ms",
+        delay.alias("delay_ms"),
+    ).withColumn(
+        "gap_rounds",
+        F.expr(
+            f"greatest(cast(1 as bigint),"
+            f" (delay_ms + {int(round_ms)} - 1) div {int(round_ms)})"
+        ),
+    )

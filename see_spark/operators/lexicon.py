@@ -280,3 +280,39 @@ def suggest_corrections(
         F.col("dist").cast("long").alias("dist"),
         F.col("df").cast("long").alias("df"),
     )
+
+
+def autocomplete(
+    spark: SparkSession,
+    prefixes: list,
+    vocab: DataFrame,
+    k: int = 8,
+) -> DataFrame:
+    """Query autocomplete: top-``k`` vocabulary completions per prefix,
+    ranked by document frequency desc (the most attested completion
+    first), word asc on ties — the search-box suggestion surface the
+    reference's bare GET /search UI lacks (see_web.erl serves no
+    suggest endpoint).
+
+    (prefix, word, df, rank) for every prefix in ``prefixes`` (prefixes
+    with no completion emit nothing — callers render an empty dropdown).
+
+    ``vocab``: (word, df) — the materialized word_stats table in the
+    crawl deployment, so a suggestion costs ONE scan of the word
+    dimension (10^7-10^9 rows at web scale, trivially partitioned),
+    never postings or documents. The prefix set is a broadcast literal;
+    matching is a codegen startswith against it; the per-prefix top-k is
+    a window over candidate rows only (a few thousand per prefix, not
+    the vocabulary)."""
+    pdf = _broadcast_literals(
+        spark, "prefix", sorted({str(p) for p in prefixes})
+    )
+    cand = vocab.select("word", "df").join(
+        pdf, F.col("word").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("word"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("prefix", "word", F.col("df").cast("long").alias("df"), "rank")
+    )
