@@ -2211,6 +2211,51 @@ def _classifier_oracle_sql(
     return "".join(parts)
 
 
+def _q_shard_plan(spark, sf_dir):
+    """Engine addition: LPT-striped index shard planning
+    (operators/sharding.py) — docs ranked by size (char length of text)
+    desc via the distributed dense-sequence, striped rank%8, audited by
+    per-shard load_milli (1000 = perfect balance)."""
+    from see_spark.operators.sharding import plan_shards, shard_stats
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("size"),
+    )
+    return shard_stats(plan_shards(d, 8), 8)
+
+
+def _q_discovery_unseen(spark, sf_dir):
+    """Engine addition: Good-Turing host-exhaustion estimate
+    (operators/discovery.py:unseen_mass). Sightings synthesized from
+    lineitem (host = suppkey%25, url = partkey%400 — multiplicities
+    arise naturally from the TPC-H key distribution); unseen_milli =
+    1000*f1 div N, exhausted gated with the cold-start evidence floor."""
+    from see_spark.operators.discovery import unseen_mass
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = li.select(
+        F.concat(
+            F.lit("h"), (F.col("l_suppkey") % 25).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.concat(
+            F.lit("u"), (F.col("l_partkey") % 400).cast("string")
+        ).alias("url"),
+    )
+    return unseen_mass(s, threshold_milli=100, min_obs=20)
+
+
+def _q_epoch_shuffle(spark, sf_dir):
+    """Engine addition: deterministic global training shuffle
+    (operators/packing.py:epoch_shuffle) — dense epoch positions from
+    the salted portable 60-bit hash order; no RNG, identical permutation
+    in any engine at any parallelism."""
+    from see_spark.operators.packing import epoch_shuffle
+
+    d = _documents(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    return epoch_shuffle(d, "r3")
+
+
 def _q_autocomplete(spark, sf_dir):
     """Engine addition: query autocomplete
     (operators/lexicon.py:autocomplete) — per-prefix top-8 vocabulary
@@ -2452,6 +2497,9 @@ QUERIES_EXTRA: dict = {
     "mirror_hosts": _q_mirror_hosts,
     "autocomplete": _q_autocomplete,
     "adaptive_politeness": _q_adaptive_politeness,
+    "shard_plan": _q_shard_plan,
+    "discovery_unseen_mass": _q_discovery_unseen,
+    "epoch_shuffle": _q_epoch_shuffle,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -5071,6 +5119,58 @@ ORACLES_EXTRA.update(
                greatest(CAST(1 AS BIGINT),
                         (delay_ms + 1000 - 1) // 1000) AS gap_rounds
         FROM d
+    """,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "shard_plan": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          CAST(length(text) AS BIGINT) AS size
+                   FROM documents),
+        r AS (SELECT doc_id, size,
+                     row_number() OVER (ORDER BY size DESC, doc_id ASC) - 1
+                       AS rank
+              FROM d),
+        a AS (SELECT doc_id, size, CAST(rank % 8 AS BIGINT) AS shard FROM r),
+        per AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(size) AS BIGINT) AS total_size
+                FROM a GROUP BY shard)
+        SELECT shard, n_docs, total_size,
+               CAST((1000 * total_size * 8)
+                    // (SELECT SUM(size) FROM a) AS BIGINT) AS load_milli
+        FROM per
+    """,
+        "discovery_unseen_mass": """
+        WITH s AS (
+          SELECT 'h' || CAST(l_suppkey % 25 AS VARCHAR) || '.test' AS host,
+                 'u' || CAST(l_partkey % 400 AS VARCHAR) AS url
+          FROM lineitem),
+        per_url AS (SELECT host, url, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM s GROUP BY host, url),
+        per_host AS (
+          SELECT host, CAST(SUM(n) AS BIGINT) AS n_obs,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1
+          FROM per_url GROUP BY host)
+        SELECT host, n_obs, n_distinct, f1,
+               CAST((1000 * f1) // n_obs AS BIGINT) AS unseen_milli,
+               CAST(CASE WHEN n_obs >= 20 AND (1000 * f1) // n_obs < 100
+                    THEN 1 ELSE 0 END AS BIGINT) AS exhausted
+        FROM per_host
+    """,
+        "epoch_shuffle": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+        k AS (SELECT doc_id,
+                     ('0x' || substr(md5('shuffle:r3:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
+              FROM d)
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY key ASC, doc_id ASC) - 1
+                    AS BIGINT) AS shuffle_pos
+        FROM k
     """,
     }
 )

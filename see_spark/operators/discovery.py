@@ -1,0 +1,91 @@
+"""Frontier discovery analytics — is a host exhausted?
+
+A web crawler allocating per-host budget (frontier.py checkout) needs to
+know when a host has little left to discover: pouring rounds into a host
+whose link graph keeps re-surfacing the same URLs wastes politeness-
+limited fetch slots. Two classic, cheap signals:
+
+``discovery_curve``
+    per (host, round): how many URLs were first seen that round, plus
+    the running cumulative — the saturation curve an operator plots.
+    One aggregate + one per-host window over round counts (|hosts| x
+    |rounds| rows, dimension-sized).
+
+``unseen_mass``
+    Good-Turing estimate of the probability mass of UNSEEN URLs from
+    sighting multiplicities (Good 1953; the same f1/N estimator
+    species-richness and LM smoothing use): if a host's link graph has
+    been sighted N times and f1 distinct URLs were sighted exactly once,
+    the chance the next sighting is a brand-new URL is ~ f1/N. Integer
+    rational output (``unseen_milli`` = 1000*f1 div N) so any engine
+    reproduces it bit-for-bit. ``exhausted`` gates on
+    unseen_milli < threshold with an evidence floor (n_obs >= min_obs) —
+    the cold-start rule reputation.py uses: never act on absence of
+    evidence.
+
+Scale shape: both are map-side-combinable aggregates over (host, url)
+sightings — the crawl already materializes these as the outlink table —
+onto |distinct urls| then |hosts| keys; no joins, no windows over row
+data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def discovery_curve(
+    first_seen: DataFrame,
+    host_col: str = "host",
+    round_col: str = "first_round",
+) -> DataFrame:
+    """(host, round, n_new, cum_urls) from (host, url, first_round)."""
+    per = first_seen.groupBy(
+        F.col(host_col).alias("host"), F.col(round_col).alias("round")
+    ).agg(F.count("*").cast("long").alias("n_new"))
+    w = (
+        Window.partitionBy("host")
+        .orderBy("round")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.withColumn(
+        "cum_urls", F.sum("n_new").over(w).cast("long")
+    )
+
+
+def unseen_mass(
+    sightings: DataFrame,
+    threshold_milli: int = 50,
+    min_obs: int = 20,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """(host, n_obs, n_distinct, f1, unseen_milli, exhausted) — module
+    docstring. ``sightings`` rows repeat per URL sighting."""
+    per_url = sightings.groupBy(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url")
+    ).agg(F.count("*").cast("long").alias("n"))
+    per_host = per_url.groupBy("host").agg(
+        F.sum("n").cast("long").alias("n_obs"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+    )
+    return per_host.select(
+        "host",
+        "n_obs",
+        "n_distinct",
+        "f1",
+        F.expr("(1000 * f1) div n_obs").cast("long").alias("unseen_milli"),
+    ).withColumn(
+        "exhausted",
+        F.when(
+            (F.col("n_obs") >= int(min_obs))
+            & (F.col("unseen_milli") < int(threshold_milli)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )

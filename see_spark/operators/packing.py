@@ -200,3 +200,33 @@ def chunk_documents(
             F.array_join("c.toks", " ").alias("chunk_text"),
         )
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    seed: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training shuffle: assign every document a
+    dense position 0..n-1 in the order of a salted 60-bit hash of its id
+    (``hash60`` — the engine-portable md5 convention) — the epoch-order
+    permutation an LM data loader consumes. No RNG anywhere: the same
+    (seed, corpus) gives the same permutation on any engine, any
+    partitioning, any run, and different seeds give uncorrelated orders
+    (change the seed per epoch).
+
+    (doc_id, shuffle_pos). Scale shape: one narrow hash projection plus
+    the distributed dense-sequence (functions/seq.py: range-partition on
+    the hash, per-partition sort, O(partitions) driver offsets) — no
+    global window, no driver-side row data. Hash collisions are
+    tie-broken by doc_id, keeping the order total.
+    """
+    from ..functions.seq import with_dense_sequence
+
+    keyed = docs.select(F.col(id_col).alias("doc_id")).withColumn(
+        "__key",
+        hash60(F.concat(F.lit(f"shuffle:{seed}:"), F.col("doc_id").cast("string"))),
+    )
+    return with_dense_sequence(
+        keyed, order_cols=["__key", "doc_id"], out_col="shuffle_pos", start=0
+    ).select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))

@@ -288,8 +288,13 @@ def test_media_features_fake_decode_and_stub(spark):
     feats = {r["media_id"]: r for r in extract_features(media, fake=True).collect()}
     assert feats["0"]["n_bytes"] == 11
     assert sum(feats["0"]["byte_histogram"]) == 11
-    # real decode is stubbed
-    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+    # real decode of synthetic non-container bytes must fail honestly:
+    # image kinds hit the container sniffer (PNG/GIF only), other kinds
+    # the NotImplementedError stub
+    with pytest.raises(
+        Exception,
+        match="NotImplementedError|imaging|unrecognized image container",
+    ):
         extract_features(media, fake=False).collect()
     frames = frame_sample(media, every_n_bytes=50, stride=3).collect()
     # doc 2 is 'video' (2 % 3), 100 bytes -> frames 0..2 step 3 -> [0]
