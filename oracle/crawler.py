@@ -86,6 +86,8 @@ def crawl(
     reputation_gate: bool = False,
     reputation_min_docs: int = 3,
     reputation_min_avg_milli: int = 10,
+    dust_gate: bool = False,
+    dust_min_support: int = 2,
 ) -> OracleResult:
     robots = robots or {}
 
@@ -149,6 +151,84 @@ def crawl(
             st
             and st[0] >= reputation_min_docs
             and st[1] < reputation_min_avg_milli * st[0]
+        )
+
+    # DUST alias evidence (engine: rules mined from the docs table at
+    # round start — crawl._mine_dust_rules / operators/urlalias.py).
+    # Fingerprints buffered per round and flushed AFTER the batch loop
+    # (same discipline as host_q), so round r's pages never shape round
+    # r's own discoveries.
+    pages_fp: Dict[str, str] = {}
+    pending_fp: list = []
+    dust_rules: set = set()
+
+    def _span_fp(spans) -> str:
+        """crawl._span_fingerprint replica: md5 over (kind, text,
+        media_ref) triples, '\x1e' within a span, '\x1f' between."""
+        import hashlib
+
+        joined = "\x1f".join(
+            "\x1e".join((s[0] or "", s[1] or "", s[2] or "")) for s in spans
+        )
+        return hashlib.md5(joined.encode("utf-8")).hexdigest()
+
+    def _url_parts(u):
+        """urlalias.split_url replica (same regexes)."""
+        import re
+
+        m = re.match(r"^([a-z][a-z0-9+.-]*)://([^/?#]+)([^?#]*)", u)
+        if not m:
+            return None
+        qs = ""
+        if "?" in u:
+            qm = re.search(r"\?([^#]*)", u)
+            qs = qm.group(1) if qm else ""
+        return m.group(1), m.group(2), m.group(3), qs
+
+    def _mine_dust() -> set:
+        """urlalias.mine_param_rules replica over pages_fp: strippable
+        (host, param) pairs — support >= dust_min_support, zero
+        counterexamples. Targets keyed by (host, path, qs) may hold
+        several fps (scheme is NOT part of the engine's join key)."""
+        target: Dict[tuple, list] = {}
+        occs = []
+        for url, fp in pages_fp.items():
+            p = _url_parts(url)
+            if p is None:
+                continue
+            _, host, path, qs = p
+            target.setdefault((host, path, qs), []).append(fp)
+            if qs:
+                ps = qs.split("&")
+                for i, kv in enumerate(ps):
+                    occs.append((
+                        host, path, kv.split("=")[0],
+                        "&".join(ps[:i] + ps[i + 1:]), fp,
+                    ))
+        stats: Dict[tuple, list] = {}
+        for host, path, key, residual, fp in occs:
+            for t in target.get((host, path, residual), ()):
+                st = stats.setdefault((host, key), [0, 0])
+                st[0 if t == fp else 1] += 1
+        return {
+            hk for hk, (ev, cex) in stats.items()
+            if ev >= dust_min_support and cex == 0
+        }
+
+    def _dust_alias(canon: str) -> str:
+        """urlalias.apply_param_rules replica: drop strippable params
+        (survivor order preserved, '?' dropped when nothing survives,
+        unparseable URLs pass through)."""
+        p = _url_parts(canon)
+        if p is None or not p[3]:
+            return canon
+        scheme, host, path, qs = p
+        kept = [
+            kv for kv in qs.split("&")
+            if (host, kv.split("=")[0]) not in dust_rules
+        ]
+        return scheme + "://" + host + path + (
+            ("?" + "&".join(kept)) if kept else ""
         )
     # RFC 9309 mode: robots rules come from the site's own
     # http://host/robots.txt bodies (parsed once per host with the SAME
@@ -259,6 +339,10 @@ def crawl(
             return "url_error"
         if not host_matches(canon, domain_filter):
             return "filter_mismatch"
+        if gate and dust_gate:
+            # engine: _apply_dust_alias runs after canonicalize+filter,
+            # before the trap/blocklist/reputation gates and URL-seen
+            canon = _dust_alias(canon)
         if gate and trap_gate and _is_trap(canon):
             return "trap"
         if (
@@ -283,6 +367,10 @@ def crawl(
 
     rounds = 0
     for round_no in range(max_rounds):
+        if dust_gate:
+            # evidence-as-of-round-start (engine: docs table read before
+            # the round's fetches commit)
+            dust_rules = _mine_dust()
         if robots_rfc:
             refresh_robots(round_no)
         sitemap_pages: List[str] = []
@@ -370,6 +458,8 @@ def crawl(
                         entry.host,
                         _q_milli(" ".join(s[1] for s in spans if s[0] == "text")),
                     ))
+                if dust_gate:
+                    pending_fp.append((entry.url, _span_fp(spans)))
                 links = [s[2] for s in spans if s[0] == "link"]
                 for link in links:
                     queue(
@@ -382,6 +472,10 @@ def crawl(
                     "title": None,
                     "spans": [("media", None, entry.url, 0)],
                 }
+                if dust_gate:
+                    pending_fp.append((
+                        entry.url, _span_fp([("media", None, entry.url, 0)]),
+                    ))
             elif outcome.kind == "redirect":
                 target = absolute_link(entry.url, outcome.location)
                 entry.state = "redirect"
@@ -405,6 +499,9 @@ def crawl(
             st[0] += 1
             st[1] += q
         pending_q = []
+        for u, fp in pending_fp:
+            pages_fp[u] = fp
+        pending_fp = []
 
     return OracleResult(
         frontier=frontier, visit_order=visit_order, docs=docs,

@@ -169,6 +169,22 @@ class CrawlConfig:
     reputation_gate: bool = False
     reputation_min_docs: int = 3
     reputation_min_avg_milli: int = 10
+    # DUST alias gate (operators/urlalias.py — Bar-Yossef et al. WWW'07):
+    # at round start, query-param strippability rules are mined from the
+    # docs PRIOR rounds fetched (content fingerprint = md5 over
+    # (kind, text, media_ref) of each doc's span sequence, '\\x1e'/'\\x1f'
+    # joined), and discovered candidates are rewritten to their alias
+    # BEFORE the trap/blocklist/reputation gates and URL-seen filtering —
+    # so a known session-id param never occupies a frontier row, bloom
+    # bits, or fetch budget. Evidence-as-of-round-start (the host_quality
+    # rule): a page fetched in round r never shapes round r's own
+    # discoveries, keeping the gate deterministic and replay-safe.
+    # Mining here is O(docs-so-far) per round — fine at fixture scale; a
+    # production crawl mines per epoch and feeds the materialized rule
+    # table. Parity with the oracle crawler's identical rule is pinned by
+    # tests/test_crawl_dust.py.
+    dust_gate: bool = False
+    dust_min_support: int = 2
 
 
 @dataclass
@@ -280,6 +296,61 @@ def _apply_reputation_gate(
         min_docs=config.reputation_min_docs,
         min_avg_milli=config.reputation_min_avg_milli,
     ).filter(F.col("passed") == 1).drop("n_docs", "sum_q_milli", "passed")
+
+
+def _span_fingerprint():
+    """Cross-engine content fingerprint of a docs row: md5 over the span
+    sequence's (kind, text, media_ref) triples — '\\x1e' within a span,
+    '\\x1f' between spans, NULLs as ''. Media docs fingerprint to their
+    (unique) media_ref, so undecoded content never supplies equal-content
+    evidence. Replicated byte-for-byte by oracle/crawler._span_fp."""
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.transform(
+                "spans",
+                lambda s: F.concat_ws(
+                    "\x1e",
+                    F.coalesce(s["kind"], F.lit("")),
+                    F.coalesce(s["text"], F.lit("")),
+                    F.coalesce(s["media_ref"], F.lit("")),
+                ),
+            ),
+        )
+    )
+
+
+def _mine_dust_rules(catalog: SnapshotCatalog, config: "CrawlConfig"):
+    """Strippability rules from the docs table at round start (None =
+    gate off). The rule relation is dimension-sized (hosts x params)."""
+    if not config.dust_gate:
+        return None
+    from .urlalias import mine_param_rules
+
+    pages = catalog.read("docs").select(
+        F.col("doc_id").alias("url"), _span_fingerprint().alias("fp")
+    )
+    return mine_param_rules(pages, min_support=config.dust_min_support)
+
+
+def _apply_dust_alias(candidates: DataFrame, dust_rules) -> DataFrame:
+    """Rewrite candidate URLs to their DUST alias (None rules = no-op).
+    Param stripping never changes the host, so only url_hash needs
+    recomputing; the within-batch dedup downstream collapses candidates
+    that alias to the same URL (first link_rank wins, as ever)."""
+    if dust_rules is None:
+        return candidates
+    from .urlalias import apply_param_rules
+
+    mapping = apply_param_rules(
+        candidates.select("url").distinct(), dust_rules
+    ).select("url", "alias_url")
+    return (
+        candidates.join(mapping, "url", "left")
+        .withColumn("url", F.coalesce("alias_url", F.col("url")))
+        .drop("alias_url")
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
 
 
 def _apply_url_blocklist(candidates: DataFrame, config: "CrawlConfig") -> DataFrame:
@@ -600,6 +671,7 @@ def run_round(
         from .reputation import host_quality_agg
 
         host_rep = host_quality_agg(catalog.read("host_quality"))
+    dust_rules = _mine_dust_rules(catalog, config)
     unvisited = frontier.filter(F.col("state") == STATE_UNVISITED)
     gated = frontier_ops.robots_block(unvisited, robots)
     rfc_active = False
@@ -652,6 +724,7 @@ def run_round(
                 sitemap_cands, url_col="abs_link",
                 domain_filter=config.domain_filter,
             ).filter(F.col("ingest_status") == "ok").drop("ingest_status")
+            cand = _apply_dust_alias(cand, dust_rules)
             cand = _apply_trap_gate(cand, config)
             cand = _apply_url_blocklist(cand, config)
             cand = _apply_reputation_gate(cand, host_rep, config)
@@ -835,6 +908,7 @@ def run_round(
         url_col="abs_link",
         domain_filter=config.domain_filter,
     ).filter(F.col("ingest_status") == "ok").drop("ingest_status")
+    candidates = _apply_dust_alias(candidates, dust_rules)
     candidates = _apply_trap_gate(candidates, config)
     candidates = _apply_url_blocklist(candidates, config)
     candidates = _apply_reputation_gate(candidates, host_rep, config)
