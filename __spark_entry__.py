@@ -2211,6 +2211,63 @@ def _classifier_oracle_sql(
     return "".join(parts)
 
 
+def _q_ring_assign(spark, sf_dir):
+    """Engine addition: consistent-hash fetcher assignment
+    (operators/ring.py) — 97 frontier hosts onto 5 workers x 16 vnodes
+    via the portable 60-bit ring; successor = min (point, worker) at or
+    after the host point, wraparound to the ring's first point."""
+    from see_spark.operators.ring import assign_hosts, ring_points
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hosts = o.select(
+        F.concat(
+            F.lit("host"), (F.col("o_custkey") % N_HOSTS).cast("string"),
+            F.lit(".test"),
+        ).alias("host")
+    ).distinct()
+    ring = ring_points(spark, [f"w{i}" for i in range(5)], vnodes=16)
+    return assign_hosts(hosts, ring)
+
+
+def _q_canonical_election(spark, sf_dir):
+    """Engine addition: quality-aware canonical election
+    (operators/dedup.py:elect_canonical) over exact-dup groups of the
+    dup-injected corpus. Exact dups have identical text, so scores tie
+    within every group and the pinned doc_id tie-break arm is what this
+    gate exercises end-to-end (the quality-beats-id arm is pinned by
+    tests/test_ring_election.py on differing-text clusters)."""
+    from see_spark.operators.dedup import elect_canonical, exact_dedup
+    from see_spark.operators.reputation import doc_quality_milli
+
+    corpus = _dup_corpus(spark, sf_dir)
+    members = exact_dedup(corpus).select(
+        F.col("text_hash").alias("cluster_id"), "doc_id"
+    )
+    scores = doc_quality_milli(
+        corpus.withColumn("host", F.lit("x"))
+    ).select("doc_id", "q_milli")
+    return elect_canonical(members, scores)
+
+
+def _q_crawl_anomaly_iqr(spark, sf_dir):
+    """Engine addition: Tukey-fence crawl anomaly flags
+    (operators/discovery.py:iqr_outlier_flags). Per-host fetch counts
+    from lineitem with five suppkey residues folded onto one hot host
+    (~5x the uniform count), so the is_high arm provably fires while
+    the rest of the fleet sits inside the fences."""
+    from see_spark.operators.discovery import iqr_outlier_flags
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    res = F.col("l_suppkey") % 50
+    folded = F.when(res % 10 == 7, F.lit(7)).otherwise(res)
+    counts = li.groupBy(
+        F.concat(F.lit("h"), folded.cast("string"), F.lit(".test")).alias(
+            "host"
+        )
+    ).agg(F.count("*").cast("long").alias("n"))
+    return iqr_outlier_flags(counts, "n", key_cols=("host",), k_milli=1500)
+
+
 def _q_shard_plan(spark, sf_dir):
     """Engine addition: LPT-striped index shard planning
     (operators/sharding.py) — docs ranked by size (char length of text)
@@ -2500,6 +2557,9 @@ QUERIES_EXTRA: dict = {
     "shard_plan": _q_shard_plan,
     "discovery_unseen_mass": _q_discovery_unseen,
     "epoch_shuffle": _q_epoch_shuffle,
+    "ring_assign": _q_ring_assign,
+    "canonical_election": _q_canonical_election,
+    "crawl_anomaly_iqr": _q_crawl_anomaly_iqr,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -5171,6 +5231,77 @@ ORACLES_EXTRA.update(
                CAST(row_number() OVER (ORDER BY key ASC, doc_id ASC) - 1
                     AS BIGINT) AS shuffle_pos
         FROM k
+    """,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "ring_assign": f"""
+        WITH hosts AS (
+          SELECT DISTINCT 'host' || CAST(o_custkey % {N_HOSTS} AS VARCHAR)
+                 || '.test' AS host
+          FROM orders),
+        ring AS (
+          SELECT 'w' || CAST(t.w AS VARCHAR) AS worker,
+                 ('0x' || substr(md5('ring:w' || CAST(t.w AS VARCHAR)
+                    || ':' || CAST(u.v AS VARCHAR)), 1, 15))::BIGINT AS point
+          FROM range(5) t(w), range(16) u(v)),
+        h AS (SELECT host,
+                     ('0x' || substr(md5('chhost:' || host), 1, 15))::BIGINT
+                       AS hpoint
+              FROM hosts),
+        succ AS (
+          SELECT host, worker FROM (
+            SELECT h.host, r.worker,
+                   row_number() OVER (
+                     PARTITION BY h.host ORDER BY r.point, r.worker) AS rn
+            FROM h JOIN ring r ON r.point >= h.hpoint)
+          WHERE rn = 1),
+        wrap AS (SELECT worker FROM ring ORDER BY point, worker LIMIT 1)
+        SELECT h.host,
+               COALESCE(s.worker, (SELECT worker FROM wrap)) AS worker
+        FROM h LEFT JOIN succ s USING (host)
+    """,
+        "canonical_election": f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        m AS (SELECT md5(text) AS cluster_id, doc_id FROM corpus),
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        q AS (SELECT doc_id,
+                (1000 * least(len(toks), 200)
+                 * (len(toks) - (len(toks) - len(list_distinct(toks))))
+                 * (len(toks) + len(list_filter(toks,
+                     x -> list_contains(
+                       ['the','a','of','and','to','in','is'], x))))
+                ) // (400 * len(toks) * len(toks)) AS q_milli
+              FROM t),
+        j AS (SELECT m.cluster_id, m.doc_id, q.q_milli AS score
+              FROM m JOIN q USING (doc_id)),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC)
+                AS rn
+              FROM j)
+        SELECT cluster_id, doc_id, CAST(score AS BIGINT) AS score,
+               CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+        FROM r
+    """,
+        "crawl_anomaly_iqr": """
+        WITH c AS (
+          SELECT 'h' || CAST(CASE WHEN (l_suppkey % 50) % 10 = 7 THEN 7
+                             ELSE l_suppkey % 50 END AS VARCHAR)
+                 || '.test' AS host,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1),
+        q AS (SELECT quantile_cont(CAST(n AS DOUBLE), 0.25) AS q1,
+                     quantile_cont(CAST(n AS DOUBLE), 0.75) AS q3
+              FROM c)
+        SELECT host, CAST(n AS DOUBLE) AS value, q.q1, q.q3,
+               CAST(CASE WHEN n < q.q1 - 1500 * (q.q3 - q.q1) / 1000.0
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_low,
+               CAST(CASE WHEN n > q.q3 + 1500 * (q.q3 - q.q1) / 1000.0
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_high
+        FROM c, q
     """,
     }
 )

@@ -656,3 +656,39 @@ def semdedup(
             F.when(F.col("__dup").isNull(), 1).otherwise(0).cast("long").alias("keep"),
         )
     )
+
+
+def elect_canonical(
+    members: DataFrame,
+    scores: DataFrame,
+    score_col: str = "q_milli",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Quality-aware canonical election for duplicate clusters: instead
+    of min-id (the exact_dedup / dedup_clusters default), keep the
+    HIGHEST-scoring member of each cluster (score desc, doc_id asc ties)
+    — the curation pipelines' "best of cluster wins" rule, so dedup
+    never throws away the cleanest copy of a page.
+
+    ``members``: (doc_id, cluster_id) from any cluster producer;
+    ``scores``: (doc_id, score_col) from any scorer (e.g.
+    reputation.doc_quality_milli). Returns (cluster_id, doc_id, score,
+    is_kept). One doc_id-keyed join plus one window over cluster rows —
+    cluster cardinality is the dup-group size, never the corpus."""
+    joined = members.select(
+        F.col(cluster_col).alias("cluster_id"), F.col(id_col).alias("doc_id")
+    ).join(
+        scores.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(score_col).cast("long").alias("score"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return joined.withColumn(
+        "is_kept",
+        (F.row_number().over(w) == 1).cast("long"),
+    ).select("cluster_id", "doc_id", "score", "is_kept")

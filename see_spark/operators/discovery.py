@@ -89,3 +89,36 @@ def unseen_mass(
         .otherwise(F.lit(0))
         .cast("long"),
     )
+
+
+def iqr_outlier_flags(
+    df: DataFrame,
+    value_col: str,
+    key_cols=("host",),
+    k_milli: int = 1500,
+) -> DataFrame:
+    """Tukey-fence anomaly flags over a metric column — the crawl-
+    monitoring rule for "this host's discovery/error/latency count is
+    wildly off": value is an outlier when it leaves
+    [q1 - k*iqr, q3 + k*iqr] (k = k_milli/1000; 1500 = the classic 1.5).
+
+    Exact interpolated quartiles (binary-exact fractions on integer
+    metrics — the events_median convention) and an identical fence
+    formula in any engine. Output: key cols + (value, q1, q3, is_low,
+    is_high). One scalar aggregate broadcast back over the rows — no
+    shuffle of row data."""
+    v = F.col(value_col).cast("double")
+    q = df.agg(
+        F.percentile(v, F.lit(0.25)).alias("q1"),
+        F.percentile(v, F.lit(0.75)).alias("q3"),
+    )
+    out = df.crossJoin(F.broadcast(q))
+    fence = F.lit(int(k_milli)) * (F.col("q3") - F.col("q1")) / F.lit(1000.0)
+    return out.select(
+        *[F.col(c) for c in key_cols],
+        v.alias("value"),
+        "q1",
+        "q3",
+        (v < F.col("q1") - fence).cast("long").alias("is_low"),
+        (v > F.col("q3") + fence).cast("long").alias("is_high"),
+    )
