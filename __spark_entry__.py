@@ -2211,6 +2211,55 @@ def _classifier_oracle_sql(
     return "".join(parts)
 
 
+def _q_curriculum(spark, sf_dir):
+    """Engine addition: quality-curriculum training order
+    (operators/packing.py:curriculum_order) — 4 exact-quantile threshold
+    buckets over the pinned q_milli composite, salted-hash shuffle
+    within buckets, round-robin interleave; positions via the
+    distributed dense-sequence (no global window)."""
+    from see_spark.operators.packing import curriculum_order
+    from see_spark.operators.reputation import doc_quality_milli
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    scores = doc_quality_milli(d.withColumn("host", F.lit("x"))).select(
+        "doc_id", "q_milli"
+    )
+    return curriculum_order(scores, n_buckets=4, seed="r3")
+
+
+def _q_vocab_growth(spark, sf_dir):
+    """Engine addition: vocabulary growth per crawl round (the Heaps-law
+    observability curve) through discovery_curve: new words per round +
+    running distinct vocabulary. The documents table's synthetic corpus
+    has a closed 30-word vocabulary (measured — no growth to observe),
+    so the word stream is synthesized from orders with a GROWING modulus
+    (word = orderkey mod (orderkey div 100 + 10), round = orderkey div
+    1000): early rounds see a small vocabulary, later rounds keep
+    introducing new ids — the Heaps shape, integer-exact in any
+    engine."""
+    from see_spark.operators.discovery import discovery_curve
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = o.select(
+        F.concat(
+            F.lit("w"),
+            F.expr(
+                "cast(o_orderkey % ((o_orderkey div 100) + 10) as string)"
+            ),
+        ).alias("word"),
+        F.expr("o_orderkey div 1000").cast("long").alias("r"),
+    )
+    first = p.groupBy("word").agg(F.min("r").alias("first_round"))
+    fs = first.select(
+        F.lit("corpus").alias("host"),
+        F.col("word").alias("url"),
+        "first_round",
+    )
+    return discovery_curve(fs)
+
+
 def _q_ring_assign(spark, sf_dir):
     """Engine addition: consistent-hash fetcher assignment
     (operators/ring.py) — 97 frontier hosts onto 5 workers x 16 vnodes
@@ -2560,6 +2609,8 @@ QUERIES_EXTRA: dict = {
     "ring_assign": _q_ring_assign,
     "canonical_election": _q_canonical_election,
     "crawl_anomaly_iqr": _q_crawl_anomaly_iqr,
+    "curriculum_order": _q_curriculum,
+    "vocab_growth": _q_vocab_growth,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -5302,6 +5353,64 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n > q.q3 + 1500 * (q.q3 - q.q1) / 1000.0
                     THEN 1 ELSE 0 END AS BIGINT) AS is_high
         FROM c, q
+    """,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "curriculum_order": """
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          string_split(text, ' ') AS toks
+                   FROM documents),
+        q AS (SELECT doc_id,
+                (1000 * least(len(toks), 200)
+                 * (len(toks) - (len(toks) - len(list_distinct(toks))))
+                 * (len(toks) + len(list_filter(toks,
+                     x -> list_contains(
+                       ['the','a','of','and','to','in','is'], x))))
+                ) // (400 * len(toks) * len(toks)) AS score
+              FROM t),
+        th AS (SELECT quantile_cont(CAST(score AS DOUBLE), 0.25) AS t1,
+                      quantile_cont(CAST(score AS DOUBLE), 0.50) AS t2,
+                      quantile_cont(CAST(score AS DOUBLE), 0.75) AS t3
+               FROM q),
+        b AS (SELECT doc_id,
+                CAST((CASE WHEN score <= th.t3 THEN 1 ELSE 0 END)
+                   + (CASE WHEN score <= th.t2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN score <= th.t1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bucket
+              FROM q, th),
+        k AS (SELECT doc_id, bucket,
+                     ('0x' || substr(md5('cur:r3:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM b),
+        r AS (SELECT doc_id, bucket,
+                     row_number() OVER (
+                       PARTITION BY bucket ORDER BY h, doc_id) - 1 AS rk
+              FROM k)
+        SELECT doc_id, bucket,
+               CAST(row_number() OVER (ORDER BY rk, bucket, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM r
+    """,
+        "vocab_growth": """
+        WITH p AS (
+          SELECT 'w' || CAST(o_orderkey % ((o_orderkey // 100) + 10)
+                            AS VARCHAR) AS word,
+                 o_orderkey // 1000 AS r
+          FROM orders),
+        first AS (SELECT word, MIN(r) AS first_round
+                  FROM p GROUP BY word),
+        per AS (SELECT CAST(first_round AS BIGINT) AS round,
+                       CAST(COUNT(*) AS BIGINT) AS n_new
+                FROM first GROUP BY first_round)
+        SELECT 'corpus' AS host, round, n_new,
+               CAST(SUM(n_new) OVER (
+                 ORDER BY round ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_urls
+        FROM per
     """,
     }
 )

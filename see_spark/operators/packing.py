@@ -230,3 +230,90 @@ def epoch_shuffle(
     return with_dense_sequence(
         keyed, order_cols=["__key", "doc_id"], out_col="shuffle_pos", start=0
     ).select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
+
+
+def curriculum_order(
+    scored: DataFrame,
+    n_buckets: int = 10,
+    seed: str = "cur",
+    score_col: str = "q_milli",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-curriculum training order: bucket documents by score
+    thresholds (exact interpolated quantile boundaries — NOT ntile,
+    whose global row numbering cannot scale; ties share a bucket by
+    construction), shuffle within each bucket by the salted portable
+    hash, and INTERLEAVE buckets round-robin — every stretch of the
+    training stream sees the full quality spectrum while bucket 0's
+    (highest-score) docs lead each cycle.
+
+    (doc_id, bucket, pos): bucket 0 = highest scores; pos is the dense
+    global training position.
+
+    Scale shape: two distributed dense-sequence passes (range-partition
+    sort, O(partitions) driver offsets) plus two tiny aggregates
+    (quantile thresholds; per-bucket offsets) — no global window, no
+    per-bucket single-partition ranking. Deterministic in any engine:
+    thresholds are binary-exact on milli-integer scores and every order
+    key ends in doc_id."""
+    from ..functions.seq import with_dense_sequence
+    from .dedup import hash60
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    base = scored.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(score_col).cast("long").alias("score"),
+    )
+    if n_buckets == 1:
+        bucketed = base.withColumn("bucket", F.lit(0).cast("long"))
+        return _interleave_buckets(bucketed, seed)
+    qs = base.agg(
+        *[
+            F.percentile(F.col("score").cast("double"), F.lit(i / n_buckets))
+            .alias(f"t{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    # bucket = number of thresholds the score clears, counted from the
+    # top: bucket 0 holds scores above the (n-1)/n quantile
+    bucketed = base.crossJoin(F.broadcast(qs)).withColumn(
+        "bucket",
+        sum(
+            [
+                F.when(
+                    F.col("score") <= F.col(f"t{n_buckets - j}"), 1
+                ).otherwise(0)
+                for j in range(1, n_buckets)
+            ],
+            F.lit(0),
+        ).cast("long"),
+    ).select("doc_id", "score", "bucket")
+    return _interleave_buckets(bucketed, seed)
+
+
+def _interleave_buckets(bucketed: DataFrame, seed: str) -> DataFrame:
+    """Round-robin interleave of (doc_id, bucket) rows — see
+    curriculum_order. Two dense-sequence passes + one tiny offset agg."""
+    from ..functions.seq import with_dense_sequence
+    from .dedup import hash60
+
+    keyed = bucketed.withColumn(
+        "__h",
+        hash60(
+            F.concat(F.lit(f"cur:{seed}:"), F.col("doc_id").cast("string"))
+        ),
+    )
+    ranked = with_dense_sequence(
+        keyed, order_cols=["bucket", "__h", "doc_id"], out_col="__g", start=0
+    )
+    offs = ranked.groupBy("bucket").agg(F.min("__g").alias("__off"))
+    within = ranked.join(F.broadcast(offs), "bucket").withColumn(
+        "__r", F.col("__g") - F.col("__off")
+    )
+    out = with_dense_sequence(
+        within, order_cols=["__r", "bucket", "doc_id"], out_col="pos", start=0
+    )
+    return out.select(
+        "doc_id", "bucket", F.col("pos").cast("long").alias("pos")
+    )
