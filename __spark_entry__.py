@@ -2211,6 +2211,24 @@ def _classifier_oracle_sql(
     return "".join(parts)
 
 
+def _q_budget_allocation(spark, sf_dir):
+    """Engine addition: Hamilton largest-remainder fetch-budget
+    apportionment (operators/frontier.py:allocate_budget) — 10,000
+    global fetch slots across the 97 frontier hosts weighted by order
+    volume; sum(budget) == 10,000 exactly, every host within one slot
+    of its exact share."""
+    from see_spark.operators.frontier import allocate_budget
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = o.groupBy(
+        F.concat(
+            F.lit("host"), (F.col("o_custkey") % N_HOSTS).cast("string"),
+            F.lit(".test"),
+        ).alias("host")
+    ).agg(F.count("*").cast("long").alias("weight"))
+    return allocate_budget(w, 10_000)
+
+
 def _q_curriculum(spark, sf_dir):
     """Engine addition: quality-curriculum training order
     (operators/packing.py:curriculum_order) — 4 exact-quantile threshold
@@ -2611,6 +2629,7 @@ QUERIES_EXTRA: dict = {
     "crawl_anomaly_iqr": _q_crawl_anomaly_iqr,
     "curriculum_order": _q_curriculum,
     "vocab_growth": _q_vocab_growth,
+    "budget_allocation": _q_budget_allocation,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -5411,6 +5430,32 @@ ORACLES_EXTRA.update(
                  ORDER BY round ROWS UNBOUNDED PRECEDING) AS BIGINT)
                  AS cum_urls
         FROM per
+    """,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "budget_allocation": f"""
+        WITH w AS (
+          SELECT 'host' || CAST(o_custkey % {N_HOSTS} AS VARCHAR)
+                 || '.test' AS host,
+                 CAST(COUNT(*) AS BIGINT) AS weight
+          FROM orders GROUP BY 1),
+        t AS (SELECT SUM(weight) AS tw FROM w),
+        s AS (SELECT host, weight,
+                     (10000 * weight) // t.tw AS base,
+                     (10000 * weight) % t.tw AS rem
+              FROM w, t),
+        l AS (SELECT 10000 - SUM(base) AS lo FROM s),
+        r AS (SELECT *, row_number() OVER (
+                ORDER BY rem DESC, host ASC) - 1 AS rk
+              FROM s)
+        SELECT host, weight,
+               CAST(base + CASE WHEN rk < (SELECT lo FROM l)
+                    THEN 1 ELSE 0 END AS BIGINT) AS budget
+        FROM r
     """,
     }
 )

@@ -475,3 +475,60 @@ def adaptive_host_delay(
             f" (delay_ms + {int(round_ms)} - 1) div {int(round_ms)})"
         ),
     )
+
+
+def allocate_budget(
+    weights: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Integer apportionment of a global fetch budget across hosts by
+    weight — Hamilton's largest-remainder method, the exact integer rule
+    (no float shares, no drift): host i gets
+    base_i = (total * w_i) div W, and the L = total - sum(base) leftover
+    slots go to the L largest remainders ((total * w_i) mod W, ties
+    host-ascending). sum(budget) == total_budget exactly, always.
+
+    Weights are whatever the crawl values — host reputation, Good-Turing
+    unseen mass, indegree — already integer in this engine. Returns
+    (host, weight, budget).
+
+    Scale shape: two scalar aggregates broadcast back (W and the
+    leftover count) plus ONE distributed dense-sequence over the host
+    dimension for the remainder ranking — no global window, no driver
+    row data; hosts are the 10^7-10^8-row dimension, not the frontier.
+    """
+    from ..functions.seq import with_dense_sequence
+
+    base_df = weights.select(
+        F.col(host_col).alias("host"),
+        F.col(weight_col).cast("long").alias("weight"),
+    )
+    tot = base_df.agg(F.sum("weight").cast("long").alias("__w"))
+    t = F.lit(int(total_budget))
+    shared = base_df.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "weight",
+        F.expr(f"({int(total_budget)} * weight) div __w").alias("__base"),
+        F.expr(f"({int(total_budget)} * weight) % __w").alias("__rem"),
+    )
+    leftover = shared.agg(
+        (t - F.sum("__base")).cast("long").alias("__l")
+    )
+    ranked = with_dense_sequence(
+        shared.withColumn("__negrem", -F.col("__rem")),
+        order_cols=["__negrem", "host"],
+        out_col="__rank",
+        start=0,
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "host",
+        "weight",
+        (
+            F.col("__base")
+            + F.when(F.col("__rank") < F.col("__l"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("budget"),
+    )

@@ -273,6 +273,69 @@ class SnapshotCatalog:
         meta["current"] = snapshot
         self._store_meta(table, meta)
 
+    def diff(
+        self,
+        table: str,
+        a: Optional[int],
+        b: Optional[int],
+        key_cols,
+    ):
+        """Time-travel diff between two snapshots of ``table``: one row
+        per key whose presence or content changed, with ``change`` in
+        {'added', 'removed', 'changed'} (b relative to a; None selects
+        the current snapshot, read()'s convention). The crawl-ops
+        question "what did round N do to this table" answered from
+        snapshots alone — no lineage columns required.
+
+        Non-key columns are compared via an md5 over their string casts
+        (NULL as the sentinel '\x00'), so the diff is one full outer
+        join on the key — no row-by-row driver work, scales with the
+        table. Rows are distinct-ed per side first: multi-row keys
+        compare as multisets of row hashes (order-free)."""
+        from pyspark.sql import functions as F
+
+        keys = list(key_cols)
+
+        def _hashed(snap):
+            df = self.read(table, snap)
+            other = [c for c in df.columns if c not in keys]
+            row_h = F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in other
+                    ],
+                )
+            )
+            per_key = (
+                df.select(*keys, row_h.alias("__h"))
+                .groupBy(*keys)
+                .agg(
+                    F.md5(
+                        F.array_join(F.array_sort(F.collect_list("__h")), ",")
+                    ).alias("__sig")
+                )
+            )
+            return per_key
+
+        da = _hashed(a).withColumnRenamed("__sig", "__sig_a")
+        db = _hashed(b).withColumnRenamed("__sig", "__sig_b")
+        j = da.join(db, keys, "full_outer")
+        change = (
+            F.when(F.col("__sig_a").isNull(), F.lit("added"))
+            .when(F.col("__sig_b").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+        )
+        return (
+            j.filter(
+                F.col("__sig_a").isNull()
+                | F.col("__sig_b").isNull()
+                | (F.col("__sig_a") != F.col("__sig_b"))
+            )
+            .select(*keys, change.alias("change"))
+        )
+
     def vacuum(self, table: str, keep_snapshots: int = 2) -> list:
         """Expire old snapshots (Iceberg ``expire_snapshots`` analogue):
         keep the newest ``keep_snapshots`` manifest entries ending at

@@ -268,3 +268,44 @@ def test_resume_rolls_back_torn_host_quality(spark, catalog):
         for r in catalog.read("host_quality").collect()
     }
     assert rows == {("h.test", 2, 40)}
+
+
+def test_snapshot_diff(spark, catalog):
+    s1 = catalog.commit(
+        "frontier",
+        _frontier_rows(spark, [("a", "unvisited"), ("b", "unvisited"),
+                               ("c", "visited")]),
+    )
+    s2 = catalog.commit(
+        "frontier",
+        _frontier_rows(spark, [("a", "unvisited"), ("b", "visited"),
+                               ("d", "unvisited")]),
+    )
+    got = {r["url"]: r["change"]
+           for r in catalog.diff("frontier", s1, s2, ["url"]).collect()}
+    # a's row is positionally identical in both snapshots (same seq,
+    # same state) -> silent
+    assert "a" not in got
+    assert got["d"] == "added"
+    assert got["c"] == "removed"
+    assert got["b"] == "changed"
+
+
+def test_snapshot_diff_identical_rows_silent(spark, catalog):
+    rows = _frontier_rows(spark, [("a", "unvisited"), ("b", "visited")])
+    s1 = catalog.commit("frontier", rows)
+    s2 = catalog.commit("frontier", rows)
+    assert catalog.diff("frontier", s1, s2, ["url"]).count() == 0
+    # None = current snapshot (read()'s convention)
+    assert catalog.diff("frontier", s1, None, ["url"]).count() == 0
+
+
+def test_snapshot_diff_multiset_keys(spark, catalog):
+    # duplicate key rows compare as multisets of row hashes
+    one = _frontier_rows(spark, [("a", "unvisited")])
+    two = _frontier_rows(spark, [("a", "unvisited"), ("a", "unvisited")])
+    s1 = catalog.commit("frontier", one)
+    s2 = catalog.commit("frontier", two)
+    got = [r["change"]
+           for r in catalog.diff("frontier", s1, s2, ["url"]).collect()]
+    assert got == ["changed"]

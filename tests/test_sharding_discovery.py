@@ -131,3 +131,52 @@ def test_plan_shards_rejects_bad_n(spark):
     docs = spark.createDataFrame([(1, 1)], ["doc_id", "size"])
     with pytest.raises(ValueError):
         plan_shards(docs, 0)
+
+
+def test_allocate_budget_hamilton(spark):
+    from see_spark.operators.frontier import allocate_budget
+
+    w = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1), ("d", 1)], ["host", "weight"]
+    )
+    got = {r["host"]: r["budget"]
+           for r in allocate_budget(w, 10).collect()}
+    # exact shares 5,3,1,1 of 10 -> no remainders
+    assert got == {"a": 5, "b": 3, "c": 1, "d": 1}
+    got = {r["host"]: r["budget"]
+           for r in allocate_budget(w, 7).collect()}
+    # shares 3.5, 2.1, 0.7, 0.7: bases 3,2,0,0 leftover 2 ->
+    # remainders 5,1,7,7 (x10): c and d tie at .7 -> both get +1 (L=2)
+    assert got == {"a": 3, "b": 2, "c": 1, "d": 1}
+    assert sum(got.values()) == 7
+
+
+def test_allocate_budget_sum_invariant_and_ties(spark):
+    from see_spark.operators.frontier import allocate_budget
+
+    w = spark.createDataFrame(
+        [(f"h{i:02d}", (i * 13) % 7 + 1) for i in range(40)],
+        ["host", "weight"],
+    )
+    for total in (1, 17, 400, 12345):
+        rows = allocate_budget(w, total).collect()
+        assert sum(r["budget"] for r in rows) == total, total
+        # proportionality: budget within 1 of the exact share
+        W = sum((i * 13) % 7 + 1 for i in range(40))
+        for r in rows:
+            exact = total * r["weight"] / W
+            assert abs(r["budget"] - exact) < 1 + 1e-9, (total, r)
+
+
+def test_allocate_budget_partitioning_invariant(spark):
+    from see_spark.operators.frontier import allocate_budget
+
+    w = spark.createDataFrame(
+        [(f"h{i}", i % 5 + 1) for i in range(30)], ["host", "weight"]
+    )
+    a = sorted((r["host"], r["budget"]) for r in allocate_budget(w, 100).collect())
+    b = sorted(
+        (r["host"], r["budget"])
+        for r in allocate_budget(w.repartition(7), 100).collect()
+    )
+    assert a == b
