@@ -2211,6 +2211,39 @@ def _classifier_oracle_sql(
     return "".join(parts)
 
 
+def _q_budgeted_checkout(spark, sf_dir):
+    """Per-host budgets feeding the real checkout(): Hamilton
+    apportionment of 60 slots over 97 hosts (shares < 1, so ~37 hosts
+    get budget 0 and are SKIPPED this round — the exhaustion/reputation
+    consumer arm), hosts with hn%5==3 withheld from the dimension (they
+    fall back to the scalar default 2). Salted two-phase top-k must
+    equal the oracle's plain per-host row_number cut at per-host
+    budgets."""
+    from see_spark.operators.frontier import allocate_budget, checkout
+
+    f = _orders_frontier(spark, sf_dir).withColumn(
+        "url_hash", F.xxhash64("url")
+    )
+    w = f.groupBy("host").agg(F.count("*").cast("long").alias("weight"))
+    hn = F.regexp_extract("host", r"host(\d+)\.test", 1).cast("long")
+    budgets = allocate_budget(w, 60).select("host", "budget").where(
+        (hn % 5) != 3
+    )
+    hoststats = f.select("host").distinct().select(
+        "host",
+        F.lit(0).cast("int").alias("last_fetch_round"),
+        F.lit(0).cast("long").alias("fetched_total"),
+    )
+    batch = checkout(
+        f, hoststats, round_no=5, host_budget=2, min_gap_rounds=1,
+        host_budgets=budgets,
+    )
+    return batch.select(
+        "url", "host", "depth", "seq",
+        F.col("fetch_order").cast("long").alias("fetch_order"),
+    )
+
+
 def _q_budget_allocation(spark, sf_dir):
     """Engine addition: Hamilton largest-remainder fetch-budget
     apportionment (operators/frontier.py:allocate_budget) — 10,000
@@ -2630,6 +2663,7 @@ QUERIES_EXTRA: dict = {
     "curriculum_order": _q_curriculum,
     "vocab_growth": _q_vocab_growth,
     "budget_allocation": _q_budget_allocation,
+    "budgeted_checkout": _q_budgeted_checkout,
 }
 
 # shared CTE fragments for batch-2 oracles ----------------------------------
@@ -5457,6 +5491,43 @@ ORACLES_EXTRA.update(
                     THEN 1 ELSE 0 END AS BIGINT) AS budget
         FROM r
     """,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "budgeted_checkout": """
+        WITH f AS ({_F}),
+        w AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS weight
+              FROM f GROUP BY host),
+        t AS (SELECT SUM(weight) AS tw FROM w),
+        s AS (SELECT host, weight,
+                     (60 * weight) // t.tw AS base,
+                     (60 * weight) % t.tw AS rem
+              FROM w, t),
+        l AS (SELECT 60 - SUM(base) AS lo FROM s),
+        r AS (SELECT *, row_number() OVER (
+                ORDER BY rem DESC, host ASC) - 1 AS rk
+              FROM s),
+        b AS (SELECT host,
+                     base + CASE WHEN rk < (SELECT lo FROM l)
+                            THEN 1 ELSE 0 END AS budget
+              FROM r
+              WHERE CAST(regexp_extract(host, 'host(\\d+)\\.test', 1)
+                         AS BIGINT) % 5 <> 3),
+        u AS (SELECT f.url, f.host, f.depth, f.seq,
+                     COALESCE(b.budget, 2) AS eb
+              FROM f LEFT JOIN b USING (host)
+              WHERE f.state = 'unvisited'),
+        ranked AS (SELECT *, row_number() OVER (
+                     PARTITION BY host ORDER BY depth, seq) AS rk
+                   FROM u)
+        SELECT url, host, depth, seq,
+               CAST(row_number() OVER (ORDER BY depth, seq) - 1 AS BIGINT)
+                 AS fetch_order
+        FROM ranked WHERE rk <= eb
+    """.replace("{_F}", _FRONTIER_SQL),
     }
 )
 

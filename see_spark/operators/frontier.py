@@ -216,6 +216,7 @@ def checkout(
     host_budget: int,
     min_gap_rounds: int = 1,
     host_gap: Optional[DataFrame] = None,
+    host_budgets: Optional[DataFrame] = None,
 ) -> DataFrame:
     """O1+O24: the round's fetch batch.
 
@@ -234,6 +235,14 @@ def checkout(
     rows per host exactly. Any row in a host's true top-``budget`` by
     (depth, seq) is necessarily in its salt group's top-``budget``, so the
     result is identical to the single-window plan.
+
+    ``host_budgets``: optional (host, budget) dimension overriding the
+    scalar ``host_budget`` per host (absent hosts keep the scalar;
+    budget 0 skips the host this round) — the consumer of
+    ``allocate_budget``'s apportionment and the reputation/exhaustion
+    signals. A broadcast dim like hoststats/host_gap; the salted
+    two-phase cut stays exact because a host's true top-b rows are in
+    every salt group's top-b for any per-host b.
     """
     eligible = frontier.filter(F.col("state") == STATE_UNVISITED)
     if host_gap is not None:
@@ -261,6 +270,18 @@ def checkout(
             F.col("last_fetch_round").isNull()
             | (F.col("last_fetch_round") <= F.lit(round_no - min_gap_rounds))
         ).drop("last_fetch_round")
+    if host_budgets is not None:
+        bud = F.broadcast(
+            host_budgets.select("host", F.col("budget").alias("__hb"))
+        )
+        eligible = eligible.join(bud, "host", "left").withColumn(
+            "__budget",
+            F.coalesce(F.col("__hb"), F.lit(int(host_budget))).cast("int"),
+        ).drop("__hb")
+    else:
+        eligible = eligible.withColumn(
+            "__budget", F.lit(int(host_budget)).cast("int")
+        )
     salt_buckets = 16
     w1 = Window.partitionBy("host", "__salt").orderBy("depth", "seq")
     pre = (
@@ -268,14 +289,14 @@ def checkout(
             "__salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int")
         )
         .withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= host_budget)
+        .filter(F.col("__r1") <= F.col("__budget"))
         .drop("__salt", "__r1")
     )
     w = Window.partitionBy("host").orderBy("depth", "seq")
     batch = (
         pre.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= host_budget)
-        .drop("__rank")
+        .filter(F.col("__rank") <= F.col("__budget"))
+        .drop("__rank", "__budget")
     )
     return with_dense_sequence(
         batch.drop("fetch_order"), order_cols=["depth", "seq"],

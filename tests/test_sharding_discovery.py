@@ -180,3 +180,57 @@ def test_allocate_budget_partitioning_invariant(spark):
         for r in allocate_budget(w.repartition(7), 100).collect()
     )
     assert a == b
+
+
+def test_checkout_per_host_budgets(spark):
+    from see_spark.operators.frontier import checkout
+
+    rows = []
+    for h, n in (("a", 5), ("b", 5), ("c", 5)):
+        for i in range(n):
+            rows.append((f"http://{h}/{i}", hash(f"{h}{i}"), h, 0, len(rows),
+                         "unvisited"))
+    f = spark.createDataFrame(
+        rows, "url string, url_hash long, host string, depth int, "
+              "seq long, state string",
+    )
+    stats = spark.createDataFrame(
+        [("a", 0, 0), ("b", 0, 0), ("c", 0, 0)],
+        "host string, last_fetch_round int, fetched_total long",
+    )
+    budgets = spark.createDataFrame(
+        [("a", 3), ("c", 0)], "host string, budget long"
+    )  # b absent -> scalar default 1; c budget 0 -> skipped
+    batch = checkout(f, stats, round_no=5, host_budget=1,
+                     min_gap_rounds=1, host_budgets=budgets)
+    got: dict = {}
+    for r in batch.collect():
+        got.setdefault(r["host"], []).append(r["seq"])
+    assert sorted(got["a"]) == [0, 1, 2]   # budget 3, lowest seqs
+    assert sorted(got["b"]) == [5]         # default 1
+    assert "c" not in got                  # budget 0 -> skipped
+    # fetch_order dense over (depth, seq)
+    order = [r["seq"] for r in sorted(batch.collect(),
+                                      key=lambda r: r["fetch_order"])]
+    assert order == [0, 1, 2, 5]
+
+
+def test_checkout_budgets_none_matches_scalar(spark):
+    from see_spark.operators.frontier import checkout
+
+    rows = [(f"http://h/{i}", i * 7, "h", 0, i, "unvisited")
+            for i in range(6)]
+    f = spark.createDataFrame(
+        rows, "url string, url_hash long, host string, depth int, "
+              "seq long, state string",
+    )
+    stats = spark.createDataFrame(
+        [("h", 0, 0)], "host string, last_fetch_round int, fetched_total long",
+    )
+    a = sorted(r["url"] for r in checkout(f, stats, 5, 2).collect())
+    empty = spark.createDataFrame([], "host string, budget long")
+    b = sorted(
+        r["url"]
+        for r in checkout(f, stats, 5, 2, host_budgets=empty).collect()
+    )
+    assert a == b
