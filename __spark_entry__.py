@@ -5532,6 +5532,172 @@ ORACLES_EXTRA.update(
 )
 
 
+# --------------------------------------------------------------------------
+# SURT/CDX web-archive index (operators/cdx.py) — engine addition.
+# --------------------------------------------------------------------------
+
+
+def _cdx_captures(spark, sf_dir):
+    """Deterministic capture log from lineitem: each lineitem is one
+    capture of its order's URL at ts = linenumber (1..7), so most URLs
+    have several captures; digest = md5(url#ts) in both engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    k = F.col("l_orderkey").cast("long")
+    url = F.concat(
+        F.lit("http://host"), (k % N_HOSTS).cast("string"),
+        F.lit(".test/order/"), k.cast("string"),
+    )
+    ts = F.col("l_linenumber").cast("long")
+    return li.select(
+        url.alias("url"),
+        ts.alias("ts"),
+        F.lit(200).cast("int").alias("status"),
+        F.md5(F.concat(url, F.lit("#"), ts.cast("string"))).alias("digest"),
+    )
+
+
+def _q_surt_keys(spark, sf_dir):
+    """SURT canonical key (operators/cdx.py:surt_expr) over an
+    alias-heavy URL mix: mixed case, a WWW. prefix (k%2), default port
+    :80 (k%5) and non-default :8080 (k%7, kept), a fragment (k%11,
+    dropped), and out-of-order query params (k%3, sorted). Pure
+    Catalyst in Spark; the oracle re-derives the same string pipeline
+    step-for-step in DuckDB."""
+    from see_spark.operators.cdx import surt_expr
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("long")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(k % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Host"), (k % N_HOSTS).cast("string"), F.lit(".Test"),
+        F.when(k % 5 == 0, F.lit(":80"))
+        .when(k % 7 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Order/"), k.cast("string"),
+        F.when(k % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+    return o.select(url.alias("url"), surt_expr(url))
+
+
+def _q_cdx_latest(spark, sf_dir):
+    """Wayback 'current version' lookup: build the range-sorted CDX
+    index from the capture log, then one window keyed on surt picks the
+    newest capture (ts desc, digest/url pinned ties)
+    (operators/cdx.py:cdx_latest)."""
+    from see_spark.operators.cdx import build_cdx, cdx_latest
+
+    cdx = build_cdx(_cdx_captures(spark, sf_dir))
+    return cdx_latest(cdx).select("surt", "ts", "url", "status", "digest")
+
+
+def _q_cdx_prefix_lookup(spark, sf_dir):
+    """Prefix scan over the CDX index — every capture of host7's subtree
+    in capture order (operators/cdx.py:cdx_prefix). StartsWith pushes to
+    the scan; on the materialized range-sorted index the file min/max
+    surt stats prune to the prefix interval."""
+    from see_spark.operators.cdx import build_cdx, cdx_prefix
+
+    cdx = build_cdx(_cdx_captures(spark, sf_dir))
+    return cdx_prefix(cdx, "test,host7)").select(
+        "surt", "ts", "url", "status", "digest"
+    )
+
+
+QUERIES_EXTRA.update(
+    {
+        "surt_keys": _q_surt_keys,
+        "cdx_latest": _q_cdx_latest,
+        "cdx_prefix_lookup": _q_cdx_prefix_lookup,
+    }
+)
+
+_CDX_CAPTURES_SQL = f"""
+    cap AS (
+      SELECT 'http://host' || CAST(l_orderkey % {N_HOSTS} AS VARCHAR)
+             || '.test/order/' || CAST(l_orderkey AS VARCHAR) AS url,
+             CAST(l_linenumber AS BIGINT) AS ts,
+             CAST(200 AS INTEGER) AS status
+      FROM lineitem),
+    capd AS (
+      SELECT url, ts, status,
+             md5(url || '#' || CAST(ts AS VARCHAR)) AS digest,
+             'test,host' || CAST(CAST(regexp_extract(url,
+                 'host(\\d+)\\.test', 1) AS BIGINT) AS VARCHAR)
+             || ')/order/' || regexp_extract(url, '/order/(\\d+)$', 1)
+               AS surt
+      FROM cap)
+"""
+
+ORACLES_EXTRA.update(
+    {
+        "surt_keys": f"""
+        WITH urls AS (
+          SELECT 'http://'
+                 || CASE WHEN o_orderkey % 2 = 0 THEN 'WWW.' ELSE '' END
+                 || 'Host' || CAST(o_orderkey % {N_HOSTS} AS VARCHAR)
+                 || '.Test'
+                 || CASE WHEN o_orderkey % 5 = 0 THEN ':80'
+                         WHEN o_orderkey % 7 = 0 THEN ':8080'
+                         ELSE '' END
+                 || '/Order/' || CAST(o_orderkey AS VARCHAR)
+                 || CASE WHEN o_orderkey % 3 = 0 THEN '?b=2&a=1'
+                         ELSE '' END
+                 || CASE WHEN o_orderkey % 11 = 0 THEN '#Frag'
+                         ELSE '' END AS url
+          FROM orders),
+        s1 AS (SELECT url,
+                      regexp_replace(regexp_replace(url,
+                        '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+                        '#.*$', '') AS rest
+               FROM urls),
+        s2 AS (SELECT url, rest,
+                      lower(regexp_extract(rest, '^([^/?]*)', 1)) AS auth
+               FROM s1),
+        s3 AS (SELECT url,
+                      substring(rest, 1 + length(auth)) AS pathq,
+                      regexp_extract(auth, ':(\\d+)$', 1) AS port,
+                      regexp_replace(regexp_replace(auth,
+                        ':\\d+$', ''), '^www\\.', '') AS host
+               FROM s2),
+        s4 AS (SELECT url,
+                      array_to_string(list_reverse(
+                        string_split(host, '.')), ',')
+                      || (CASE WHEN port IN ('', '80', '443') THEN ''
+                               ELSE ':' || port END) AS rev,
+                      lower(regexp_extract(pathq, '^([^?]*)', 1)) AS p,
+                      regexp_extract(pathq, '^[^?]*\\?(.*)$', 1) AS q
+               FROM s3)
+        SELECT url,
+               rev || ')'
+               || (CASE WHEN p = '' THEN '/' ELSE p END)
+               || (CASE WHEN q = '' THEN ''
+                        ELSE '?' || array_to_string(
+                          list_sort(string_split(q, '&')), '&') END)
+                 AS surt
+        FROM s4
+    """,
+        "cdx_latest": f"""
+        WITH {_CDX_CAPTURES_SQL},
+        r AS (SELECT surt, ts, url, status, digest,
+                     row_number() OVER (
+                       PARTITION BY surt
+                       ORDER BY ts DESC, digest DESC, url ASC) AS rk
+              FROM capd)
+        SELECT surt, ts, url, status, digest FROM r WHERE rk = 1
+    """,
+        "cdx_prefix_lookup": f"""
+        WITH {_CDX_CAPTURES_SQL}
+        SELECT surt, ts, url, status, digest
+        FROM capd
+        WHERE surt LIKE 'test,host7)%'
+        ORDER BY surt, ts, digest
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 
