@@ -5605,11 +5605,52 @@ def _q_cdx_prefix_lookup(spark, sf_dir):
     )
 
 
+def _q_focused_priority(spark, sf_dir):
+    """Focused-crawl best-first priorities (operators/focused.py:
+    shark_priorities — shark-search, Hersovici et al. WWW'98): parent
+    relevance decays 0.5 per hop and anchor text mentioning a topic word
+    adds a flat bonus; per discovered URL the MAX over incoming links
+    wins. Parents are order URLs scored (k*37)%1000; links are lineitems
+    pointing at part URLs with the part NAME as anchor text (TPC-H part
+    names are lowercase color words, so 'green'/'blue'/'ivory' genuinely
+    hit). Integer milli math in both engines."""
+    from see_spark.operators.focused import shark_priorities
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("l_orderkey").cast("long")
+    links = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.concat(
+            F.lit("http://host"), (k % N_HOSTS).cast("string"),
+            F.lit(".test/order/"), k.cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://host"),
+            (F.col("l_suppkey").cast("long") % 50).cast("string"),
+            F.lit(".test/part/"), F.col("l_partkey").cast("string"),
+        ).alias("dst_url"),
+        F.col("p_name").alias("anchor"),
+    )
+    ok = F.col("o_orderkey").cast("long")
+    parents = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.concat(
+            F.lit("http://host"), (ok % N_HOSTS).cast("string"),
+            F.lit(".test/order/"), ok.cast("string"),
+        ).alias("url"),
+        ((ok * 37) % 1000).alias("score_milli"),
+    )
+    return shark_priorities(
+        parents, links, ["green", "blue", "ivory"],
+        decay_milli=500, anchor_bonus_milli=200,
+    )
+
+
 QUERIES_EXTRA.update(
     {
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
+        "focused_priority": _q_focused_priority,
     }
 )
 
@@ -5693,6 +5734,31 @@ ORACLES_EXTRA.update(
         FROM capd
         WHERE surt LIKE 'test,host7)%'
         ORDER BY surt, ts, digest
+    """,
+        "focused_priority": f"""
+        WITH l AS (
+          SELECT 'http://host' || CAST(l_orderkey % {N_HOSTS} AS VARCHAR)
+                 || '.test/order/' || CAST(l_orderkey AS VARCHAR) AS src_url,
+                 'http://host' || CAST(l_suppkey % 50 AS VARCHAR)
+                 || '.test/part/' || CAST(l_partkey AS VARCHAR) AS dst_url,
+                 p_name AS anchor
+          FROM lineitem JOIN part ON p_partkey = l_partkey),
+        p AS (
+          SELECT 'http://host' || CAST(o_orderkey % {N_HOSTS} AS VARCHAR)
+                 || '.test/order/' || CAST(o_orderkey AS VARCHAR) AS url,
+                 (o_orderkey * 37) % 1000 AS score_milli
+          FROM orders),
+        j AS (
+          SELECT l.dst_url,
+                 (500 * p.score_milli) // 1000
+                 + 200 * len(list_intersect(
+                     string_split(lower(l.anchor), ' '),
+                     ['green', 'blue', 'ivory'])) AS pri
+          FROM l JOIN p ON p.url = l.src_url)
+        SELECT dst_url AS url,
+               CAST(MAX(pri) AS BIGINT) AS priority_milli,
+               CAST(COUNT(*) AS BIGINT) AS n_parents
+        FROM j GROUP BY dst_url
     """,
     }
 )
