@@ -5645,12 +5645,39 @@ def _q_focused_priority(spark, sf_dir):
     )
 
 
+def _q_retrieval_metrics(spark, sf_dir):
+    """TREC-style relevance harness (operators/evaluation.py:
+    retrieval_metrics): per-query precision@10 / recall@10 / MRR /
+    NDCG@10 over a deterministic (results, qrels) pair — 17 synthetic
+    queries whose ranked lists are the orders partitioned by k%17 and
+    whose graded judgments cover every third order. NDCG uses the
+    Järvelin-Kekäläinen (2^rel-1)/log2(rank+1) form in both engines."""
+    from see_spark.operators.evaluation import retrieval_metrics
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("long")
+    url = F.concat(F.lit("http://host"), (k % N_HOSTS).cast("string"),
+                   F.lit(".test/order/"), k.cast("string"))
+    base = o.select((k % 17).alias("query_id"), url.alias("url"),
+                    k.alias("__k"))
+    w = Window.partitionBy("query_id").orderBy("__k")
+    results = base.select(
+        "query_id", "url", F.row_number().over(w).cast("long").alias("rank")
+    )
+    qrels = base.filter(F.col("__k") % 3 == 0).select(
+        "query_id", "url",
+        (((F.col("__k") / 3).cast("long") % 3) + 1).alias("rel"),
+    )
+    return retrieval_metrics(results, qrels, k=10)
+
+
 QUERIES_EXTRA.update(
     {
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
         "focused_priority": _q_focused_priority,
+        "retrieval_metrics": _q_retrieval_metrics,
     }
 )
 
@@ -5759,6 +5786,54 @@ ORACLES_EXTRA.update(
                CAST(MAX(pri) AS BIGINT) AS priority_milli,
                CAST(COUNT(*) AS BIGINT) AS n_parents
         FROM j GROUP BY dst_url
+    """,
+        "retrieval_metrics": f"""
+        WITH base AS (
+          SELECT o_orderkey % 17 AS query_id,
+                 'http://host' || CAST(o_orderkey % {N_HOSTS} AS VARCHAR)
+                 || '.test/order/' || CAST(o_orderkey AS VARCHAR) AS url,
+                 o_orderkey AS k
+          FROM orders),
+        results AS (
+          SELECT query_id, url,
+                 row_number() OVER (PARTITION BY query_id ORDER BY k)
+                   AS rank
+          FROM base),
+        qrels AS (
+          SELECT query_id, url, ((k // 3) % 3) + 1 AS rel
+          FROM base WHERE k % 3 = 0),
+        judged AS (
+          SELECT r.query_id, r.rank, COALESCE(q.rel, 0) AS rel
+          FROM results r LEFT JOIN qrels q USING (query_id, url)
+          WHERE r.rank <= 10),
+        per_q AS (
+          SELECT query_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_results,
+                 SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+                 SUM((pow(2.0, rel) - 1.0)
+                     / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))) AS dcg,
+                 MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel
+          FROM judged GROUP BY query_id),
+        ranked_rel AS (
+          SELECT query_id, rel,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, url ASC) AS r
+          FROM qrels WHERE rel > 0),
+        ideal AS (
+          SELECT query_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_relevant,
+                 SUM(CASE WHEN r <= 10
+                     THEN (pow(2.0, rel) - 1.0)
+                          / (ln(CAST(r AS DOUBLE) + 1.0) / ln(2.0))
+                     ELSE 0.0 END) AS idcg
+          FROM ranked_rel GROUP BY query_id)
+        SELECT p.query_id, p.n_results, i.n_relevant,
+               round(p.hits / 10.0, 6) AS precision_at_k,
+               round(CAST(p.hits AS DOUBLE) / i.n_relevant, 6)
+                 AS recall_at_k,
+               round(COALESCE(1.0 / p.first_rel, 0.0), 6) AS mrr,
+               round(p.dcg / i.idcg, 6) AS ndcg
+        FROM per_q p JOIN ideal i USING (query_id)
     """,
     }
 )

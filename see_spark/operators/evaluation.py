@@ -1,0 +1,92 @@
+"""Retrieval-quality evaluation — engine addition.
+
+The reference tests its ranker only via golden-query assertions
+(apps/db/test/see_db_srv_test.erl); it has no quantitative relevance
+harness. This module adds the standard TREC-style offline metrics computed
+over a (results, qrels) pair — the public textbook definitions
+(Manning/Raghavan/Schütze, IIR ch.8; NDCG from Järvelin & Kekäläinen,
+TOIS 2002):
+
+  precision@k  |relevant ∩ top-k| / k
+  recall@k     |relevant ∩ top-k| / |relevant|
+  MRR          1 / rank of the first relevant result in the top-k (0 if
+               none)
+  NDCG@k       DCG@k / IDCG@k with gain (2^rel - 1) and the log2 discount
+               1/log2(rank+1); IDCG ranks the query's qrels by rel desc.
+
+Everything is ratio-of-sums per query — two combinable aggregates keyed by
+query_id (one over scored results, one over qrels for |relevant| and IDCG)
+joined on query_id. Both relations are evaluation-sized (queries × k and
+queries × judged docs), so at 100 TB corpus scale this never touches the
+corpus: it runs over the search HEAD, not the index. Scores are rounded to
+6 dp so the double-summation tail is engine-portable (the repo-wide oracle
+convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_LN2 = "ln(2.0)"
+
+
+def retrieval_metrics(results: DataFrame, qrels: DataFrame, k: int = 10,
+                      round_dp: int = 6) -> DataFrame:
+    """Per-query metrics over ranked ``results`` (query_id, url, rank —
+    rank 1-based, unique per query) judged by ``qrels`` (query_id, url,
+    rel — graded, rel >= 1 means relevant; unjudged results count as
+    rel 0, the standard convention).
+
+    Returns (query_id, n_results, n_relevant, precision_at_k,
+    recall_at_k, mrr, ndcg) — one row per query that has at least one
+    judged-relevant document (queries with no qrels have undefined
+    recall/NDCG and are excluded, mirroring trec_eval).
+    """
+    topk = results.filter(F.col("rank") <= k)
+    judged = topk.join(qrels, ["query_id", "url"], "left").withColumn(
+        "rel", F.coalesce(F.col("rel"), F.lit(0)).cast("long")
+    )
+    # log2(rank+1) as ln-ratio: both engines share libm ln behavior
+    discount = F.log(F.col("rank").cast("double") + 1.0) / F.expr(_LN2)
+    gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0
+    per_q = judged.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_results"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("hits"),
+        F.sum(gain / discount).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("url"))
+    ideal = (
+        qrels.filter(F.col("rel") > 0)
+        .withColumn("__r", F.row_number().over(w))
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_relevant"),
+            F.sum(
+                F.when(
+                    F.col("__r") <= k,
+                    (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0)
+                    / (F.log(F.col("__r").cast("double") + 1.0) / F.expr(_LN2)),
+                ).otherwise(F.lit(0.0))
+            ).alias("idcg"),
+        )
+    )
+    return (
+        per_q.join(ideal, "query_id")
+        .select(
+            "query_id",
+            "n_results",
+            "n_relevant",
+            F.round(F.col("hits") / F.lit(float(k)), round_dp)
+            .alias("precision_at_k"),
+            F.round(F.col("hits") / F.col("n_relevant"), round_dp)
+            .alias("recall_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), round_dp
+            ).alias("mrr"),
+            F.round(F.col("dcg") / F.col("idcg"), round_dp).alias("ndcg"),
+        )
+    )
