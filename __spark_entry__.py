@@ -5645,6 +5645,64 @@ def _q_focused_priority(spark, sf_dir):
     )
 
 
+def _q_host_span_mix(spark, sf_dir):
+    """Per-host interleaved-payload composition (input_hint contract:
+    spans of kind text/title/link/media): parse the synthesized HTML
+    corpus into text/title/link spans, interleave MEDIA documents the
+    way the crawl's state router stores them — a media fetch is one
+    document with a single kind='media' span (operators/crawl.py) —
+    every 2nd text doc gets a sibling media doc, every 5th a second
+    one, then aggregate span-kind counts per host. Media ratio in
+    integer milli math. One combinable shuffle keyed by host; the parse
+    is the same Arrow-batched kernel as parse_spans (core/htmlx.py,
+    see_html.erl:39-52 semantics)."""
+    from see_spark.functions.udfs import parse_html_udf
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 300)
+    d = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("host"), (d % 11).cast("string"), F.lit(".test"))
+    html = F.concat(
+        F.lit("<html><title>doc "), d.cast("string"),
+        F.lit("</title><body>"), F.col("text"),
+        F.lit(' <a href="http://x.test/'), d.cast("string"),
+        F.lit('">anchor</a></body></html>'),
+    )
+    parsed = (
+        docs.select(
+            host.alias("host"), d.alias("doc_id"),
+            parse_html_udf(html).alias("p"),
+        )
+        .select("host", "doc_id", F.explode("p.spans").alias("s"))
+        .select("host", "doc_id", F.col("s.kind").alias("kind"))
+    )
+    media = (
+        docs.filter(d % 2 == 0)
+        .select(host.alias("host"), (d + 1000).alias("doc_id"),
+                F.lit("media").alias("kind"))
+        .unionByName(
+            docs.filter(d % 5 == 0).select(
+                host.alias("host"), (d + 2000).alias("doc_id"),
+                F.lit("media").alias("kind"),
+            )
+        )
+    )
+    spans = parsed.unionByName(media)
+    return spans.groupBy("host").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.when(F.col("kind") == "title", 1).otherwise(0))
+        .cast("long").alias("n_title"),
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
+        .cast("long").alias("n_text"),
+        F.sum(F.when(F.col("kind") == "link", 1).otherwise(0))
+        .cast("long").alias("n_link"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+        .cast("long").alias("n_media"),
+    ).withColumn(
+        "media_per_doc_milli",
+        ((F.col("n_media") * 1000) / F.col("n_docs")).cast("long"),
+    )
+
+
 def _q_retrieval_metrics(spark, sf_dir):
     """TREC-style relevance harness (operators/evaluation.py:
     retrieval_metrics): per-query precision@10 / recall@10 / MRR /
@@ -5678,6 +5736,7 @@ QUERIES_EXTRA.update(
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
         "focused_priority": _q_focused_priority,
         "retrieval_metrics": _q_retrieval_metrics,
+        "host_span_mix": _q_host_span_mix,
     }
 )
 
@@ -5834,6 +5893,24 @@ ORACLES_EXTRA.update(
                round(COALESCE(1.0 / p.first_rel, 0.0), 6) AS mrr,
                round(p.dcg / i.idcg, 6) AS ndcg
         FROM per_q p JOIN ideal i USING (query_id)
+    """,
+        "host_span_mix": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS k
+                   FROM documents WHERE doc_id < 300),
+        per AS (
+          SELECT 'host' || CAST(k % 11 AS VARCHAR) || '.test' AS host, k,
+                 (CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS m
+          FROM d)
+        SELECT host,
+               CAST(COUNT(*) + SUM(m) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_title,
+               CAST(3 * COUNT(*) AS BIGINT) AS n_text,
+               CAST(COUNT(*) AS BIGINT) AS n_link,
+               CAST(SUM(m) AS BIGINT) AS n_media,
+               CAST((SUM(m) * 1000) // (COUNT(*) + SUM(m)) AS BIGINT)
+                 AS media_per_doc_milli
+        FROM per GROUP BY host
     """,
     }
 )
