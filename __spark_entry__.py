@@ -5699,7 +5699,7 @@ def _q_host_span_mix(spark, sf_dir):
         .cast("long").alias("n_media"),
     ).withColumn(
         "media_per_doc_milli",
-        ((F.col("n_media") * 1000) / F.col("n_docs")).cast("long"),
+        F.expr("(n_media * 1000) div n_docs").cast("long"),
     )
 
 
@@ -5724,9 +5724,38 @@ def _q_retrieval_metrics(spark, sf_dir):
     )
     qrels = base.filter(F.col("__k") % 3 == 0).select(
         "query_id", "url",
-        (((F.col("__k") / 3).cast("long") % 3) + 1).alias("rel"),
+        ((F.expr("__k div 3") % 3) + 1).alias("rel"),
     )
     return retrieval_metrics(results, qrels, k=10)
+
+
+def _segments(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("long")
+    return o.select(
+        k.alias("segment_id"),
+        ((k * 7919) % 100000 + 1).alias("size_bytes"),
+    )
+
+
+def _q_segment_merge_plan(spark, sf_dir):
+    """Tiered index-compaction planning (operators/segments.py:
+    plan_merges — Lucene TieredMergePolicy / LSM size-tiering): per-round
+    postings segments bucket into exact decimal-digit size tiers, chunk
+    merge_factor=4 at a time (size desc, id), and only FULL groups merge.
+    Pure window math over segment METADATA."""
+    from see_spark.operators.segments import plan_merges
+
+    return plan_merges(_segments(spark, sf_dir), merge_factor=4)
+
+
+def _q_segment_merge_audit(spark, sf_dir):
+    """Write-amplification audit of the same plan (operators/segments.py:
+    merge_amplification): segment counts before/after and integer-milli
+    rewrite fraction — the compaction cost model the driver logs."""
+    from see_spark.operators.segments import merge_amplification, plan_merges
+
+    return merge_amplification(plan_merges(_segments(spark, sf_dir), 4))
 
 
 QUERIES_EXTRA.update(
@@ -5737,6 +5766,8 @@ QUERIES_EXTRA.update(
         "focused_priority": _q_focused_priority,
         "retrieval_metrics": _q_retrieval_metrics,
         "host_span_mix": _q_host_span_mix,
+        "segment_merge_plan": _q_segment_merge_plan,
+        "segment_merge_audit": _q_segment_merge_audit,
     }
 )
 
@@ -5911,6 +5942,57 @@ ORACLES_EXTRA.update(
                CAST((SUM(m) * 1000) // (COUNT(*) + SUM(m)) AS BIGINT)
                  AS media_per_doc_milli
         FROM per GROUP BY host
+    """,
+        "segment_merge_plan": """
+        WITH s AS (SELECT o_orderkey AS segment_id,
+                          (o_orderkey * 7919) % 100000 + 1 AS size_bytes
+                   FROM orders),
+        t AS (SELECT segment_id, CAST(size_bytes AS BIGINT) AS size_bytes,
+                     CAST(length(CAST(greatest(size_bytes, 1) AS VARCHAR))
+                          - 1 AS BIGINT) AS tier
+              FROM s),
+        g AS (SELECT *, (row_number() OVER (
+                PARTITION BY tier
+                ORDER BY size_bytes DESC, segment_id) - 1) // 4 AS mg
+              FROM t),
+        c AS (SELECT *,
+                     COUNT(*) OVER (PARTITION BY tier, mg) AS n,
+                     SUM(size_bytes) OVER (PARTITION BY tier, mg) AS sm
+              FROM g)
+        SELECT CAST(segment_id AS BIGINT) AS segment_id, size_bytes, tier,
+               CAST(CASE WHEN n = 4 THEN mg ELSE -1 END AS BIGINT)
+                 AS merge_group,
+               (n = 4) AS will_merge,
+               CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
+                 AS target_size
+        FROM c
+    """,
+        "segment_merge_audit": """
+        WITH s AS (SELECT o_orderkey AS segment_id,
+                          (o_orderkey * 7919) % 100000 + 1 AS size_bytes
+                   FROM orders),
+        t AS (SELECT segment_id, CAST(size_bytes AS BIGINT) AS size_bytes,
+                     CAST(length(CAST(greatest(size_bytes, 1) AS VARCHAR))
+                          - 1 AS BIGINT) AS tier
+              FROM s),
+        g AS (SELECT *, (row_number() OVER (
+                PARTITION BY tier
+                ORDER BY size_bytes DESC, segment_id) - 1) // 4 AS mg
+              FROM t),
+        c AS (SELECT *, COUNT(*) OVER (PARTITION BY tier, mg) AS n
+              FROM g)
+        SELECT CAST(COUNT(*) AS BIGINT) AS segments_before,
+               CAST(COUNT(*)
+                    - SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END)
+                    + COUNT(DISTINCT CASE WHEN n = 4
+                        THEN CAST(tier AS VARCHAR) || ':'
+                             || CAST(mg AS VARCHAR) END) AS BIGINT)
+                 AS segments_after,
+               CAST(SUM(CASE WHEN n = 4 THEN size_bytes ELSE 0 END)
+                    AS BIGINT) AS bytes_rewritten,
+               CAST((SUM(CASE WHEN n = 4 THEN size_bytes ELSE 0 END) * 1000)
+                    // SUM(size_bytes) AS BIGINT) AS rewrite_milli
+        FROM c
     """,
     }
 )

@@ -66,9 +66,8 @@ def shark_priorities(
     hits = F.size(
         F.array_intersect(F.split(F.lower(F.col("anchor")), " "), topics)
     )
-    link_pri = (
-        (F.lit(decay_milli) * F.col("score_milli"))
-        / F.lit(1000)
+    link_pri = F.expr(
+        f"({int(decay_milli)} * score_milli) div 1000"
     ).cast("long") + F.lit(anchor_bonus_milli) * hits.cast("long")
     return (
         scored.select(F.col("dst_url").alias("url"), link_pri.alias("__p"))
