@@ -5758,8 +5758,24 @@ def _q_segment_merge_audit(spark, sf_dir):
     return merge_amplification(plan_merges(_segments(spark, sf_dir), 4))
 
 
+def _q_lsh_eval(spark, sf_dir):
+    """Dedup-config quality audit (operators/dedup.py:lsh_eval): recall
+    and candidate precision of the 16-hash/4-band MinHash banding vs the
+    exact all-pairs Jaccard truth at the same threshold — the offline
+    measurement that sizes (num_hashes, bands) before a 100 TB run."""
+    from see_spark.operators.dedup import lsh_eval
+
+    return lsh_eval(
+        _documents(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        num_hashes=16, bands=4, n=3, threshold=0.1,
+    )
+
+
 QUERIES_EXTRA.update(
     {
+        "lsh_eval": _q_lsh_eval,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -5966,6 +5982,43 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "lsh_eval": f"""
+        {_MINHASH_SQL},
+        bands AS (
+          SELECT doc_id, seed_id // 4 AS band,
+                 md5(string_agg(CAST(minhash AS VARCHAR), ','
+                     ORDER BY seed_id)) AS band_key
+          FROM sig GROUP BY doc_id, seed_id // 4),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT doc_a, doc_b, c / (sa.n + sb.n - c) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b),
+        exact AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.1),
+        found AS (SELECT j.doc_a, j.doc_b
+                  FROM jac j JOIN cands USING (doc_a, doc_b)
+                  WHERE j.jaccard >= 0.1)
+        SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+               CAST((SELECT COUNT(*) FROM cands) AS BIGINT) AS n_candidates,
+               CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
+               CAST(((SELECT COUNT(*) FROM found) * 1000)
+                    // (SELECT COUNT(*) FROM exact) AS BIGINT)
+                 AS recall_milli,
+               CAST(((SELECT COUNT(*) FROM found) * 1000)
+                    // (SELECT COUNT(*) FROM cands) AS BIGINT)
+                 AS candidate_precision_milli
     """,
         "segment_merge_audit": """
         WITH s AS (SELECT o_orderkey AS segment_id,

@@ -152,17 +152,13 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def lsh_candidates(
     docs: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3,
-    threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+    text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs verified by exact Jaccard.
-
-    Band key = md5 of the band's ordered minhash values; docs sharing any
-    band bucket become candidates (equi-join on (band, key) — THE scalable
-    move: no all-pairs). Candidates are then verified with exact shingle
-    Jaccard so false positives never escape.
-    """
+    """Distinct (doc_a, doc_b) candidate pairs from MinHash banding — the
+    pre-verification bucket join ``minhash_lsh_pairs`` verifies. Exposed
+    separately so ``lsh_eval`` can audit candidate efficiency."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
     band_keys = (
@@ -182,13 +178,27 @@ def minhash_lsh_pairs(
             ).alias("band_key")
         )
     )
-    cands = (
+    return (
         band_keys.alias("a")
         .join(band_keys.alias("b"), ["band", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3,
+    threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard.
+
+    Band key = md5 of the band's ordered minhash values; docs sharing any
+    band bucket become candidates (equi-join on (band, key) — THE scalable
+    move: no all-pairs). Candidates are then verified with exact shingle
+    Jaccard so false positives never escape.
+    """
+    cands = lsh_candidates(docs, num_hashes, bands, n, text_col, id_col)
     # verify ONLY the candidate pairs (the whole point of LSH): intersect
     # the two docs' shingle sets via two joins pinned to the candidate list,
     # never the all-pairs shingle self-join.
@@ -692,3 +702,52 @@ def elect_canonical(
         "is_kept",
         (F.row_number().over(w) == 1).cast("long"),
     ).select("cluster_id", "doc_id", "score", "is_kept")
+
+
+def lsh_eval(
+    docs: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3,
+    threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row quality audit of the MinHash-LSH banding vs exact
+    all-pairs Jaccard at the same threshold — the measurement that
+    justifies (or rejects) a (num_hashes, bands) configuration before
+    pointing it at 100 TB.
+
+    Because ``minhash_lsh_pairs`` verifies candidates with exact Jaccard,
+    its output precision is 1.0 by construction; the two numbers that
+    actually vary are
+
+      recall_milli              — found / exact true pairs (banding can
+                                  MISS pairs whose signatures never agree
+                                  on a full band),
+      candidate_precision_milli — found / candidates (how much of the
+                                  verification work was wasted on false
+                                  bucket collisions).
+
+    Integer milli division (exact ``div``). This is an OFFLINE audit run
+    at fixture scale — the exact all-pairs side is the O(df²) join the
+    banded path exists to avoid, so never run it on the full corpus.
+    """
+    exact = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    cands = lsh_candidates(docs, num_hashes, bands, n, text_col, id_col)
+    found = minhash_lsh_pairs(
+        docs, num_hashes=num_hashes, bands=bands, n=n, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    )
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    n_cands = cands.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_found = found.agg(F.count("*").cast("long").alias("n_found"))
+    return (
+        n_exact.crossJoin(n_cands)
+        .crossJoin(n_found)
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_found",
+            F.expr("(n_found * 1000) div n_exact").alias("recall_milli"),
+            F.expr("(n_found * 1000) div n_candidates")
+            .alias("candidate_precision_milli"),
+        )
+    )

@@ -111,3 +111,38 @@ def test_partitioning_invariance(spark):
     base = _run(spark, 0.9, parts=1)
     for parts in (3, 6):
         assert _run(spark, 0.9, parts=parts) == base
+
+
+def test_lsh_eval_invariants(spark):
+    """found ⊆ exact (verification guarantees precision), found ⊆
+    candidates, and the milli ratios are the exact integer divisions."""
+    from see_spark.operators.dedup import (
+        lsh_candidates, lsh_eval, minhash_lsh_pairs, ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+            (3, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (4, "one two three four five six seven"),
+            (5, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(num_hashes=16, bands=4, n=3)
+    row = lsh_eval(docs, threshold=0.2, **kw).collect()[0]
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()}
+    cands = {(r["doc_a"], r["doc_b"]) for r in
+             lsh_candidates(docs, **kw).collect()}
+    found = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(docs, threshold=0.2, **kw).collect()}
+    assert found <= exact and found <= cands
+    assert row["n_exact"] == len(exact)
+    assert row["n_candidates"] == len(cands)
+    assert row["n_found"] == len(found)
+    assert row["recall_milli"] == len(found) * 1000 // len(exact)
+    assert row["candidate_precision_milli"] == len(found) * 1000 // len(cands)
+    # the exact dup pair must be both exact and found (identical signature)
+    assert (1, 3) in exact and (1, 3) in found
