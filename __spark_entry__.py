@@ -5758,6 +5758,17 @@ def _q_segment_merge_audit(spark, sf_dir):
     return merge_amplification(plan_merges(_segments(spark, sf_dir), 4))
 
 
+def _q_doc_keywords(spark, sf_dir):
+    """Per-document top-3 tf-idf keywords (operators/indexer.py:
+    doc_keywords): index-time summarization with the reference idf form
+    (negative idf sinks ubiquitous words, see_rank_tfidf.erl semantics);
+    ties pinned (score desc, word asc)."""
+    from see_spark.operators.indexer import doc_keywords
+
+    n = _documents(spark, sf_dir).count()
+    return doc_keywords(_doc_postings_tf(spark, sf_dir), n, k=3)
+
+
 def _q_lsh_eval(spark, sf_dir):
     """Dedup-config quality audit (operators/dedup.py:lsh_eval): recall
     and candidate precision of the 16-hash/4-band MinHash banding vs the
@@ -5776,6 +5787,7 @@ def _q_lsh_eval(spark, sf_dir):
 QUERIES_EXTRA.update(
     {
         "lsh_eval": _q_lsh_eval,
+        "doc_keywords": _q_doc_keywords,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -5982,6 +5994,24 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "doc_keywords": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                FROM postings GROUP BY word),
+        scored AS (
+          SELECT p.doc_id, p.word,
+                 (CAST(p.term_count AS DOUBLE) / p.doc_len)
+                 * ln((SELECT n_docs FROM n) / (1.0 + d.df)) AS s
+          FROM postings p JOIN dfs d USING (word)),
+        r AS (SELECT doc_id, word, s,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, word ASC) AS rk
+              FROM scored)
+        SELECT doc_id, word, CAST(rk AS BIGINT) AS keyword_rank,
+               round(s, 6) AS score
+        FROM r WHERE rk <= 3
     """,
         "lsh_eval": f"""
         {_MINHASH_SQL},

@@ -94,3 +94,45 @@ def word_stats_reindex_delta(
         )
         .filter(F.col("df") != 0)
     )
+
+
+def doc_keywords(
+    postings: DataFrame, page_count: int, k: int = 3,
+    word_stats: DataFrame = None, round_dp: int = 6,
+) -> DataFrame:
+    """Per-document top-``k`` tf-idf keywords (engine addition): the
+    standard document-summarization projection of the index — the k terms
+    that best DISTINGUISH each document, i.e. highest tf·ln(N/(1+df))
+    with the reference's idf form (core/rank.py, see_rank_tfidf.erl
+    semantics: negative idf allowed, so ubiquitous words sink).
+
+    Index-time analytics, not a query-path op: df comes from ONE
+    aggregate over the postings (or from the materialized ``word_stats``
+    table when given — then postings are touched once), followed by one
+    window keyed by doc_id. Both shuffles are combinable/index-shaped;
+    nothing is per-query. Ties pinned (score desc, word asc) so the
+    k-cut is deterministic in any engine. Returns (doc_id, word,
+    keyword_rank, score) with score rounded for engine portability.
+    """
+    if word_stats is not None:
+        dfs = word_stats.groupBy("word").agg(F.sum("df").alias("df"))
+    else:
+        dfs = postings.groupBy("word").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+    scored = postings.join(dfs, "word").withColumn(
+        "__score",
+        F.col("tf")
+        * F.log(F.lit(float(page_count)) / (F.lit(1.0) + F.col("df"))),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("__score"), F.asc("word")
+    )
+    return (
+        scored.withColumn("keyword_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("keyword_rank") <= k)
+        .select(
+            "doc_id", "word", "keyword_rank",
+            F.round("__score", round_dp).alias("score"),
+        )
+    )

@@ -75,3 +75,40 @@ def test_increment_plus_deltas_equals_final_df(spark):
     got = {r.word: r.df for r in ledger.collect()}
     want = {r.word: r.df for r in truth.collect()}
     assert got == want
+
+
+def test_doc_keywords_distinguishing_terms_and_word_stats_path(spark):
+    """The shared stopword-ish term (in every doc -> negative idf) must
+    rank below each doc's unique terms; the materialized word_stats path
+    must agree with the postings-derived path."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from see_spark.operators.indexer import doc_keywords, document_frequencies
+
+    docs = spark.createDataFrame(
+        [(1, "common apple apple"), (2, "common banana cherry"),
+         (3, "common cherry cherry")],
+        "doc_id long, text string",
+    )
+    postings = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("term_count"))
+        .withColumn(
+            "doc_len",
+            F.sum("term_count").over(Window.partitionBy("doc_id")),
+        )
+        .withColumn("tf", F.col("term_count") / F.col("doc_len"))
+    )
+    top = doc_keywords(postings, page_count=3, k=1)
+    got = {r["doc_id"]: r["word"] for r in top.collect()}
+    # 'common' has df=3 -> idf = ln(3/4) < 0; unique terms win everywhere
+    assert got == {1: "apple", 2: "banana", 3: "cherry"}
+    ws = document_frequencies(postings)
+    via_stats = doc_keywords(postings, 3, k=1, word_stats=ws)
+    assert sorted(map(tuple, via_stats.collect())) == sorted(
+        map(tuple, top.collect())
+    )
