@@ -5769,6 +5769,19 @@ def _q_doc_keywords(spark, sf_dir):
     return doc_keywords(_doc_postings_tf(spark, sf_dir), n, k=3)
 
 
+def _q_related_terms(spark, sf_dir):
+    """PMI query expansion (operators/lexicon.py:related_terms — Church
+    & Hanks 1990): top-5 document-level co-occurrence partners per
+    search-suite seed word, min_df=2 guarding the rare-word PMI
+    inflation; ties pinned (pmi desc, word asc)."""
+    from see_spark.operators.lexicon import related_terms
+
+    n = _documents(spark, sf_dir).count()
+    return related_terms(
+        _doc_postings(spark, sf_dir), _SEARCH_WORDS, n, min_df=2, k=5
+    )
+
+
 def _q_lsh_eval(spark, sf_dir):
     """Dedup-config quality audit (operators/dedup.py:lsh_eval): recall
     and candidate precision of the 16-hash/4-band MinHash banding vs the
@@ -5788,6 +5801,7 @@ QUERIES_EXTRA.update(
     {
         "lsh_eval": _q_lsh_eval,
         "doc_keywords": _q_doc_keywords,
+        "related_terms": _q_related_terms,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -5994,6 +6008,36 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "related_terms": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        dw AS (SELECT DISTINCT doc_id, word FROM postings),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        seeds AS (SELECT unnest(['join', 'query', 'table']) AS seed),
+        sd AS (SELECT s.seed, d.doc_id
+               FROM dw d JOIN seeds s ON d.word = s.seed),
+        pairs AS (SELECT sd.seed, d.word
+                  FROM sd JOIN dw d USING (doc_id)
+                  WHERE d.word <> sd.seed),
+        co AS (SELECT seed, word, COUNT(*) AS df_pair
+               FROM pairs GROUP BY 1, 2),
+        dfs AS (SELECT word, COUNT(*) AS df_w FROM dw GROUP BY word),
+        sdf AS (SELECT dfs.word AS seed, dfs.df_w AS df_s
+                FROM dfs JOIN seeds ON dfs.word = seeds.seed),
+        scored AS (
+          SELECT co.seed, co.word, co.df_pair,
+                 ln(((SELECT n_docs FROM n) * co.df_pair)
+                    / (sdf.df_s * d2.df_w)) AS pmi
+          FROM co
+          JOIN dfs d2 ON d2.word = co.word
+          JOIN sdf ON sdf.seed = co.seed
+          WHERE d2.df_w >= 2),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY seed ORDER BY pmi DESC, word ASC) AS rk
+              FROM scored)
+        SELECT seed, word, CAST(df_pair AS BIGINT) AS df_pair,
+               round(pmi, 6) AS pmi, CAST(rk AS BIGINT) AS expansion_rank
+        FROM r WHERE rk <= 5
     """,
         "doc_keywords": f"""
         WITH postings AS ({_POSTINGS_SQL}),

@@ -316,3 +316,78 @@ def autocomplete(
         .filter(F.col("rank") <= int(k))
         .select("prefix", "word", F.col("df").cast("long").alias("df"), "rank")
     )
+
+
+def related_terms(
+    postings: DataFrame,
+    seeds,
+    page_count: int,
+    min_df: int = 2,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Query-expansion candidates by pointwise mutual information (Church
+    & Hanks, CL 1990): for each seed term, the top-``k`` co-occurring
+    vocabulary words by
+
+        pmi(s, w) = ln( N * df(s, w) / (df(s) * df(w)) )
+
+    over DOCUMENT-level co-occurrence (the doc is the context window —
+    the standard choice for index-resident expansion; engine addition,
+    the reference has no expansion surface). ``min_df`` drops
+    hapax-dominated partners whose PMI is inflated by rarity — the
+    classic PMI failure mode.
+
+    Scale shape: the corpus side never fans out — the distinct postings
+    relation is joined FIRST against the broadcast seed list (so only
+    seed-containing docs join back against their own words), then one
+    combinable (seed, word) count, one vocab-df count, broadcast
+    seed-df, and a per-seed window for the k-cut. Cost is bounded by
+    |docs containing a seed| x doc_len, not corpus².
+
+    Returns (seed, word, df_pair, pmi, expansion_rank), ties pinned
+    (pmi desc, word asc); pmi rounded for engine portability.
+    """
+    docs_w = postings.select("doc_id", "word").distinct()
+    seed_rel = _broadcast_literals(
+        docs_w.sparkSession, "word", sorted(set(seeds))
+    )
+    seed_docs = docs_w.join(seed_rel, "word").select(
+        F.col("word").alias("seed"), "doc_id"
+    )
+    pairs = seed_docs.join(docs_w, "doc_id").filter(
+        F.col("word") != F.col("seed")
+    )
+    co = pairs.groupBy("seed", "word").agg(
+        F.count("*").cast("long").alias("df_pair")
+    )
+    dfs = docs_w.groupBy("word").agg(F.count("*").cast("long").alias("df_w"))
+    seed_dfs = F.broadcast(
+        dfs.join(seed_rel, "word").select(
+            F.col("word").alias("seed"), F.col("df_w").alias("df_s")
+        )
+    )
+    scored = (
+        co.join(dfs, "word")
+        .filter(F.col("df_w") >= min_df)
+        .join(seed_dfs, "seed")
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.lit(float(page_count)) * F.col("df_pair"))
+                / (F.col("df_s") * F.col("df_w"))
+            ),
+        )
+    )
+    w = Window.partitionBy("seed").orderBy(F.desc("pmi"), F.asc("word"))
+    return (
+        scored.withColumn(
+            "expansion_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("expansion_rank") <= k)
+        .select(
+            "seed", "word", "df_pair",
+            F.round("pmi", round_dp).alias("pmi"),
+            "expansion_rank",
+        )
+    )

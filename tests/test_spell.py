@@ -62,3 +62,36 @@ def test_word_breaks_full_ties(spark):
         for r in suggest_corrections(spark, ["ac"], spark_vocab, 1).collect()
     }
     assert got["ac"] == "aa"  # dist 1 / df 5 tie -> lexicographic word
+
+
+def test_related_terms_pmi_and_min_df(spark):
+    """PMI ranks the perfectly-correlated partner first; min_df drops the
+    hapax partner whose PMI would otherwise be inflated."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from see_spark.operators.lexicon import related_terms
+
+    texts = {
+        1: "cat dog mouse",
+        2: "cat dog bird",
+        3: "cat dog unique1",
+        4: "fish bird mouse",
+    }
+    postings = spark.createDataFrame(
+        [(i, w) for i, t in texts.items() for w in t.split()],
+        "doc_id long, word string",
+    )
+    out = related_terms(postings, ["cat"], page_count=4, min_df=2, k=10)
+    rows = {r["word"]: r for r in out.collect()}
+    # dog co-occurs in all 3 cat-docs: pmi = ln(4*3/(3*3))
+    assert rows["dog"]["expansion_rank"] == 1
+    assert rows["dog"]["pmi"] == round(math.log(4 * 3 / (3 * 3)), 6)
+    assert rows["dog"]["df_pair"] == 3
+    # unique1 (df=1) is dropped by min_df even though pmi would be high
+    assert "unique1" not in rows
+    # bird: df_pair=1, df=2 -> ln(4*1/(3*2))
+    assert rows["bird"]["pmi"] == round(math.log(4 / 6), 6)
+    # seeds never suggest themselves
+    assert "cat" not in rows
