@@ -5769,6 +5769,32 @@ def _q_doc_keywords(spark, sf_dir):
     return doc_keywords(_doc_postings_tf(spark, sf_dir), n, k=3)
 
 
+def _q_politeness_audit(spark, sf_dir):
+    """Politeness COMPLIANCE audit (operators/robots.py:
+    politeness_audit): per-host smallest observed fetch gap vs the
+    promised crawl-delay, violation counts, compliance flag — the
+    governance check over an executed fetch log. Synthesized log has
+    genuine collisions (modular timestamps) so both violation arms
+    fire."""
+    from see_spark.operators.robots import politeness_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hn = (F.col("l_suppkey").cast("long") % 29)
+    log = li.select(
+        F.concat(F.lit("h"), hn.cast("string"), F.lit(".test")).alias("host"),
+        (
+            (F.col("l_orderkey").cast("long") * 13
+             + F.col("l_linenumber").cast("long") * 7) % 100000
+        ).alias("fetch_ts"),
+    )
+    delays = spark.range(29).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test"))
+        .alias("host"),
+        ((F.col("id") % 5 + 1) * 3).alias("min_gap"),
+    )
+    return politeness_audit(log, delays)
+
+
 def _q_related_terms(spark, sf_dir):
     """PMI query expansion (operators/lexicon.py:related_terms — Church
     & Hanks 1990): top-5 document-level co-occurrence partners per
@@ -5802,6 +5828,7 @@ QUERIES_EXTRA.update(
         "lsh_eval": _q_lsh_eval,
         "doc_keywords": _q_doc_keywords,
         "related_terms": _q_related_terms,
+        "politeness_audit": _q_politeness_audit,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6008,6 +6035,36 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "politeness_audit": """
+        WITH log AS (
+          SELECT 'h' || CAST(l_suppkey % 29 AS VARCHAR) || '.test' AS host,
+                 (l_orderkey * 13 + l_linenumber * 7) % 100000 AS fetch_ts
+          FROM lineitem),
+        delays AS (
+          SELECT 'h' || CAST(range AS VARCHAR) || '.test' AS host,
+                 (range % 5 + 1) * 3 AS min_gap
+          FROM range(29)),
+        gaps AS (
+          SELECT host,
+                 fetch_ts - lag(fetch_ts) OVER (
+                   PARTITION BY host ORDER BY fetch_ts) AS g
+          FROM log),
+        per AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                       CAST(MIN(g) AS BIGINT) AS min_gap_observed
+                FROM gaps GROUP BY host),
+        viol AS (
+          SELECT g.host, CAST(COUNT(*) AS BIGINT) AS n_violations
+          FROM gaps g JOIN delays d USING (host)
+          WHERE g.g IS NOT NULL AND g.g < d.min_gap
+          GROUP BY g.host)
+        SELECT p.host, p.n_fetches, p.min_gap_observed,
+               CAST(COALESCE(d.min_gap, 0) AS BIGINT) AS min_gap_required,
+               CAST(COALESCE(v.n_violations, 0) AS BIGINT) AS n_violations,
+               (COALESCE(v.n_violations, 0) = 0) AS is_compliant
+        FROM per p
+        LEFT JOIN delays d USING (host)
+        LEFT JOIN viol v USING (host)
     """,
         "related_terms": f"""
         WITH postings AS ({_POSTINGS_SQL}),

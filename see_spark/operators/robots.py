@@ -24,7 +24,7 @@ conservative blocking is the caller's policy knob (``unreachable_block``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -188,4 +188,59 @@ def latest_per_host(robots_rfc: DataFrame) -> DataFrame:
         robots_rfc.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def politeness_audit(
+    fetch_log: DataFrame, host_delays: DataFrame
+) -> DataFrame:
+    """Per-host politeness COMPLIANCE audit over an executed fetch log —
+    the governance check that the scheduler's promises (crawl-delay
+    gates, per-host budgets) actually held on the wire. Engine addition:
+    the reference has no audit surface; large crawls ship one because a
+    politeness regression is an external incident, not just a bug.
+
+    ``fetch_log``: (host, fetch_ts) — one row per completed fetch,
+    integer timestamps (seconds or ms, any consistent unit).
+    ``host_delays``: (host, min_gap) — the promised minimum gap per
+    host in the same unit (robots Crawl-delay or the engine's default).
+
+    Per host: number of fetches, the smallest observed gap between
+    consecutive fetches (NULL for single-fetch hosts), the number of
+    gap violations (gap < min_gap), and an ``is_compliant`` flag.
+
+    Scale shape: ONE window shuffle keyed by host (lag over fetch_ts —
+    the same key the fetch log is already written/bucketed by, so under
+    co-partitioned storage it's a per-partition sort) + one combinable
+    aggregate; the delay dimension joins host-keyed (broadcast-sized:
+    one row per host).
+    """
+    w = Window.partitionBy("host").orderBy("fetch_ts")
+    gaps = fetch_log.withColumn(
+        "__gap", F.col("fetch_ts") - F.lag("fetch_ts").over(w)
+    )
+    per_host = gaps.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.min("__gap").cast("long").alias("min_gap_observed"),
+    )
+    viol = (
+        gaps.join(host_delays, "host")
+        .filter(F.col("__gap").isNotNull() & (F.col("__gap") < F.col("min_gap")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_violations"))
+    )
+    return (
+        per_host.join(host_delays, "host", "left")
+        .join(viol, "host", "left")
+        .select(
+            "host",
+            "n_fetches",
+            "min_gap_observed",
+            F.coalesce(F.col("min_gap"), F.lit(0)).cast("long")
+            .alias("min_gap_required"),
+            F.coalesce(F.col("n_violations"), F.lit(0)).cast("long")
+            .alias("n_violations"),
+            (F.coalesce(F.col("n_violations"), F.lit(0)) == 0)
+            .alias("is_compliant"),
+        )
     )

@@ -103,3 +103,37 @@ def test_no_ttl_keeps_stale_allow(spark):
     # the round-0 allow-all copy is cached forever: everything visited
     assert all(s == "visited" for s in states.values())
     assert "http://t.test/late2" in states
+
+
+def test_politeness_audit_hand_values(spark):
+    """Violations counted only on real sub-delay gaps; single-fetch hosts
+    have NULL min gap and are compliant; unknown hosts get required=0."""
+    from see_spark.operators.robots import politeness_audit
+
+    log = spark.createDataFrame(
+        [
+            # a.test: gaps 2, 10 with min_gap 5 -> one violation
+            ("a.test", 100), ("a.test", 102), ("a.test", 112),
+            # b.test: gaps 5, 5 with min_gap 5 -> compliant (>= is OK)
+            ("b.test", 0), ("b.test", 5), ("b.test", 10),
+            # c.test: single fetch -> NULL min gap, compliant
+            ("c.test", 7),
+            # d.test: not in the delay dimension -> required 0, compliant
+            ("d.test", 1), ("d.test", 2),
+        ],
+        "host string, fetch_ts long",
+    )
+    delays = spark.createDataFrame(
+        [("a.test", 5), ("b.test", 5), ("c.test", 9)],
+        "host string, min_gap long",
+    )
+    rows = {r["host"]: r for r in politeness_audit(log, delays).collect()}
+    assert rows["a.test"]["n_violations"] == 1
+    assert rows["a.test"]["min_gap_observed"] == 2
+    assert rows["a.test"]["is_compliant"] is False
+    assert rows["b.test"]["n_violations"] == 0
+    assert rows["b.test"]["is_compliant"] is True
+    assert rows["c.test"]["min_gap_observed"] is None
+    assert rows["c.test"]["is_compliant"] is True
+    assert rows["d.test"]["min_gap_required"] == 0
+    assert rows["d.test"]["is_compliant"] is True
