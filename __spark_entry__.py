@@ -5769,6 +5769,46 @@ def _q_doc_keywords(spark, sf_dir):
     return doc_keywords(_doc_postings_tf(spark, sf_dir), n, k=3)
 
 
+def _q_rel_canonical(spark, sf_dir):
+    """Publisher-declared alias edges (operators/urlalias.py:
+    rel_canonical_edges, RFC 6596): HTML synthesized with all arms —
+    absolute cross-host canonicals, self-canonicals, root-relative
+    (resolved to the page origin), bare-relative (unresolved -> NULL +
+    audit flag), attribute-order-swapped tags, and tag-less pages (no
+    row). The oracle derives the expected edges CLOSED-FORM from the
+    construction — independent of the extraction regexes."""
+    from see_spark.operators.urlalias import rel_canonical_edges
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 300)
+    d = F.col("doc_id").cast("long")
+    page = F.concat(
+        F.lit("http://host"), (d % 11).cast("string"), F.lit(".test/doc/"),
+        d.cast("string"),
+    )
+    href = (
+        F.when((d % 3 == 0) & (d % 4 == 0), page)
+        .when(d % 3 == 0,
+              F.concat(F.lit("http://canon.test/c/"),
+                       F.expr("CAST(doc_id AS BIGINT) div 3").cast("string")))
+        .when((d % 3 == 1) & (d % 7 == 1),
+              F.concat(F.lit("c/"), d.cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("/c/"), d.cast("string")))
+        .otherwise(F.lit(None))
+    )
+    tag = F.when(
+        d % 5 == 0,
+        F.concat(F.lit('<link href="'), href, F.lit('" rel="canonical">')),
+    ).otherwise(
+        F.concat(F.lit('<link rel="canonical" href="'), href, F.lit('">'))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), F.coalesce(tag, F.lit("")),
+        F.lit("</head><body>"), F.col("text"), F.lit("</body></html>"),
+    )
+    raw = docs.select(page.alias("url"), html.alias("body"))
+    return rel_canonical_edges(raw)
+
+
 def _q_politeness_audit(spark, sf_dir):
     """Politeness COMPLIANCE audit (operators/robots.py:
     politeness_audit): per-host smallest observed fetch gap vs the
@@ -5829,6 +5869,7 @@ QUERIES_EXTRA.update(
         "doc_keywords": _q_doc_keywords,
         "related_terms": _q_related_terms,
         "politeness_audit": _q_politeness_audit,
+        "rel_canonical": _q_rel_canonical,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6035,6 +6076,37 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "rel_canonical": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS k
+                   FROM documents WHERE doc_id < 300),
+        arms AS (
+          SELECT k,
+                 'http://host' || CAST(k % 11 AS VARCHAR)
+                 || '.test/doc/' || CAST(k AS VARCHAR) AS url,
+                 CASE
+                   WHEN k % 3 = 2 THEN NULL
+                   WHEN k % 3 = 0 AND k % 4 = 0 THEN 'self'
+                   WHEN k % 3 = 0 THEN 'abs'
+                   WHEN k % 7 = 1 THEN 'unresolved'
+                   ELSE 'rootrel'
+                 END AS arm
+          FROM d)
+        SELECT url,
+               CASE arm
+                 WHEN 'self' THEN url
+                 WHEN 'abs' THEN 'http://canon.test/c/'
+                                 || CAST(k // 3 AS VARCHAR)
+                 WHEN 'rootrel' THEN 'http://host' || CAST(k % 11 AS VARCHAR)
+                                     || '.test/c/' || CAST(k AS VARCHAR)
+                 ELSE NULL
+               END AS canonical_url,
+               CASE WHEN arm = 'unresolved' THEN NULL
+                    ELSE (arm = 'self') END AS is_self,
+               CASE WHEN arm = 'unresolved' THEN NULL
+                    ELSE (arm = 'abs') END AS is_cross_host,
+               (arm = 'unresolved') AS href_unresolved
+        FROM arms WHERE arm IS NOT NULL
     """,
         "politeness_audit": """
         WITH log AS (

@@ -278,3 +278,76 @@ def mirror_hosts(
     ).select(
         "host_a", "host_b", "shared", "size_a", "size_b", "resemblance_milli"
     )
+
+
+# rel=canonical extraction (the EXPLICIT alias signal; the rules above are
+# the inferred one) -----------------------------------------------------
+
+_CANON_A = (
+    r'<link[^>]*rel=["\']?canonical["\']?[^>]*href=["\']([^"\']+)["\']'
+)
+_CANON_B = (
+    r'<link[^>]*href=["\']([^"\']+)["\'][^>]*rel=["\']?canonical["\']?'
+)
+_ORIGIN = r"^(https?://[^/?#]+)"
+
+
+def rel_canonical_edges(
+    raw_docs: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """``<link rel="canonical">`` alias edges from raw HTML — the
+    publisher-declared duplicate signal (Google/RFC 6596), complementing
+    the DUST rules this module INFERS from content evidence. Engine
+    addition: the reference parser collects only <a href> (see_html.erl:
+    54-78); rel=canonical is the standard extra tag a dedup pipeline
+    consumes.
+
+    Pure Catalyst: two regexes tolerate either attribute order (first
+    match wins, the browser rule for duplicated tags); pinned resolution
+    semantics — absolute http(s) hrefs kept, root-relative ``/path``
+    joined to the page origin, anything else (relative, protocol-
+    relative, garbage) -> NULL canonical with ``href_unresolved`` = true
+    so coverage is auditable. Zero shuffle: row-local extraction; the
+    output feeds the same alias machinery as ``apply_param_rules`` (a
+    broadcast-join rewrite) or dup-cluster election.
+
+    Returns (url, canonical_url, is_self, is_cross_host,
+    href_unresolved) for pages that DECLARE a canonical; pages without
+    the tag emit no row.
+    """
+    href = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(body_col), _CANON_A, 1), F.lit("")),
+        F.nullif(F.regexp_extract(F.col(body_col), _CANON_B, 1), F.lit("")),
+    )
+    origin = F.regexp_extract(F.col(url_col), _ORIGIN, 1)
+    resolved = (
+        F.when(href.rlike("^https?://"), href)
+        .when(
+            href.startswith("/") & ~href.startswith("//"),
+            F.concat(origin, href),
+        )
+        .otherwise(F.lit(None))
+    )
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1)
+    chost = F.regexp_extract(resolved, r"^https?://([^/?#]+)", 1)
+    return (
+        raw_docs.select(
+            F.col(url_col).alias("url"),
+            href.alias("__href"),
+            resolved.alias("canonical_url"),
+            host.alias("__h"),
+            chost.alias("__ch"),
+        )
+        .filter(F.col("__href").isNotNull())
+        .select(
+            "url",
+            "canonical_url",
+            (F.col("canonical_url") == F.col("url")).alias("is_self"),
+            F.when(
+                F.col("canonical_url").isNull(), F.lit(None).cast("boolean")
+            )
+            .otherwise(F.col("__ch") != F.col("__h"))
+            .alias("is_cross_host"),
+            F.col("canonical_url").isNull().alias("href_unresolved"),
+        )
+    )

@@ -150,3 +150,47 @@ def test_apply_passes_unparseable_urls_through(spark):
     got = {r["url"]: r["alias_url"] for r in apply_param_rules(pages, rules).collect()}
     assert got["not-a-url"] == "not-a-url"
     assert got["http://h.test/a?sid=1"] == "http://h.test/a"
+
+
+def test_rel_canonical_extraction_edges(spark):
+    from see_spark.operators.urlalias import rel_canonical_edges
+
+    page = "http://a.test/p/x"
+    cases = [
+        # attribute order A / B, double + single quotes
+        ('<link rel="canonical" href="http://c.test/1">', "http://c.test/1"),
+        ('<link href="http://c.test/2" rel="canonical">', "http://c.test/2"),
+        ("<link rel='canonical' href='http://c.test/3'>", "http://c.test/3"),
+        # root-relative -> page origin
+        ('<link rel="canonical" href="/y/z">', "http://a.test/y/z"),
+        # protocol-relative is NOT root-relative: unresolved
+        ('<link rel="canonical" href="//cdn.test/z">', None),
+        # bare-relative: unresolved
+        ('<link rel="canonical" href="sub/page">', None),
+        # self-canonical
+        (f'<link rel="canonical" href="{page}">', page),
+    ]
+    raw = spark.createDataFrame(
+        [(page, f"<html><head>{tag}</head><body>hi</body></html>")
+         for tag, _ in cases],
+        "url string, body string",
+    )
+    got = [r["canonical_url"] for r in rel_canonical_edges(raw).collect()]
+    assert got == [want for _, want in cases]
+
+    rows = rel_canonical_edges(raw).collect()
+    assert rows[3]["is_cross_host"] is False
+    assert rows[4]["href_unresolved"] is True and rows[4]["is_self"] is None
+    assert rows[6]["is_self"] is True
+
+    # no tag -> no row; other <link> rels ignored
+    none = spark.createDataFrame(
+        [(page, '<html><head><link rel="stylesheet" href="/s.css">'
+                "</head><body>hi</body></html>")],
+        "url string, body string",
+    )
+    assert rel_canonical_edges(none).count() == 0
+    # plan stays JVM-side
+    plan = (rel_canonical_edges(raw)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
