@@ -5769,6 +5769,62 @@ def _q_doc_keywords(spark, sf_dir):
     return doc_keywords(_doc_postings_tf(spark, sf_dir), n, k=3)
 
 
+def _q_feed_seeds(spark, sf_dir):
+    """RSS/Atom feed ingestion (operators/robots.py:feed_seed_urls):
+    even docs render an RSS channel (text links: channel + variable
+    item count), odd docs an Atom feed (rel=self / rel=hub /
+    rel=enclosure excluded; rel-less + rel=alternate + entry links
+    kept), and the oracle enumerates the expected URLs CLOSED-FORM from
+    the construction — independent of the extraction regexes."""
+    from see_spark.operators.robots import feed_seed_urls
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 100)
+    d = F.col("doc_id").cast("long")
+    h = (d % 7).cast("string")
+    base = F.concat(F.lit("http://host"), h, F.lit(".test"))
+    feed_url = F.concat(base, F.lit("/feed/"), d.cast("string"))
+    items = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (d % 3).cast("int")),
+            lambda i: F.concat(
+                F.lit("<item><link>"), base, F.lit("/art/"),
+                d.cast("string"), F.lit("-"), i.cast("string"),
+                F.lit("</link></item>"),
+            ),
+        ),
+        "",
+    )
+    rss_body = F.concat(
+        F.lit("<rss><channel><link>"), base, F.lit("/</link>"),
+        items, F.lit("</channel></rss>"),
+    )
+    entries = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (d % 3).cast("int")),
+            lambda i: F.concat(
+                F.lit('<entry><link href="'), base, F.lit("/art/"),
+                d.cast("string"), F.lit("-"), i.cast("string"),
+                F.lit('"/></entry>'),
+            ),
+        ),
+        "",
+    )
+    atom_body = F.concat(
+        F.lit('<feed><link rel="self" href="'), feed_url, F.lit('"/>'),
+        F.lit('<link rel="hub" href="http://hub.test/"/>'),
+        F.lit('<link href="'), base, F.lit('/front"/>'),
+        F.lit('<link rel="alternate" href="'), base, F.lit('/alt"/>'),
+        F.lit('<link rel="enclosure" href="'), base,
+        F.lit('/media.mp3"/>'),
+        entries, F.lit("</feed>"),
+    )
+    feeds = docs.select(
+        feed_url.alias("url"),
+        F.when(d % 2 == 0, rss_body).otherwise(atom_body).alias("body"),
+    )
+    return feed_seed_urls(feeds)
+
+
 def _q_rel_canonical(spark, sf_dir):
     """Publisher-declared alias edges (operators/urlalias.py:
     rel_canonical_edges, RFC 6596): HTML synthesized with all arms —
@@ -5870,6 +5926,7 @@ QUERIES_EXTRA.update(
         "related_terms": _q_related_terms,
         "politeness_audit": _q_politeness_audit,
         "rel_canonical": _q_rel_canonical,
+        "feed_seeds": _q_feed_seeds,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6076,6 +6133,45 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "feed_seeds": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS k
+                   FROM documents WHERE doc_id < 100),
+        b AS (SELECT k,
+                     'http://host' || CAST(k % 7 AS VARCHAR) || '.test'
+                       AS base,
+                     'http://host' || CAST(k % 7 AS VARCHAR)
+                     || '.test/feed/' || CAST(k AS VARCHAR) AS source_feed
+              FROM d),
+        rss AS (
+          -- pos 0 = channel link, pos 1..n = items (even docs)
+          SELECT base || '/' AS url, source_feed, 'rss' AS kind,
+                 CAST(0 AS BIGINT) AS pos
+          FROM b WHERE k % 2 = 0
+          UNION ALL
+          SELECT base || '/art/' || CAST(k AS VARCHAR) || '-'
+                 || CAST(i AS VARCHAR),
+                 source_feed, 'rss', CAST(i + 1 AS BIGINT)
+          FROM b, unnest(range(0, (k % 3) + 1)) AS t(i)
+          WHERE k % 2 = 0),
+        atom AS (
+          -- front (pos 0), alt (pos 1), entries (pos 2..) — self/hub/
+          -- enclosure excluded by the rel rule (odd docs)
+          SELECT base || '/front' AS url, source_feed, 'atom' AS kind,
+                 CAST(0 AS BIGINT) AS pos
+          FROM b WHERE k % 2 = 1
+          UNION ALL
+          SELECT base || '/alt', source_feed, 'atom', CAST(1 AS BIGINT)
+          FROM b WHERE k % 2 = 1
+          UNION ALL
+          SELECT base || '/art/' || CAST(k AS VARCHAR) || '-'
+                 || CAST(i AS VARCHAR),
+                 source_feed, 'atom', CAST(i + 2 AS BIGINT)
+          FROM b, unnest(range(0, (k % 3) + 1)) AS t(i)
+          WHERE k % 2 = 1)
+        SELECT url, source_feed, kind, pos FROM rss
+        UNION ALL
+        SELECT url, source_feed, kind, pos FROM atom
     """,
         "rel_canonical": """
         WITH d AS (SELECT CAST(doc_id AS BIGINT) AS k

@@ -244,3 +244,54 @@ def politeness_audit(
             .alias("is_compliant"),
         )
     )
+
+
+_RSS_LINK = r"<link>\s*([^<]+?)\s*</link>"
+_LINK_TAG = r"<link[^>]*>"
+_SKIP_REL = r"""rel=["']?(self|hub|enclosure)"""
+_HREF = r"""href=["']([^"']+)["']"""
+
+
+def feed_seed_urls(fetched_feeds: DataFrame) -> DataFrame:
+    """(url, body) RSS/Atom feed fetches -> one row per linked page URL —
+    the freshness-ingest sibling of ``sitemap_seed_urls`` (feeds are how
+    a recrawl discovers NEW articles between sitemap regenerations;
+    engine addition, the reference has no feed support).
+
+    Tolerant regex extraction, pure Catalyst (real-world feeds are
+    frequently malformed XML — extract, don't validate; the downstream
+    canonicalizer rejects garbage, same stance as ``parse_sitemap``):
+
+      - RSS text links   ``<link>URL</link>`` (channel + item links);
+      - Atom link tags   ``<link ... href="URL">`` EXCEPT rel=self
+                         (the feed itself), rel=hub (WebSub plumbing)
+                         and rel=enclosure (media payloads) — rel-less
+                         and rel=alternate tags are page links.
+
+    Output (url, source_feed, kind 'rss'|'atom', pos) with ``pos`` the
+    0-based document-order index per (feed, kind) — the deterministic
+    within-feed enqueue order, mirroring the sitemap contract. Zero
+    shuffle: per-row array work + one explode.
+    """
+    rss = F.regexp_extract_all(F.col("body"), F.lit(_RSS_LINK), 1)
+    atom = F.transform(
+        F.filter(
+            F.regexp_extract_all(F.col("body"), F.lit(_LINK_TAG), 0),
+            lambda t: (~t.rlike(_SKIP_REL)) & t.rlike("href="),
+        ),
+        lambda t: F.regexp_extract(t, _HREF, 1),
+    )
+    src = fetched_feeds.select(
+        F.col("url").alias("source_feed"),
+        rss.alias("__rss"),
+        atom.alias("__atom"),
+    )
+    out_rss = src.select(
+        "source_feed", F.posexplode("__rss").alias("pos", "url")
+    ).select("url", "source_feed", F.lit("rss").alias("kind"),
+             F.col("pos").cast("long").alias("pos"))
+    out_atom = src.select(
+        "source_feed", F.posexplode("__atom").alias("pos", "url")
+    ).select("url", "source_feed", F.lit("atom").alias("kind"),
+             F.col("pos").cast("long").alias("pos"))
+    return out_rss.unionByName(out_atom).filter(F.col("url") != "")

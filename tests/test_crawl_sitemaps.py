@@ -177,3 +177,41 @@ def test_sitemaps_off_is_unchanged(spark):
         u: (e.state, e.seq) for u, e in oracle.frontier.items()
     }
     assert catalog.read("sitemaps_fetched").isEmpty()
+
+
+def test_feed_seed_urls_rel_rules_and_order(spark):
+    """Atom rel=self/hub/enclosure are plumbing, not page links; RSS text
+    links keep document order; malformed tails extract what they can."""
+    from see_spark.operators.robots import feed_seed_urls
+
+    rss = (
+        "<rss><channel><link>http://h.test/</link>"
+        "<item><link> http://h.test/a1 </link></item>"
+        "<item><link>http://h.test/a2</link></item>"
+        "<item><link></link></item>"  # empty -> dropped
+        "</channel></rss"  # malformed tail: truncated close
+    )
+    atom = (
+        '<feed><link rel="self" href="http://h.test/feed"/>'
+        '<link rel="hub" href="http://hub.test/"/>'
+        '<link href="http://h.test/e1"/>'
+        "<link rel='alternate' href='http://h.test/e2'/>"
+        '<link rel="enclosure" href="http://h.test/x.mp3"/>'
+        '<entry><link href="http://h.test/e3"/></entry></feed>'
+    )
+    feeds = spark.createDataFrame(
+        [("http://h.test/feed.rss", rss), ("http://h.test/feed.atom", atom)],
+        "url string, body string",
+    )
+    rows = sorted(
+        map(tuple, feed_seed_urls(feeds).collect()),
+        key=lambda r: (r[2], r[3]),
+    )
+    assert rows == [
+        ("http://h.test/e1", "http://h.test/feed.atom", "atom", 0),
+        ("http://h.test/e2", "http://h.test/feed.atom", "atom", 1),
+        ("http://h.test/e3", "http://h.test/feed.atom", "atom", 2),
+        ("http://h.test/", "http://h.test/feed.rss", "rss", 0),
+        ("http://h.test/a1", "http://h.test/feed.rss", "rss", 1),
+        ("http://h.test/a2", "http://h.test/feed.rss", "rss", 2),
+    ]
