@@ -5769,6 +5769,16 @@ def _q_doc_keywords(spark, sf_dir):
     return doc_keywords(_doc_postings_tf(spark, sf_dir), n, k=3)
 
 
+def _q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency slope over the corpus term distribution
+    (operators/indexstats.py:zipf_fit): least-squares over integer
+    milli-nat quantized (ln rank, ln freq) — every sum exact int64, so
+    the fit is engine- and partitioning-exact."""
+    from see_spark.operators.indexstats import zipf_fit
+
+    return zipf_fit(_doc_postings(spark, sf_dir), top_n=300)
+
+
 def _q_feed_seeds(spark, sf_dir):
     """RSS/Atom feed ingestion (operators/robots.py:feed_seed_urls):
     even docs render an RSS channel (text links: channel + variable
@@ -5927,6 +5937,7 @@ QUERIES_EXTRA.update(
         "politeness_audit": _q_politeness_audit,
         "rel_canonical": _q_rel_canonical,
         "feed_seeds": _q_feed_seeds,
+        "zipf_fit": _q_zipf_fit,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6133,6 +6144,32 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "zipf_fit": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        freqs AS (SELECT word, CAST(SUM(term_count) AS BIGINT) AS freq
+                  FROM postings GROUP BY word),
+        top AS (SELECT word, freq,
+                       row_number() OVER (ORDER BY freq DESC, word ASC)
+                         AS rank
+                FROM freqs QUALIFY rank <= 300),
+        q AS (SELECT freq,
+                     CAST(round(ln(CAST(rank AS DOUBLE)) * 1000)
+                          AS BIGINT) AS x,
+                     CAST(round(ln(CAST(freq AS DOUBLE)) * 1000)
+                          AS BIGINT) AS y
+              FROM top),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(MAX(freq) AS BIGINT) AS top_freq,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx
+              FROM q)
+        SELECT n_words, top_freq,
+               CAST(((n_words * sxy - sx * sy) * 1000)
+                    // (n_words * sxx - sx * sx) AS BIGINT) AS slope_milli
+        FROM s
     """,
         "feed_seeds": """
         WITH d AS (SELECT CAST(doc_id AS BIGINT) AS k

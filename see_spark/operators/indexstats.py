@@ -45,3 +45,51 @@ def posting_gap_stats(postings: DataFrame, round_dp: int = 6) -> DataFrame:
         F.max("__gap").alias("max_gap"),
         F.sum(F.length(F.bin(F.col("__gap")))).alias("gap_bits"),
     )
+
+
+def zipf_fit(postings: DataFrame, top_n: int = 500) -> DataFrame:
+    """Zipf rank-frequency fit over the term distribution — the corpus
+    health number capacity planning reads (a healthy natural-language
+    corpus fits ln(freq) ~ a + s*ln(rank) with s near -1; spam farms,
+    boilerplate floods, and tokenizer regressions all bend it).
+
+    One combinable word aggregate -> top_n cut by (freq desc, word asc)
+    -> least-squares slope over (ln rank, ln freq), both quantized to
+    integer MILLI-nats BEFORE the sums so every Σ is exact int64
+    arithmetic in any engine (milli keeps n*Σxy within int64 for any
+    top_n <= 10^6; a raw double Σ would be partial-aggregation-order
+    dependent). Returns one row: (n_words, top_freq, slope_milli).
+    """
+    freqs = postings.groupBy("word").agg(
+        F.sum("term_count").cast("long").alias("freq")
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    # the global window runs over the top_n slice only at scale too:
+    # pre-cut with a TakeOrderedAndProject-shaped limit first
+    top = (
+        freqs.orderBy(F.desc("freq"), F.asc("word"))
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    q = top.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1000, 0)
+        .cast("long").alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000, 0)
+        .cast("long").alias("y"),
+        "freq",
+    )
+    sums = q.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.max("freq").cast("long").alias("top_freq"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        "n_words",
+        "top_freq",
+        F.expr(
+            "((n_words * sxy - sx * sy) * 1000) div (n_words * sxx - sx * sx)"
+        ).cast("long").alias("slope_milli"),
+    )

@@ -334,3 +334,22 @@ def test_error_backoff_gap_values_and_checkout_composition(spark):
         host_gap=error_backoff_gap(f, base_gap=1, cap_rounds=6),
     ).collect()
     assert sorted(r["host"] for r in batch) == ["clean.test", "e1.test"]
+
+
+def test_zipf_fit_recovers_known_slope(spark):
+    """A synthetic corpus built with freq(rank) = C * rank^-1 must fit
+    slope ≈ -1000 milli; partitioning must not move a single milli."""
+    from pyspark.sql import functions as F
+
+    from see_spark.operators.indexstats import zipf_fit
+
+    rows = [(f"w{r:04d}", 1, int(100000 / r)) for r in range(1, 201)]
+    postings = spark.createDataFrame(
+        rows, "word string, doc_id long, term_count long"
+    )
+    out = zipf_fit(postings, top_n=200).collect()[0]
+    assert out["n_words"] == 200
+    assert out["top_freq"] == 100000
+    assert -1010 <= out["slope_milli"] <= -990
+    again = zipf_fit(postings.repartition(16), top_n=200).collect()[0]
+    assert tuple(again) == tuple(out)

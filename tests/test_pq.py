@@ -180,3 +180,4 @@ def test_ivfpq_probe_restricts_candidates(pq_corpus):
     # ADC distances agree on the shared candidates
     wd = {r["vec_id"]: r["adc_dist"] for r in wide}
     assert all(wd[r["vec_id"]] == r["adc_dist"] for r in narrow)
+
