@@ -5769,6 +5769,50 @@ def _q_doc_keywords(spark, sf_dir):
     return doc_keywords(_doc_postings_tf(spark, sf_dir), n, k=3)
 
 
+def _q_sitemap_coverage(spark, sf_dir):
+    """Sitemap-coverage audit (operators/robots.py:sitemap_coverage):
+    per host, declared URLs vs discovered (in frontier) vs fetched
+    (visited) in integer milli — even orders are declared AND in the
+    frontier, every third key declares an /extra/ URL the crawl never
+    discovered, so all three ratios separate."""
+    from see_spark.operators.robots import sitemap_coverage
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("long")
+    h = (F.col("o_custkey").cast("long") % N_HOSTS).cast("string")
+    host = F.concat(F.lit("host"), h, F.lit(".test"))
+    in_frontier = o.filter(k % 2 == 0).select(
+        host.alias("host"),
+        F.concat(F.lit("http://host"), h, F.lit(".test/order/"),
+                 k.cast("string")).alias("url"),
+    )
+    extra = o.filter(k % 3 == 0).select(
+        host.alias("host"),
+        F.concat(F.lit("http://host"), h, F.lit(".test/extra/"),
+                 k.cast("string")).alias("url"),
+    )
+    declared = in_frontier.unionByName(extra)
+    return sitemap_coverage(declared, _orders_frontier(spark, sf_dir))
+
+
+def _q_hot_terms(spark, sf_dir):
+    """Hot-tier dictionary plan (operators/indexstats.py:
+    hot_term_cache_plan): smallest term prefix covering 80% of accesses
+    goes RAM-resident. Access log synthesized with genuine skew (even
+    keys concentrate on 7 words) so the hot/cold boundary is interior."""
+    from see_spark.operators.indexstats import hot_term_cache_plan
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("long")
+    wid = F.when(k % 2 == 0, k % 7).otherwise(k % 150)
+    access = (
+        o.select(F.concat(F.lit("w"), wid.cast("string")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n_queries"))
+    )
+    return hot_term_cache_plan(access, hot_mass_milli=800)
+
+
 def _q_zipf_fit(spark, sf_dir):
     """Zipf rank-frequency slope over the corpus term distribution
     (operators/indexstats.py:zipf_fit): least-squares over integer
@@ -5938,6 +5982,8 @@ QUERIES_EXTRA.update(
         "rel_canonical": _q_rel_canonical,
         "feed_seeds": _q_feed_seeds,
         "zipf_fit": _q_zipf_fit,
+        "sitemap_coverage": _q_sitemap_coverage,
+        "hot_terms": _q_hot_terms,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6144,6 +6190,59 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "sitemap_coverage": f"""
+        WITH f AS ({_FRONTIER_SQL}),
+        declared AS (
+          SELECT 'host' || CAST(o_custkey % {N_HOSTS} AS VARCHAR)
+                 || '.test' AS host,
+                 'http://host' || CAST(o_custkey % {N_HOSTS} AS VARCHAR)
+                 || '.test/order/' || CAST(o_orderkey AS VARCHAR) AS url
+          FROM orders WHERE o_orderkey % 2 = 0
+          UNION
+          SELECT 'host' || CAST(o_custkey % {N_HOSTS} AS VARCHAR)
+                 || '.test',
+                 'http://host' || CAST(o_custkey % {N_HOSTS} AS VARCHAR)
+                 || '.test/extra/' || CAST(o_orderkey AS VARCHAR)
+          FROM orders WHERE o_orderkey % 3 = 0),
+        j AS (SELECT d.host, f.state
+              FROM declared d LEFT JOIN f ON f.url = d.url),
+        agg AS (
+          SELECT host,
+                 CAST(COUNT(*) AS BIGINT) AS n_declared,
+                 CAST(SUM(CASE WHEN state IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_discovered,
+                 CAST(SUM(CASE WHEN state = 'visited' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_fetched
+          FROM j GROUP BY host)
+        SELECT host, n_declared, n_discovered, n_fetched,
+               CAST((n_discovered * 1000) // n_declared AS BIGINT)
+                 AS discovered_milli,
+               CAST((n_fetched * 1000) // n_declared AS BIGINT)
+                 AS fetched_milli
+        FROM agg
+    """,
+        "hot_terms": """
+        WITH a AS (
+          SELECT 'w' || CAST(CASE WHEN o_orderkey % 2 = 0
+                                  THEN o_orderkey % 7
+                                  ELSE o_orderkey % 150 END AS VARCHAR)
+                   AS word,
+                 CAST(COUNT(*) AS BIGINT) AS n_queries
+          FROM orders GROUP BY 1),
+        t AS (SELECT SUM(n_queries) AS tot FROM a),
+        c AS (SELECT word, n_queries,
+                     CAST(row_number() OVER (
+                       ORDER BY n_queries DESC, word ASC) AS BIGINT)
+                       AS cum_rank,
+                     CAST(SUM(n_queries) OVER (
+                       ORDER BY n_queries DESC, word ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM a)
+        SELECT word, n_queries, cum_rank,
+               CAST((cum * 1000) // t.tot AS BIGINT) AS cum_milli,
+               ((cum * 1000) // t.tot <= 800 OR cum_rank = 1) AS is_hot
+        FROM c, t
     """,
         "zipf_fit": f"""
         WITH postings AS ({_POSTINGS_SQL}),

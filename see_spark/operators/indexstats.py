@@ -93,3 +93,47 @@ def zipf_fit(postings: DataFrame, top_n: int = 500) -> DataFrame:
             "((n_words * sxy - sx * sy) * 1000) div (n_words * sxx - sx * sx)"
         ).cast("long").alias("slope_milli"),
     )
+
+
+def hot_term_cache_plan(
+    term_access: DataFrame, hot_mass_milli: int = 800
+) -> DataFrame:
+    """Serving-tier assignment for the term dictionary: the smallest
+    prefix of terms (by access frequency) covering ``hot_mass_milli``/1000
+    of total query-term accesses goes to the HOT tier (RAM-resident
+    postings/dictionary), the tail stays cold — the classic skew-driven
+    cache plan (query logs are Zipfian, so a tiny hot set covers most
+    accesses; see the zipf_fit audit above for the slope that predicts
+    the hot-set size).
+
+    ``term_access``: (word, n_queries). One global cumulative window over
+    the DICTIONARY relation (vocab-sized, not corpus-sized; at 10^8-term
+    vocab switch the window to the two-pass range-partition cumsum used
+    by packing.py). Pinned rule: a term is hot while the cumulative mass
+    INCLUDING it is <= the threshold, plus the first term always (a
+    threshold below the top term's own mass would otherwise cache
+    nothing). Ties (n_queries, word) pinned. Integer milli math
+    throughout. Returns (word, n_queries, cum_rank, cum_milli, is_hot).
+    """
+    total = term_access.agg(
+        F.sum("n_queries").cast("long").alias("__t")
+    )
+    w = Window.orderBy(F.desc("n_queries"), F.asc("word")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rw = Window.orderBy(F.desc("n_queries"), F.asc("word"))
+    return (
+        term_access.crossJoin(F.broadcast(total))
+        .withColumn("__cum", F.sum("n_queries").over(w).cast("long"))
+        .withColumn("cum_rank", F.row_number().over(rw).cast("long"))
+        .select(
+            "word",
+            F.col("n_queries").cast("long").alias("n_queries"),
+            "cum_rank",
+            F.expr("(__cum * 1000) div __t").cast("long").alias("cum_milli"),
+            (
+                (F.expr("(__cum * 1000) div __t") <= hot_mass_milli)
+                | (F.col("cum_rank") == 1)
+            ).alias("is_hot"),
+        )
+    )

@@ -295,3 +295,40 @@ def feed_seed_urls(fetched_feeds: DataFrame) -> DataFrame:
     ).select("url", "source_feed", F.lit("atom").alias("kind"),
              F.col("pos").cast("long").alias("pos"))
     return out_rss.unionByName(out_atom).filter(F.col("url") != "")
+
+
+def sitemap_coverage(declared: DataFrame, frontier: DataFrame) -> DataFrame:
+    """Per-host sitemap-coverage audit: of the URLs a host DECLARED in
+    its sitemaps, how many ever entered the frontier (discovered) and
+    how many were actually fetched (visited) — the crawl-completeness
+    number a site owner asks for and the scheduler's budget allocator
+    reads (a host with low declared-coverage deserves budget; one at
+    1000 milli is exhausted — composes with Good-Turing's
+    discovery-side estimate in operators/discovery.py).
+
+    ``declared``: (host, url) distinct declared URLs; ``frontier``:
+    (url, host, state, ...). One left equi-join on url (both sides
+    url-keyed — co-partitioned under frontier storage) + one combinable
+    host aggregate. Integer milli ratios.
+    """
+    j = declared.select("host", "url").distinct().join(
+        frontier.select("url", F.col("state").alias("__state")),
+        "url", "left",
+    )
+    return (
+        j.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_declared"),
+            F.sum(F.when(F.col("__state").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_discovered"),
+            F.sum(F.when(F.col("__state") == "visited", 1).otherwise(0))
+            .cast("long").alias("n_fetched"),
+        )
+        .select(
+            "host", "n_declared", "n_discovered", "n_fetched",
+            F.expr("(n_discovered * 1000) div n_declared")
+            .cast("long").alias("discovered_milli"),
+            F.expr("(n_fetched * 1000) div n_declared")
+            .cast("long").alias("fetched_milli"),
+        )
+    )

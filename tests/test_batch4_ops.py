@@ -353,3 +353,43 @@ def test_zipf_fit_recovers_known_slope(spark):
     assert -1010 <= out["slope_milli"] <= -990
     again = zipf_fit(postings.repartition(16), top_n=200).collect()[0]
     assert tuple(again) == tuple(out)
+
+
+def test_hot_term_cache_plan_boundary_rules(spark):
+    """The hot set is the smallest prefix covering the mass threshold;
+    the top term is hot even when it alone exceeds the threshold."""
+    from see_spark.operators.indexstats import hot_term_cache_plan
+
+    access = spark.createDataFrame(
+        [("a", 70), ("b", 20), ("c", 9), ("d", 1)],
+        "word string, n_queries long",
+    )
+    rows = {r["word"]: r for r in
+            hot_term_cache_plan(access, hot_mass_milli=800).collect()}
+    # cum milli: a=700, b=900, c=990, d=1000
+    assert rows["a"]["is_hot"] is True and rows["a"]["cum_milli"] == 700
+    assert rows["b"]["is_hot"] is False
+    assert rows["d"]["cum_rank"] == 4
+    # threshold below the top term's own mass: first term still hot
+    only_top = {r["word"]: r["is_hot"] for r in
+                hot_term_cache_plan(access, hot_mass_milli=100).collect()}
+    assert only_top == {"a": True, "b": False, "c": False, "d": False}
+
+
+def test_sitemap_coverage_three_ratio_arms(spark):
+    from see_spark.operators.robots import sitemap_coverage
+
+    declared = spark.createDataFrame(
+        [("h.test", "http://h.test/1"), ("h.test", "http://h.test/2"),
+         ("h.test", "http://h.test/3"), ("h.test", "http://h.test/ghost")],
+        "host string, url string",
+    )
+    frontier = spark.createDataFrame(
+        [("http://h.test/1", "h.test", "visited"),
+         ("http://h.test/2", "h.test", "unvisited"),
+         ("http://h.test/3", "h.test", "visited")],
+        "url string, host string, state string",
+    )
+    r = sitemap_coverage(declared, frontier).collect()[0]
+    assert (r["n_declared"], r["n_discovered"], r["n_fetched"]) == (4, 3, 2)
+    assert r["discovered_milli"] == 750 and r["fetched_milli"] == 500
