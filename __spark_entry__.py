@@ -5769,6 +5769,41 @@ def _q_doc_keywords(spark, sf_dir):
     return doc_keywords(_doc_postings_tf(spark, sf_dir), n, k=3)
 
 
+def _q_search_collapse(spark, sf_dir):
+    """SERP duplicate collapse (operators/search.py:collapse_duplicates)
+    over the OR-ranked top-100: each result maps to its exact-dup
+    canonical (md5 groups — the corpus genuinely contains dups), the
+    best-scoring member represents its cluster, then the page re-cuts
+    to 20. Oracle composes the proven search_or + md5-group fragments."""
+    from see_spark.operators.dedup import exact_dedup
+    from see_spark.operators.search import collapse_duplicates, search_or
+
+    docs = _documents(spark, sf_dir)
+    res = search_or(
+        spark,
+        " ".join(_SEARCH_WORDS),
+        _doc_postings_tf(spark, sf_dir),
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source").alias("title"),
+        ),
+        docs.count(),
+    ).select(F.col("url").cast("long").alias("url"), "score")
+    dmap = (
+        exact_dedup(
+            docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        )
+        .withColumn(
+            "canonical_id",
+            F.min("doc_id").over(Window.partitionBy("text_hash")),
+        )
+        .select("doc_id", "canonical_id")
+    )
+    return collapse_duplicates(res, dmap, k=20).select(
+        F.col("url").alias("doc_id"), "canonical_id", "score"
+    )
+
+
 def _q_sitemap_coverage(spark, sf_dir):
     """Sitemap-coverage audit (operators/robots.py:sitemap_coverage):
     per host, declared URLs vs discovered (in frontier) vs fetched
@@ -5984,6 +6019,7 @@ QUERIES_EXTRA.update(
         "zipf_fit": _q_zipf_fit,
         "sitemap_coverage": _q_sitemap_coverage,
         "hot_terms": _q_hot_terms,
+        "search_dedup_collapse": _q_search_collapse,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6190,6 +6226,37 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "search_dedup_collapse": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        q AS (SELECT unnest(['table','join','query']) AS word),
+        dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                FROM postings JOIN q USING (word) GROUP BY word),
+        matched AS (
+          SELECT p.doc_id, p.term_count, p.doc_len, dfs.df
+          FROM postings p JOIN q USING (word) JOIN dfs USING (word)),
+        scored AS (
+          SELECT doc_id,
+                 SUM((term_count / doc_len)
+                     * ln((SELECT n_docs FROM n) / (1.0 + df))) AS score
+          FROM matched GROUP BY doc_id),
+        top_raw AS (SELECT doc_id, score FROM scored
+                    ORDER BY score DESC, doc_id ASC LIMIT 100),
+        top AS (SELECT doc_id, ROUND(score, 6) AS score FROM top_raw),
+        canon AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         MIN(CAST(doc_id AS BIGINT)) OVER (
+                           PARTITION BY md5(text)) AS canonical_id
+                  FROM documents),
+        mapped AS (SELECT t.doc_id, t.score, c.canonical_id
+                   FROM top t JOIN canon c USING (doc_id)),
+        best AS (SELECT *, row_number() OVER (
+                   PARTITION BY canonical_id
+                   ORDER BY score DESC, doc_id ASC) AS rk
+                 FROM mapped)
+        SELECT doc_id, canonical_id, score
+        FROM best WHERE rk = 1
+        ORDER BY score DESC, canonical_id ASC LIMIT 20
     """,
         "sitemap_coverage": f"""
         WITH f AS ({_FRONTIER_SQL}),

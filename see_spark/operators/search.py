@@ -717,3 +717,42 @@ def diversify_by_host(
         .orderBy(F.desc(score_col), F.asc(id_col))
         .limit(k)
     )
+
+
+def collapse_duplicates(
+    results: DataFrame,
+    dup_map: DataFrame,
+    k: int = MAX_RESULTS,
+    id_col: str = "url",
+    score_col: str = "score",
+) -> DataFrame:
+    """SERP duplicate collapse (engine addition): near/exact-duplicate
+    documents must not occupy multiple result slots — map each result to
+    its duplicate-cluster canonical (``dup_map``: (doc_id,
+    canonical_id), e.g. from exact_dedup's md5 groups or
+    dedup_clusters' connected components) and keep only the
+    best-scoring member per cluster, then re-cut to ``k``. The
+    host-collapse sibling is ``diversify_by_host``; this one collapses
+    CONTENT identity.
+
+    Runs over the scored candidate page (<= the pre-cut k), so the
+    window is SERP-sized, never corpus-sized; unmapped results are their
+    own canonical (coalesce). Ties pinned (score desc, id asc) at both
+    the per-cluster pick and the final cut.
+    """
+    j = results.join(
+        dup_map.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn(
+        "canonical_id",
+        F.coalesce(F.col("canonical_id"), F.col(id_col)).cast("long"),
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        j.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+        .orderBy(F.desc(score_col), F.asc("canonical_id"))
+        .limit(k)
+    )

@@ -134,3 +134,26 @@ def test_diversify_by_host_caps_and_cuts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_collapse_duplicates_keeps_best_per_cluster(spark):
+    from pyspark.sql import functions as F
+
+    from see_spark.operators.search import collapse_duplicates
+
+    results = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0), (4, 6.0), (5, 6.0)],
+        "url long, score double",
+    )
+    # {1,3} one cluster (1 canonical), {2} alone, {4,5} tie cluster
+    dmap = spark.createDataFrame(
+        [(1, 1), (3, 1), (4, 4), (5, 4)], "doc_id long, canonical_id long"
+    )
+    rows = [
+        (r["url"], r["canonical_id"], r["score"])
+        for r in collapse_duplicates(results, dmap, k=10)
+        .orderBy(F.desc("score"), F.asc("canonical_id")).collect()
+    ]
+    # 3 collapses under 1; the 4/5 score tie resolves to the lower url;
+    # unmapped 2 is its own canonical
+    assert rows == [(1, 1, 9.0), (2, 2, 8.0), (4, 4, 6.0)]
