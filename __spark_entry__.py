@@ -5769,6 +5769,54 @@ def _q_doc_keywords(spark, sf_dir):
     return doc_keywords(_doc_postings_tf(spark, sf_dir), n, k=3)
 
 
+def _q_trustrank(spark, sf_dir):
+    """TrustRank (operators/linkgraph.py:trustrank — Gyongyi et al.
+    VLDB'04): seed-personalized PageRank over the synthetic expander;
+    every 10th doc is a trusted seed, dangling mass teleports to seeds.
+    Oracle = the unrolled power method, term-for-term."""
+    from see_spark.operators.linkgraph import synthetic_edges, trustrank
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    seeds = nodes.filter(F.col("node") % 10 == 0)
+    return trustrank(nodes, synthetic_edges(docs), seeds, n_iter=5)
+
+
+def _trustrank_oracle_sql(n_iter: int = 5, d: float = 0.85) -> str:
+    """Unrolled seed-personalized power method, term-for-term the
+    expression trustrank() evaluates (same IEEE op order)."""
+    ctes = [
+        _LINKGRAPH_SQL,
+        "sm AS (SELECT COUNT(*) AS m FROM nodes WHERE node % 10 = 0)",
+        "tl AS (SELECT node, CASE WHEN node % 10 = 0"
+        " THEN 1.0/(SELECT m FROM sm) ELSE 0.0 END AS tele FROM nodes)",
+        "r0 AS (SELECT node, tele AS rank FROM tl)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dang FROM {p} r"
+            f" LEFT JOIN outdeg o ON o.src = r.node WHERE o.src IS NULL)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.rank / o.deg) AS contrib"
+            f" FROM edges e JOIN {p} r ON e.src = r.node"
+            f" JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT b.node,"
+            f" (1.0 - {d}) * b.tele"
+            f" + {d} * (COALESCE(c.contrib, 0.0)"
+            f" + (SELECT dang FROM d{i}) * b.tele) AS rank"
+            f" FROM tl b LEFT JOIN c{i} c ON c.node = b.node)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, ROUND(rank, 9) AS rank FROM r{n_iter}"
+    )
+
+
 def _q_search_collapse(spark, sf_dir):
     """SERP duplicate collapse (operators/search.py:collapse_duplicates)
     over the OR-ranked top-100: each result maps to its exact-dup
@@ -6020,6 +6068,7 @@ QUERIES_EXTRA.update(
         "sitemap_coverage": _q_sitemap_coverage,
         "hot_terms": _q_hot_terms,
         "search_dedup_collapse": _q_search_collapse,
+        "trustrank_synth": _q_trustrank,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6551,6 +6600,8 @@ ORACLES_EXTRA.update(
     """,
     }
 )
+
+ORACLES_EXTRA.update({"trustrank_synth": _trustrank_oracle_sql()})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

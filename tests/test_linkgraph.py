@@ -358,3 +358,44 @@ def test_anchor_only_match_is_retrievable(spark):
     import math
 
     assert got[2] == pytest.approx(round(1.5 * 1.0 * math.log(2.0), 6))
+
+
+def test_trustrank_flows_from_seeds_only(spark):
+    """A node unreachable from any seed scores exactly 0; seeds retain
+    teleport mass; reachable non-seeds inherit discounted trust; total
+    mass is conserved (no dangling leak)."""
+    from pyspark.sql import functions as F
+
+    from see_spark.operators.linkgraph import trustrank
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    # 0 (seed) -> 1 -> 2 ; 3 -> 4 (island, no seed)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    # 30 iterations: the 0->1->2->(dangling teleport)->0 cycle needs to
+    # converge before per-hop decay is monotone (fixpoint 0.389/0.330/0.281)
+    ranks = {r["node"]: r["rank"] for r in
+             trustrank(nodes, edges, seeds, n_iter=30, round_dp=9).collect()}
+    assert ranks[3] == 0.0 and ranks[4] == 0.0  # untrusted island
+    assert ranks[0] > ranks[1] > ranks[2] > 0   # trust decays per hop
+    # mass conservation: node 2 is dangling, its mass teleports to seed 0
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_trustrank_uniform_seeds_equals_pagerank(spark):
+    """With EVERY node a seed the teleport vector is uniform — trustrank
+    must reproduce pagerank exactly (same IEEE expression shape)."""
+    from see_spark.operators.linkgraph import (
+        pagerank, synthetic_edges, trustrank,
+    )
+
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    nodes = docs.selectExpr("doc_id AS node")
+    edges = synthetic_edges(docs, n_nodes=40)
+    pr = {r["node"]: r["rank"] for r in
+          pagerank(nodes, edges, n_iter=4).collect()}
+    tr = {r["node"]: r["rank"] for r in
+          trustrank(nodes, edges, nodes, n_iter=4).collect()}
+    assert pr == tr
