@@ -5769,6 +5769,30 @@ def _q_doc_keywords(spark, sf_dir):
     return doc_keywords(_doc_postings_tf(spark, sf_dir), n, k=3)
 
 
+def _q_link_farms(spark, sf_dir):
+    """Link-farm detection (operators/linkgraph.py:link_farm_scores):
+    hosts whose outlinks concentrate on one beneficiary get flagged.
+    Synthesized edges make every 5th source host point 80-90% at a
+    single target (the farm arm) while the rest spread over 60 targets;
+    both flag arms and the min-evidence guard fire."""
+    from see_spark.operators.linkgraph import link_farm_scores
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = F.col("l_suppkey").cast("long")
+    ok = F.col("l_orderkey").cast("long")
+    pk = F.col("l_partkey").cast("long")
+    src = F.concat(F.lit("s"), (sk % 40).cast("string"), F.lit(".test"))
+    dst = F.when(
+        ((sk % 40) % 5 == 0) & (ok % 10 < 9),
+        F.concat(F.lit("beneficiary"), ((sk % 40) % 3).cast("string"),
+                 F.lit(".test")),
+    ).otherwise(
+        F.concat(F.lit("d"), (pk % 60).cast("string"), F.lit(".test"))
+    )
+    edges = li.select(src.alias("src_host"), dst.alias("dst_host"))
+    return link_farm_scores(edges, min_links=10, share_threshold_milli=800)
+
+
 def _q_trustrank(spark, sf_dir):
     """TrustRank (operators/linkgraph.py:trustrank — Gyongyi et al.
     VLDB'04): seed-personalized PageRank over the synthetic expander;
@@ -6069,6 +6093,7 @@ QUERIES_EXTRA.update(
         "hot_terms": _q_hot_terms,
         "search_dedup_collapse": _q_search_collapse,
         "trustrank_synth": _q_trustrank,
+        "link_farm_scores": _q_link_farms,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6275,6 +6300,31 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "link_farm_scores": """
+        WITH e AS (
+          SELECT 's' || CAST(l_suppkey % 40 AS VARCHAR) || '.test'
+                   AS src_host,
+                 CASE WHEN (l_suppkey % 40) % 5 = 0 AND l_orderkey % 10 < 9
+                      THEN 'beneficiary'
+                           || CAST((l_suppkey % 40) % 3 AS VARCHAR)
+                           || '.test'
+                      ELSE 'd' || CAST(l_partkey % 60 AS VARCHAR) || '.test'
+                 END AS dst_host
+          FROM lineitem),
+        c AS (SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n
+              FROM e GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY src_host
+                ORDER BY n DESC, dst_host DESC) AS rk,
+                     SUM(n) OVER (PARTITION BY src_host) AS n_links
+              FROM c)
+        SELECT src_host, CAST(n_links AS BIGINT) AS n_links,
+               dst_host AS top_dst, n AS top_dst_links,
+               CAST((n * 1000) // n_links AS BIGINT) AS top_share_milli,
+               ((n * 1000) // n_links >= 800 AND n_links >= 10)
+                 AS is_suspect
+        FROM r WHERE rk = 1
     """,
         "search_dedup_collapse": f"""
         WITH postings AS ({_POSTINGS_SQL}),

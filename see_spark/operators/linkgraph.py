@@ -460,3 +460,43 @@ def trustrank(
     if round_dp is not None:
         out = out.select("node", F.round("rank", round_dp).alias("rank"))
     return out
+
+
+def link_farm_scores(
+    host_edges: DataFrame,
+    min_links: int = 10,
+    share_threshold_milli: int = 800,
+) -> DataFrame:
+    """Outlink-concentration link-farm signal (the classic web-spam
+    heuristic complementing ``trustrank``: a farm's pages exist to point
+    at ONE beneficiary, so its outlink distribution is near-degenerate,
+    while organic hosts link broadly). Per source host: total outlinks,
+    the single most-linked target host and its share in integer milli,
+    flagged suspect when the share reaches the threshold WITH enough
+    evidence (min_links — tiny hosts trivially concentrate).
+
+    ``host_edges``: (src_host, dst_host), one row per link. Two
+    combinable aggregates keyed by host — (src, dst) counts then a
+    struct-max per src (top target picked without a window; ties pinned
+    by the struct order n desc, dst_host desc). Nothing corpus-wide
+    shuffles twice.
+    """
+    counts = host_edges.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per = counts.groupBy("src_host").agg(
+        F.sum("n").cast("long").alias("n_links"),
+        F.max(F.struct(F.col("n"), F.col("dst_host"))).alias("__top"),
+    )
+    return per.select(
+        "src_host",
+        "n_links",
+        F.col("__top.dst_host").alias("top_dst"),
+        F.col("__top.n").cast("long").alias("top_dst_links"),
+        F.expr("(__top.n * 1000) div n_links").cast("long")
+        .alias("top_share_milli"),
+        (
+            (F.expr("(__top.n * 1000) div n_links") >= share_threshold_milli)
+            & (F.col("n_links") >= min_links)
+        ).alias("is_suspect"),
+    )

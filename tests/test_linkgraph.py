@@ -399,3 +399,22 @@ def test_trustrank_uniform_seeds_equals_pagerank(spark):
     tr = {r["node"]: r["rank"] for r in
           trustrank(nodes, edges, nodes, n_iter=4).collect()}
     assert pr == tr
+
+
+def test_link_farm_scores_flags_concentration_with_evidence(spark):
+    from see_spark.operators.linkgraph import link_farm_scores
+
+    edges = []
+    edges += [("farm.test", "money.test")] * 9 + [("farm.test", "x.test")]
+    edges += [("tiny.test", "money.test")] * 3          # 100% but thin
+    edges += [(f"organic.test", f"d{i}.test") for i in range(12)]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    rows = {r["src_host"]: r for r in
+            link_farm_scores(df, min_links=10,
+                             share_threshold_milli=800).collect()}
+    assert rows["farm.test"]["is_suspect"] is True
+    assert rows["farm.test"]["top_dst"] == "money.test"
+    assert rows["farm.test"]["top_share_milli"] == 900
+    assert rows["tiny.test"]["is_suspect"] is False     # min_links guard
+    assert rows["organic.test"]["is_suspect"] is False  # spread
+    assert rows["organic.test"]["top_share_milli"] == 1000 // 12 * 1
