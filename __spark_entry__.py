@@ -5769,6 +5769,34 @@ def _q_doc_keywords(spark, sf_dir):
     return doc_keywords(_doc_postings_tf(spark, sf_dir), n, k=3)
 
 
+def _q_pld_rollup(spark, sf_dir):
+    """Registrable-domain rollup (operators/pld.py — the public-suffix
+    grouping real crawlers budget by): a host mix covering two-label
+    suffixes (co.uk), one-label suffixes (com/test), unknown TLDs
+    (pinned two-label fallback), and single-label hosts, rolled up to
+    (pld, n_hosts, weight)."""
+    from see_spark.operators.pld import pld_rollup
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("long")
+    host = (
+        F.when(k % 5 == 0,
+               F.concat(F.lit("sub"), (k % 3).cast("string"), F.lit(".shop"),
+                        (k % 20).cast("string"), F.lit(".co.uk")))
+        .when(k % 5 == 1,
+              F.concat(F.lit("www.site"), (k % 30).cast("string"),
+                       F.lit(".com")))
+        .when(k % 5 == 2,
+              F.concat(F.lit("a.b.host"), (k % 11).cast("string"),
+                       F.lit(".test")))
+        .when(k % 5 == 3,
+              F.concat(F.lit("cdn"), (k % 7).cast("string"), F.lit(".weird"),
+                       (k % 4).cast("string"), F.lit(".zz")))
+        .otherwise(F.lit("single"))
+    )
+    return pld_rollup(o.select(host.alias("host")))
+
+
 def _q_link_farms(spark, sf_dir):
     """Link-farm detection (operators/linkgraph.py:link_farm_scores):
     hosts whose outlinks concentrate on one beneficiary get flagged.
@@ -6094,6 +6122,7 @@ QUERIES_EXTRA.update(
         "search_dedup_collapse": _q_search_collapse,
         "trustrank_synth": _q_trustrank,
         "link_farm_scores": _q_link_farms,
+        "pld_rollup": _q_pld_rollup,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6300,6 +6329,43 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "pld_rollup": """
+        WITH hosts AS (
+          SELECT CASE
+            WHEN o_orderkey % 5 = 0 THEN
+              'sub' || CAST(o_orderkey % 3 AS VARCHAR) || '.shop'
+              || CAST(o_orderkey % 20 AS VARCHAR) || '.co.uk'
+            WHEN o_orderkey % 5 = 1 THEN
+              'www.site' || CAST(o_orderkey % 30 AS VARCHAR) || '.com'
+            WHEN o_orderkey % 5 = 2 THEN
+              'a.b.host' || CAST(o_orderkey % 11 AS VARCHAR) || '.test'
+            WHEN o_orderkey % 5 = 3 THEN
+              'cdn' || CAST(o_orderkey % 7 AS VARCHAR) || '.weird'
+              || CAST(o_orderkey % 4 AS VARCHAR) || '.zz'
+            ELSE 'single' END AS host
+          FROM orders),
+        parts AS (
+          SELECT host, string_split(lower(host), '.') AS labs,
+                 len(string_split(lower(host), '.')) AS n
+          FROM hosts),
+        t AS (
+          SELECT host, labs, n,
+                 labs[-1] AS t1,
+                 CASE WHEN n >= 2 THEN labs[-2] || '.' || labs[-1] END AS t2
+          FROM parts),
+        p AS (
+          SELECT CASE
+            WHEN n <= 1 THEN host
+            WHEN t2 IN ('co.uk','ac.uk','gov.uk','com.au','co.jp','or.jp')
+              THEN CASE WHEN n >= 3 THEN labs[-3] || '.' || t2 ELSE t2 END
+            WHEN t1 IN ('com','org','net','edu','gov','io','dev','test')
+              THEN t2
+            ELSE t2 END AS pld
+          FROM t)
+        SELECT pld, CAST(COUNT(*) AS BIGINT) AS n_hosts,
+               CAST(COUNT(*) AS BIGINT) AS weight
+        FROM p GROUP BY pld
     """,
         "link_farm_scores": """
         WITH e AS (
