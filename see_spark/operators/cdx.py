@@ -135,3 +135,31 @@ def cdx_latest(cdx: DataFrame) -> DataFrame:
         .filter(F.col("__r") == 1)
         .drop("__r")
     )
+
+
+def cdx_from_warc(spark, archive_path: str, num_ranges: int = None) -> DataFrame:
+    """Web-archive composition: WARC files (sources/warc.py — the sink
+    the crawl's ``archive_dir`` mode writes) -> the sorted CDX capture
+    index. This is exactly how public archives index their crawls
+    (Common Crawl's cdx-index over its WARC sets): one pass over the
+    records, ts from WARC-Date (epoch seconds — WARC dates are ISO-8601
+    UTC), digest from the record id (itself a deterministic function of
+    (url, date): warc.py:deterministic_record_id).
+
+    Scale: read parallelism = archive file count (sized at write time);
+    then the ONE range-shuffle of build_cdx. Everything between is
+    row-local.
+    """
+    from ..sources.warc import read_warc
+
+    recs = read_warc(spark, archive_path)
+    captures = recs.select(
+        "url",
+        F.unix_timestamp(
+            F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        ).alias("ts"),
+        F.col("status"),
+        F.regexp_extract("record_id", r"<urn:uuid:([0-9a-f-]+)>", 1)
+        .alias("digest"),
+    )
+    return build_cdx(captures, num_ranges=num_ranges)

@@ -112,3 +112,37 @@ def test_prefix_filter_pushes_to_parquet_scan(spark, tmp_path):
     )
     assert "StringStartsWith(surt,test,a))" in plan
     assert "EvalPython" not in plan
+
+
+def test_cdx_from_warc_roundtrip(spark, tmp_path):
+    """Crawl-archive composition: fetch rows -> WARC files -> CDX index;
+    the wayback lookups answer over the archive."""
+    from see_spark.sources.warc import write_warc
+
+    fetched = spark.createDataFrame(
+        [
+            ("http://a.test/x", 200, "text/html", "<b>one</b>", None),
+            ("http://www.a.test/x", 200, "text/html", "<b>alias</b>", None),
+            ("http://b.test/y", 404, "text/html", "gone", None),
+        ],
+        "url string, status int, content_type string, body string,"
+        " redirect_to string",
+    )
+    out = str(tmp_path / "warc")
+    write_warc(fetched, out, "2026-01-01T00:00:00Z", n_files=2).collect()
+
+    from see_spark.operators.cdx import cdx_from_warc, cdx_latest, cdx_prefix
+
+    cdx = cdx_from_warc(spark, out, num_ranges=2)
+    rows = cdx.collect()
+    assert len(rows) == 3
+    # same WARC-Date -> same ts for all; aliases share a SURT key
+    keys = sorted(r["surt"] for r in rows)
+    assert keys == ["test,a)/x", "test,a)/x", "test,b)/y"]
+    assert all(r["ts"] == rows[0]["ts"] for r in rows)
+    assert {r["status"] for r in rows} == {200, 404}
+    assert all(r["digest"] for r in rows)  # uuid extracted from record id
+    # lookups over the archive index
+    assert cdx_prefix(cdx, "test,b)").count() == 1
+    latest = cdx_latest(cdx)
+    assert latest.count() == 2  # one row per surt, alias collapsed
