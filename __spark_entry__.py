@@ -5797,6 +5797,35 @@ def _q_pld_rollup(spark, sf_dir):
     return pld_rollup(o.select(host.alias("host")))
 
 
+def _q_pld_budgets(spark, sf_dir):
+    """Two-level Hamilton budget apportionment (operators/pld.py:
+    allocate_budget_by_pld): global budget -> registrable domains by
+    summed weight -> hosts within each domain; sum(budget) == total
+    exactly. Host mix reuses the pld_rollup arms (co.uk / com / test
+    suffixes) with per-host weights = order counts; total = 5000."""
+    from see_spark.operators.pld import allocate_budget_by_pld
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("long")
+    host = (
+        F.when(k % 3 == 0,
+               F.concat(F.lit("sub"), (k % 4).cast("string"), F.lit(".shop"),
+                        (k % 9).cast("string"), F.lit(".co.uk")))
+        .when(k % 3 == 1,
+              F.concat(F.lit("www.site"), (k % 13).cast("string"),
+                       F.lit(".com")))
+        .otherwise(
+            F.concat(F.lit("a.host"), (k % 6).cast("string"), F.lit(".test"))
+        )
+    )
+    hw = (
+        o.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    return allocate_budget_by_pld(hw, 5000)
+
+
 def _q_link_farms(spark, sf_dir):
     """Link-farm detection (operators/linkgraph.py:link_farm_scores):
     hosts whose outlinks concentrate on one beneficiary get flagged.
@@ -6123,6 +6152,7 @@ QUERIES_EXTRA.update(
         "trustrank_synth": _q_trustrank,
         "link_farm_scores": _q_link_farms,
         "pld_rollup": _q_pld_rollup,
+        "pld_budgets": _q_pld_budgets,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6329,6 +6359,57 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "pld_budgets": """
+        WITH hosts AS (
+          SELECT CASE
+            WHEN o_orderkey % 3 = 0 THEN
+              'sub' || CAST(o_orderkey % 4 AS VARCHAR) || '.shop'
+              || CAST(o_orderkey % 9 AS VARCHAR) || '.co.uk'
+            WHEN o_orderkey % 3 = 1 THEN
+              'www.site' || CAST(o_orderkey % 13 AS VARCHAR) || '.com'
+            ELSE 'a.host' || CAST(o_orderkey % 6 AS VARCHAR) || '.test'
+          END AS host
+          FROM orders),
+        hw AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS weight
+               FROM hosts GROUP BY host),
+        hp AS (
+          SELECT host, weight, labs, n,
+                 CASE
+                   WHEN n >= 2 AND labs[-2] || '.' || labs[-1] = 'co.uk'
+                     THEN CASE WHEN n >= 3
+                          THEN labs[-3] || '.' || labs[-2] || '.' || labs[-1]
+                          ELSE labs[-2] || '.' || labs[-1] END
+                   ELSE labs[-2] || '.' || labs[-1]
+                 END AS pld
+          FROM (SELECT host, weight,
+                       string_split(lower(host), '.') AS labs,
+                       len(string_split(lower(host), '.')) AS n
+                FROM hw)),
+        gw AS (SELECT pld, SUM(weight) AS pw FROM hp GROUP BY pld),
+        tw AS (SELECT SUM(pw) AS W FROM gw),
+        s1 AS (SELECT pld, pw, (5000 * pw) // t.W AS base,
+                      (5000 * pw) % t.W AS rem
+               FROM gw, tw t),
+        l1 AS (SELECT 5000 - SUM(base) AS lo FROM s1),
+        r1 AS (SELECT *, row_number() OVER (
+                 ORDER BY rem DESC, pld ASC) - 1 AS rk FROM s1),
+        pb AS (SELECT pld, pw,
+                      base + CASE WHEN rk < (SELECT lo FROM l1)
+                             THEN 1 ELSE 0 END AS b
+               FROM r1),
+        s2 AS (SELECT h.host, h.weight, h.pld, pb.b, pb.pw,
+                      (pb.b * h.weight) // pb.pw AS base2,
+                      (pb.b * h.weight) % pb.pw AS rem2
+               FROM hp h JOIN pb USING (pld)),
+        l2 AS (SELECT pld, b - SUM(base2) AS lo2 FROM s2 GROUP BY pld, b),
+        r2 AS (SELECT *, row_number() OVER (
+                 PARTITION BY pld ORDER BY rem2 DESC, host ASC) - 1 AS rk2
+               FROM s2)
+        SELECT r2.host, r2.pld, r2.weight,
+               CAST(base2 + CASE WHEN rk2 < l2.lo2 THEN 1 ELSE 0 END
+                    AS BIGINT) AS budget
+        FROM r2 JOIN l2 USING (pld)
     """,
         "pld_rollup": """
         WITH hosts AS (

@@ -89,3 +89,63 @@ def pld_rollup(
             F.sum("__w").cast("long").alias("weight"),
         )
     )
+
+
+def allocate_budget_by_pld(
+    host_weights: DataFrame,
+    total_budget: int,
+    suffixes: Sequence[str] = DEFAULT_SUFFIXES,
+) -> DataFrame:
+    """Two-level Hamilton apportionment: the global fetch budget splits
+    across REGISTRABLE domains by summed weight (one organization = one
+    share, however many subdomains it mints), then each domain's budget
+    splits across its hosts — both levels the exact largest-remainder
+    integer rule of ``frontier.allocate_budget`` (level 1 IS that
+    function, applied to the pld dimension). sum(host budgets) ==
+    total_budget exactly, always; a subdomain farm can no longer
+    multiply its organization's share.
+
+    Scale shape: level 1 inherits allocate_budget's two scalar
+    aggregates + one dense-sequence over the (smaller) pld dimension;
+    level 2 adds one pld-keyed window pass over the host dimension
+    (rank-within-group; never the frontier). Returns (host, pld, weight,
+    budget) — checkout(host_budgets=...) consumes (host, budget)
+    directly.
+    """
+    from pyspark.sql import Window
+
+    from .frontier import allocate_budget
+
+    hp = host_weights.select(
+        F.col("host"),
+        F.col("weight").cast("long").alias("weight"),
+        pld_expr(F.lower(F.col("host")), suffixes).alias("pld"),
+    )
+    gw = hp.groupBy("pld").agg(F.sum("weight").cast("long").alias("weight"))
+    pb = allocate_budget(gw, total_budget, host_col="pld").select(
+        F.col("host").alias("pld"),
+        F.col("weight").alias("__pw"),
+        F.col("budget").alias("__b"),
+    )
+    j = (
+        hp.join(pb, "pld")
+        .withColumn("__base", F.expr("(__b * weight) div __pw"))
+        .withColumn("__rem", F.expr("(__b * weight) % __pw"))
+    )
+    grp = Window.partitionBy("pld")
+    order = Window.partitionBy("pld").orderBy(
+        F.desc("__rem"), F.asc("host")
+    )
+    return (
+        j.withColumn("__lo", F.col("__b") - F.sum("__base").over(grp))
+        .withColumn("__rk", F.row_number().over(order) - 1)
+        .select(
+            "host",
+            "pld",
+            "weight",
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") < F.col("__lo"), 1).otherwise(0)
+            ).cast("long").alias("budget"),
+        )
+    )
