@@ -5797,6 +5797,44 @@ def _q_pld_rollup(spark, sf_dir):
     return pld_rollup(o.select(host.alias("host")))
 
 
+def _q_percolate(spark, sf_dir):
+    """Prospective search (operators/search.py:percolate): 40 standing
+    conjunctive subscriptions (1-3 words each, drawn deterministically
+    from the corpus vocabulary by df rank so matches genuinely occur)
+    against the round's postings delta; only full AND matches emit."""
+    from see_spark.operators.search import percolate
+
+    postings = _doc_postings(spark, sf_dir).select("doc_id", "word")
+    top_words = (
+        postings.groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(30)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("df"), F.asc("word"))
+            ).cast("long"),
+        )
+    )
+    qids = spark.range(40).select(
+        F.col("id").cast("long").alias("query_id"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (F.col("id") % 30) + 1,
+                    ((F.col("id") * 7) % 30) + 1,
+                    ((F.col("id") * 13) % 30) + 1,
+                )
+            )
+        ).alias("rk"),
+    )
+    standing = qids.join(top_words.select("rk", "word"), "rk").select(
+        "query_id", "word"
+    )
+    return percolate(postings, standing)
+
+
 def _q_pld_budgets(spark, sf_dir):
     """Two-level Hamilton budget apportionment (operators/pld.py:
     allocate_budget_by_pld): global budget -> registrable domains by
@@ -6153,6 +6191,7 @@ QUERIES_EXTRA.update(
         "link_farm_scores": _q_link_farms,
         "pld_rollup": _q_pld_rollup,
         "pld_budgets": _q_pld_budgets,
+        "percolate_standing": _q_percolate,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6359,6 +6398,37 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "percolate_standing": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        dw AS (SELECT DISTINCT doc_id, word FROM postings),
+        topw AS (
+          SELECT word,
+                 row_number() OVER (
+                   ORDER BY COUNT(DISTINCT doc_id) DESC, word ASC) AS rk
+          FROM dw GROUP BY word
+          QUALIFY rk <= 30),
+        qids AS (
+          SELECT id AS query_id,
+                 unnest(list_distinct([
+                   (id % 30) + 1,
+                   ((id * 7) % 30) + 1,
+                   ((id * 13) % 30) + 1
+                 ])) AS rk
+          FROM range(40) t(id)),
+        standing AS (
+          SELECT DISTINCT q.query_id, w.word
+          FROM qids q JOIN topw w USING (rk)),
+        sizes AS (SELECT query_id, COUNT(*) AS need
+                  FROM standing GROUP BY query_id),
+        matched AS (
+          SELECT d.doc_id, s.query_id,
+                 CAST(COUNT(DISTINCT s.word) AS BIGINT) AS n_matched
+          FROM dw d JOIN standing s USING (word)
+          GROUP BY d.doc_id, s.query_id)
+        SELECT m.doc_id, CAST(m.query_id AS BIGINT) AS query_id, m.n_matched
+        FROM matched m JOIN sizes z USING (query_id)
+        WHERE m.n_matched = z.need
     """,
         "pld_budgets": """
         WITH hosts AS (

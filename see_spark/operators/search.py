@@ -756,3 +756,42 @@ def collapse_duplicates(
         .orderBy(F.desc(score_col), F.asc("canonical_id"))
         .limit(k)
     )
+
+
+def percolate(
+    new_postings: DataFrame,
+    standing_queries: DataFrame,
+) -> DataFrame:
+    """Prospective search / percolation (engine addition — the
+    Elasticsearch-percolator / pub-sub-search shape): STANDING conjunctive
+    queries are the indexed side, and each round's NEW documents probe
+    them — the reverse of the normal query path, and the way alerting
+    ("tell me when a page matching X appears") runs over a crawl without
+    re-executing every subscription per round.
+
+    ``standing_queries``: (query_id, word) — one row per distinct query
+    word (conjunctive AND semantics, the reference's only connective:
+    see_db_srv.erl:109). ``new_postings``: the ROUND DELTA's postings
+    (doc_id, word) — never the full index; that is what makes this cheap
+    at 10^10 URLs: cost is |round's postings ∩ subscribed words|.
+
+    Plan: one equi-join on word (subscriptions are usually
+    broadcast-sized; Catalyst picks broadcast under the threshold), one
+    (doc_id, query_id) aggregate with the count-distinct HAVING rewrite
+    of posting-set intersection (O9). Returns (doc_id, query_id,
+    n_matched) for full conjunctive matches only.
+    """
+    q = standing_queries.select("query_id", "word").distinct()
+    sizes = q.groupBy("query_id").agg(F.count("*").alias("__need"))
+    matched = (
+        new_postings.select("doc_id", "word")
+        .distinct()
+        .join(q, "word")
+        .groupBy("doc_id", "query_id")
+        .agg(F.countDistinct("word").cast("long").alias("n_matched"))
+    )
+    return (
+        matched.join(F.broadcast(sizes), "query_id")
+        .filter(F.col("n_matched") == F.col("__need"))
+        .select("doc_id", "query_id", "n_matched")
+    )

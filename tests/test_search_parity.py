@@ -157,3 +157,31 @@ def test_collapse_duplicates_keeps_best_per_cluster(spark):
     # 3 collapses under 1; the 4/5 score tie resolves to the lower url;
     # unmapped 2 is its own canonical
     assert rows == [(1, 1, 9.0), (2, 2, 8.0), (4, 4, 6.0)]
+
+
+def test_percolate_conjunctive_semantics(spark):
+    from see_spark.operators.search import percolate
+
+    postings = spark.createDataFrame(
+        [(1, "apple"), (1, "banana"), (2, "apple"), (3, "banana"),
+         (3, "cherry"), (3, "apple")],
+        "doc_id long, word string",
+    )
+    standing = spark.createDataFrame(
+        [(10, "apple"), (11, "apple"), (11, "banana"),
+         (12, "apple"), (12, "banana"), (12, "cherry"),
+         (13, "durian")],
+        "query_id long, word string",
+    )
+    got = {(r["doc_id"], r["query_id"]): r["n_matched"]
+           for r in percolate(postings, standing).collect()}
+    assert got == {
+        (1, 10): 1, (2, 10): 1, (3, 10): 1,   # single-word query: all
+        (1, 11): 2, (3, 11): 2,               # two-word AND: docs 1 and 3
+        (3, 12): 3,                           # three-word AND: doc 3 only
+    }                                         # query 13 matches nothing
+    # duplicated subscription words don't change semantics
+    dup = standing.unionByName(standing)
+    assert sorted(map(tuple, percolate(postings, dup).collect())) == sorted(
+        (d, q, n) for (d, q), n in got.items()
+    )
