@@ -5797,6 +5797,24 @@ def _q_pld_rollup(spark, sf_dir):
     return pld_rollup(o.select(host.alias("host")))
 
 
+def _q_readability(spark, sf_dir):
+    """Flesch-Kincaid grade (operators/textstats.py:readability) in
+    integer milli over the corpus — punctuation injected every 4th doc
+    so the sentence count genuinely varies."""
+    from see_spark.operators.textstats import readability
+
+    d = _documents(spark, sf_dir)
+    k = F.col("doc_id").cast("long")
+    aug = d.select(
+        k.alias("doc_id"),
+        F.when(
+            k % 4 == 0,
+            F.concat(F.col("text"), F.lit(". Short tail! Done?")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return readability(aug)
+
+
 def _q_percolate(spark, sf_dir):
     """Prospective search (operators/search.py:percolate): 40 standing
     conjunctive subscriptions (1-3 words each, drawn deterministically
@@ -6192,6 +6210,7 @@ QUERIES_EXTRA.update(
         "pld_rollup": _q_pld_rollup,
         "pld_budgets": _q_pld_budgets,
         "percolate_standing": _q_percolate,
+        "readability_fk": _q_readability,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6397,6 +6416,30 @@ ORACLES_EXTRA.update(
                (n = 4) AS will_merge,
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
+        FROM c
+    """,
+        "readability_fk": """
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN text || '. Short tail! Done?'
+                      ELSE text END AS text
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 greatest(len(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')), 1) AS n_words,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences,
+                 len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS n_syllables
+          FROM d)
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               CAST((390 * n_words) // n_sentences
+                    + (11800 * n_syllables) // n_words
+                    - 15590 AS BIGINT) AS fk_grade_milli
         FROM c
     """,
         "percolate_standing": f"""

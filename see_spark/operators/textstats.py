@@ -112,3 +112,49 @@ def fingerprint(
         F.col(id_col).alias("doc_id"),
         F.array_min(F.transform(shingles, lambda s: hash60(s))).alias("fingerprint"),
     )
+
+
+def readability(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Flesch-Kincaid grade level (Kincaid et al. 1975 — the public
+    readability formula FineWeb-Edu-style quality filters use as a
+    feature) in INTEGER MILLI units so the score is engine- and
+    partitioning-exact:
+
+      grade = 0.39 * words/sentences + 11.8 * syllables/words - 15.59
+      grade_milli = (390 * n_words) div n_sentences
+                  + (11800 * n_syllables) div n_words - 15590
+
+    Pinned proxies (the classic closed-vocabulary-free approximations):
+    a SYLLABLE is a maximal vowel group ([aeiouy]+) in the lowercased
+    text — whitespace breaks groups, so no per-word loop is needed; a
+    SENTENCE is a maximal [.!?]+ run (clamped to >= 1); words are
+    non-empty whitespace tokens (clamped to >= 1 so empty docs emit a
+    floor score instead of dividing by zero).
+
+    Zero shuffle: three regexp counts per row, scan-bound at 100 TB.
+    """
+    text = F.col(text_col)
+    n_words = F.greatest(
+        F.size(F.filter(F.split(text, r"\s+"), lambda t: t != "")),
+        F.lit(1),
+    ).cast("long")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    n_syl = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    ).withColumn(
+        "fk_grade_milli",
+        (
+            F.expr("(390 * n_words) div n_sentences")
+            + F.expr("(11800 * n_syllables) div n_words")
+            - F.lit(15590)
+        ).cast("long"),
+    )

@@ -119,3 +119,32 @@ def test_filters_stay_jvm_side(corpus):
 def test_top_bigrams_is_take_ordered(corpus):
     plan = top_bigrams(corpus, k=20)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_readability_hand_values_and_edges(spark):
+    from see_spark.operators.textstats import readability
+
+    docs = spark.createDataFrame(
+        [
+            # 6 words, 2 sentences, syllable groups counted as vowel runs
+            (1, "the cat sat down. it purred loudly!"),
+            (2, ""),              # empty doc -> clamped floors, no crash
+            (3, "xz qrs"),        # zero vowels/y -> zero syllables
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in readability(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 7 and r1["n_sentences"] == 2
+    # vowel groups: e,a,a,ow(o+w? no: 'ou' in down? 'down'->'o'; purred:
+    # u,e; loudly: 'ou','y'; it: i; the: e; cat: a; sat: a -> count them
+    # exactly as the regex does:
+    import re
+    want_syl = len(re.findall(r"[aeiouy]+", docs.collect()[0]["text"].lower()))
+    assert r1["n_syllables"] == want_syl
+    assert r1["fk_grade_milli"] == (
+        390 * 7 // 2 + 11800 * want_syl // 7 - 15590
+    )
+    assert rows[2]["n_words"] == 1 and rows[2]["n_sentences"] == 1
+    assert rows[3]["n_syllables"] == 0
+    assert rows[3]["fk_grade_milli"] == 390 * 2 // 1 + 0 - 15590
