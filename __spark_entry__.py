@@ -5797,6 +5797,34 @@ def _q_pld_rollup(spark, sf_dir):
     return pld_rollup(o.select(host.alias("host")))
 
 
+def _q_embedding_audit(spark, sf_dir):
+    """Pre-ANN corpus audit (operators/similarity.py:embedding_audit):
+    zero vectors injected at vec_id%97==0 and NaNs at vec_id%101==0 so
+    every arm fires; norm stats computed over FINITE rows only with
+    per-row micro quantization before the exact integer mean."""
+    from see_spark.operators.similarity import embedding_audit
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vid = F.col("vec_id").cast("long")
+    aug = e.select(
+        vid.alias("vec_id"),
+        F.when(
+            vid % 97 == 0,
+            F.transform("embedding", lambda x: F.lit(0.0).cast("float")),
+        )
+        .when(
+            vid % 101 == 0,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")),
+                F.slice("embedding", 2, 63),
+            ),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    return embedding_audit(aug)
+
+
 def _q_readability(spark, sf_dir):
     """Flesch-Kincaid grade (operators/textstats.py:readability) in
     integer milli over the corpus — punctuation injected every 4th doc
@@ -6211,6 +6239,7 @@ QUERIES_EXTRA.update(
         "pld_budgets": _q_pld_budgets,
         "percolate_standing": _q_percolate,
         "readability_fk": _q_readability,
+        "embedding_audit": _q_embedding_audit,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6417,6 +6446,39 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "embedding_audit": """
+        WITH aug AS (
+          SELECT vec_id,
+                 CASE
+                   WHEN vec_id % 97 = 0 THEN
+                     list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                   WHEN vec_id % 101 = 0 THEN
+                     [CAST('NaN' AS FLOAT)] || embedding[2:64]
+                   ELSE embedding
+                 END AS embedding
+          FROM embeddings),
+        rows_ AS (
+          SELECT len(embedding) AS dim,
+                 len(list_filter(embedding,
+                     x -> isnan(x) OR abs(x) > 1e30)) > 0 AS bad,
+                 CASE WHEN NOT (len(list_filter(embedding,
+                        x -> isnan(x) OR abs(x) > 1e30)) > 0)
+                      THEN CAST(round(list_sum(list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                             * 1e6) AS BIGINT)
+                 END AS n2
+          FROM aug)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(MIN(dim) AS BIGINT) AS dim_min,
+               CAST(MAX(dim) AS BIGINT) AS dim_max,
+               CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nonfinite,
+               CAST(SUM(CASE WHEN n2 < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero_norm,
+               CAST(SUM(n2) // SUM(CASE WHEN NOT bad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mean_norm2_micro
+        FROM rows_
     """,
         "readability_fk": """
         WITH d AS (

@@ -487,3 +487,56 @@ def knn_lsh_bucketed(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def embedding_audit(emb: DataFrame, vec_col: str = "embedding",
+                    zero_norm2_micro: int = 1000) -> DataFrame:
+    """One-row pre-ANN corpus audit — the gate a 100 TB embedding table
+    passes BEFORE building IVF/LSH structures over it, because every
+    degenerate row poisons downstream math silently (zero vectors make
+    cosine undefined, NaNs propagate through every dot product, mixed
+    dims break the kernels):
+
+      n_vectors / dim_min / dim_max   — dimension consistency,
+      n_nonfinite                     — rows containing NaN/Inf,
+      n_zero_norm                     — finite rows with ||v||^2 below
+                                        ``zero_norm2_micro`` micro units,
+      mean_norm2_micro                — mean squared norm over FINITE
+                                        rows (micro-quantized per row
+                                        BEFORE the sum, so the corpus
+                                        aggregate is exact integer math).
+
+    Zero shuffle up to the one-row aggregate (map-side combinable); the
+    fold over the vector is the same sequential list_sum both engines
+    evaluate identically (the embedding_near_dup convention).
+    """
+    v = F.col(vec_col)
+    nonfinite = F.exists(
+        v, lambda x: F.isnan(x) | (F.abs(x) > F.lit(float(1e30)))
+    )
+    norm2 = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    rows = emb.select(
+        F.size(v).alias("__dim"),
+        nonfinite.alias("__bad"),
+        F.when(
+            ~nonfinite, F.round(norm2 * 1e6, 0).cast("long")
+        ).alias("__n2"),
+    )
+    return rows.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.min("__dim").cast("long").alias("dim_min"),
+        F.max("__dim").cast("long").alias("dim_max"),
+        F.sum(F.when(F.col("__bad"), 1).otherwise(0)).cast("long")
+        .alias("n_nonfinite"),
+        F.sum(
+            F.when(F.col("__n2") < zero_norm2_micro, 1).otherwise(0)
+        ).cast("long").alias("n_zero_norm"),
+        F.sum("__n2").cast("long").alias("__tot"),
+        F.sum(F.when(~F.col("__bad"), 1).otherwise(0)).cast("long")
+        .alias("__fin"),
+    ).select(
+        "n_vectors", "dim_min", "dim_max", "n_nonfinite", "n_zero_norm",
+        F.expr("__tot div __fin").cast("long").alias("mean_norm2_micro"),
+    )

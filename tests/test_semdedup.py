@@ -146,3 +146,24 @@ def test_lsh_eval_invariants(spark):
     assert row["candidate_precision_milli"] == len(found) * 1000 // len(cands)
     # the exact dup pair must be both exact and found (identical signature)
     assert (1, 3) in exact and (1, 3) in found
+
+
+def test_embedding_audit_arms(spark):
+    from see_spark.operators.similarity import embedding_audit
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0]),            # zero norm
+            (3, [float("nan"), 1.0, 1.0]),   # nonfinite, excluded from norms
+            (4, [0.0, 2.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_audit(emb).collect()[0]
+    assert r["n_vectors"] == 4
+    assert r["dim_min"] == 3 and r["dim_max"] == 3
+    assert r["n_nonfinite"] == 1
+    assert r["n_zero_norm"] == 1
+    # mean over finite rows: (1e6 + 0 + 4e6) div 3
+    assert r["mean_norm2_micro"] == (1_000_000 + 0 + 4_000_000) // 3
