@@ -5797,6 +5797,19 @@ def _q_pld_rollup(spark, sf_dir):
     return pld_rollup(o.select(host.alias("host")))
 
 
+def _q_segment_skip(spark, sf_dir):
+    """Segment skipping audit (operators/segments.py:segment_skip_audit):
+    postings bucketed into 16 round-segments by doc_id; the search-suite
+    query words decide which segments a query must open (can_skip /
+    has_all_words arms both fire at corpus scale)."""
+    from see_spark.operators.segments import segment_skip_audit
+
+    seg = _doc_postings(spark, sf_dir).select(
+        (F.col("doc_id") % 16).cast("long").alias("segment_id"), "word"
+    )
+    return segment_skip_audit(seg, _SEARCH_WORDS)
+
+
 def _q_embedding_audit(spark, sf_dir):
     """Pre-ANN corpus audit (operators/similarity.py:embedding_audit):
     zero vectors injected at vec_id%97==0 and NaNs at vec_id%101==0 so
@@ -6240,6 +6253,7 @@ QUERIES_EXTRA.update(
         "percolate_standing": _q_percolate,
         "readability_fk": _q_readability,
         "embedding_audit": _q_embedding_audit,
+        "segment_skip_audit": _q_segment_skip,
         "surt_keys": _q_surt_keys,
         "cdx_latest": _q_cdx_latest,
         "cdx_prefix_lookup": _q_cdx_prefix_lookup,
@@ -6446,6 +6460,23 @@ ORACLES_EXTRA.update(
                CAST(CASE WHEN n = 4 THEN sm ELSE size_bytes END AS BIGINT)
                  AS target_size
         FROM c
+    """,
+        "segment_skip_audit": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        seg AS (SELECT DISTINCT doc_id % 16 AS segment_id, word
+                FROM postings),
+        q AS (SELECT unnest(['join', 'query', 'table']) AS word),
+        present AS (
+          SELECT segment_id,
+                 CAST(COUNT(DISTINCT s.word) AS BIGINT) AS n
+          FROM seg s JOIN q ON q.word = s.word
+          GROUP BY segment_id),
+        base AS (SELECT DISTINCT segment_id FROM seg)
+        SELECT CAST(b.segment_id AS BIGINT) AS segment_id,
+               CAST(COALESCE(p.n, 0) AS BIGINT) AS n_words_present,
+               (COALESCE(p.n, 0) = 0) AS can_skip,
+               (COALESCE(p.n, 0) = 3) AS has_all_words
+        FROM base b LEFT JOIN present p USING (segment_id)
     """,
         "embedding_audit": """
         WITH aug AS (

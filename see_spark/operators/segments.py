@@ -109,3 +109,56 @@ def merge_amplification(plan: DataFrame) -> DataFrame:
         .cast("long")
         .alias("rewrite_milli"),
     )
+
+
+def segment_skip_audit(
+    seg_postings: DataFrame, query_words, segments: DataFrame = None
+) -> DataFrame:
+    """Per-segment query-pruning decision — the read-side payoff of the
+    tiered layout above: with per-round postings segments, a query needs
+    to open ONLY segments containing at least one query word (disjunctive
+    skipping; a conjunctive query can additionally skip any segment
+    missing EVERY required word, which this audit's n_words_present also
+    answers). Production engines keep a per-segment term bloom/dictionary
+    for this test (functions/bloom.py supplies the probabilistic form);
+    this operator is the EXACT audit — run per compaction pass, it
+    reports how much of the index each standing query family actually
+    touches, which is the number that justifies (or indicts) the merge
+    policy.
+
+    ``seg_postings``: (segment_id, word); ``query_words``: iterable of
+    words; ``segments``: optional (segment_id) dimension so segments with
+    NO postings at all still report (skippable). One combinable aggregate
+    over the segment-dictionary relation restricted to the broadcast
+    query words — never the postings payload.
+    """
+    spark = seg_postings.sparkSession
+    q = F.broadcast(
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(w) for w in sorted(set(query_words))])
+            ).alias("word")
+        )
+    )
+    present = (
+        seg_postings.select("segment_id", "word")
+        .join(q, "word")
+        .groupBy("segment_id")
+        .agg(F.countDistinct("word").cast("long").alias("n_words_present"))
+    )
+    base = (
+        segments.select("segment_id").distinct()
+        if segments is not None
+        else seg_postings.select("segment_id").distinct()
+    )
+    return base.join(present, "segment_id", "left").select(
+        "segment_id",
+        F.coalesce("n_words_present", F.lit(0)).cast("long")
+        .alias("n_words_present"),
+        (F.coalesce("n_words_present", F.lit(0)) == 0).alias("can_skip"),
+        (
+            F.coalesce("n_words_present", F.lit(0))
+            == F.lit(len(set(query_words)))
+        ).alias("has_all_words"),
+    )

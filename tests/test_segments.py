@@ -55,3 +55,20 @@ def test_amplification_audit(spark):
     assert a["segments_after"] == 4
     assert a["bytes_rewritten"] == 1200
     assert a["rewrite_milli"] == 1200 * 1000 // 7400
+
+
+def test_segment_skip_audit_arms(spark):
+    from see_spark.operators.segments import segment_skip_audit
+
+    seg = spark.createDataFrame(
+        [(0, "apple"), (0, "banana"), (1, "apple"), (2, "cherry")],
+        "segment_id long, word string",
+    )
+    all_segs = spark.createDataFrame([(0,), (1,), (2,), (3,)],
+                                     "segment_id long")
+    rows = {r["segment_id"]: r for r in
+            segment_skip_audit(seg, ["apple", "banana"], all_segs).collect()}
+    assert rows[0]["has_all_words"] is True and rows[0]["can_skip"] is False
+    assert rows[1]["n_words_present"] == 1 and rows[1]["can_skip"] is False
+    assert rows[2]["can_skip"] is True          # words present, none match
+    assert rows[3]["can_skip"] is True          # empty segment still reports
