@@ -7007,6 +7007,98 @@ ORACLES_EXTRA.update(
 ORACLES_EXTRA.update({"trustrank_synth": _trustrank_oracle_sql()})
 
 
+# --- graph-density spam signals: triangles + reciprocity ------------------
+
+_COMMUNITY_SQL = """
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    cnodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+    cedges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT node AS src,
+               (node - node % 8) + (node % 8 + 1) % 8 AS dst FROM cnodes
+        UNION ALL
+        SELECT node, (node - node % 8) + (node % 8 + 2) % 8 FROM cnodes
+        UNION ALL
+        SELECT node, (node - node % 8) + (node % 8 + 3) % 8 FROM cnodes
+        UNION ALL
+        SELECT node, (node - node % 8) + (node % 8 + 6) % 8 FROM cnodes
+        WHERE node % 3 = 0
+      ) WHERE dst <> src AND dst < (SELECT n FROM nn))
+"""
+
+
+def _q_triangle_counts(spark, sf_dir):
+    """Engine addition: per-node triangle count + local clustering
+    coefficient (integer milli) over the deterministic community graph
+    (operators/linkgraph.py:triangle_counts — degree-ordered orientation,
+    Suri & Vassilvitskii 2011, so no hub ever fans out deg^2). Oracle =
+    id-ordered brute triangle enumeration (orientation-invariant set)."""
+    from see_spark.operators.linkgraph import community_edges, triangle_counts
+
+    return triangle_counts(community_edges(_documents(spark, sf_dir)))
+
+
+def _q_link_reciprocity(spark, sf_dir):
+    """Engine addition: per-source link reciprocity in integer milli over
+    the directed community graph (operators/linkgraph.py:reciprocity) —
+    the link-exchange web-spam signal complementing link_farm_scores."""
+    from see_spark.operators.linkgraph import community_edges, reciprocity
+
+    return reciprocity(community_edges(_documents(spark, sf_dir)))
+
+
+QUERIES_EXTRA.update(
+    {
+        "triangle_counts": _q_triangle_counts,
+        "link_reciprocity": _q_link_reciprocity,
+    }
+)
+
+ORACLES_EXTRA.update(
+    {
+        "triangle_counts": f"""
+        WITH {_COMMUNITY_SQL},
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM cedges),
+        deg AS (SELECT node, COUNT(*) AS degree FROM (
+                  SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                GROUP BY node),
+        tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (SELECT node, COUNT(*) AS triangles FROM (
+                      SELECT u AS node FROM tri
+                      UNION ALL SELECT v FROM tri
+                      UNION ALL SELECT w FROM tri)
+                    GROUP BY node)
+        SELECT d.node,
+               CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles,
+               CAST(CASE WHEN d.degree >= 2
+                    THEN (COALESCE(c.triangles, 0) * 2000)
+                         // (d.degree * (d.degree - 1))
+                    ELSE 0 END AS BIGINT) AS clustering_milli
+        FROM deg d LEFT JOIN corners c ON c.node = d.node
+    """,
+        "link_reciprocity": f"""
+        WITH {_COMMUNITY_SQL},
+        m AS (SELECT e.src, e.dst,
+                     CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS back
+              FROM cedges e
+              LEFT JOIN cedges r ON r.src = e.dst AND r.dst = e.src)
+        SELECT src,
+               CAST(COUNT(*) AS BIGINT) AS out_links,
+               CAST(SUM(back) AS BIGINT) AS reciprocated,
+               CAST((SUM(back) * 1000) // COUNT(*) AS BIGINT)
+                 AS reciprocity_milli
+        FROM m GROUP BY src
+    """,
+    }
+)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -500,3 +500,143 @@ def link_farm_scores(
             & (F.col("n_links") >= min_links)
         ).alias("is_suspect"),
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient (integer
+    milli) over the UNDIRECTED simple graph induced by ``edges`` — the
+    classic web-spam / community-density signal (a link farm's
+    neighborhood is near-clique; organic hosts are sparse).
+
+    Scale shape (Suri & Vassilvitskii 2011 "Counting triangles and the
+    curse of the last reducer"): orient every undirected edge from the
+    lower-(degree, id) endpoint to the higher one, so each node's
+    oriented out-degree is O(sqrt(m)) even for celebrity nodes; wedges
+    are the oriented self-join on the source (bounded per-key fan-out —
+    never deg^2 of a hub), and each wedge probes the oriented edge set
+    once. Three shuffles total (degree agg, wedge join, closure join) +
+    one count-per-corner aggregate; no step is quadratic in a hub's
+    degree. The triangle SET is orientation-invariant, so an id-ordered
+    ANSI-SQL brute enumeration is an exact oracle.
+
+    Output: (node, degree, triangles, clustering_milli) where
+    clustering_milli = 1000 * 2T div (d*(d-1)), 0 for d < 2.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    # rank = (degree, id); orient low -> high
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    ranked = und.join(da, "a").join(db, "b")
+    lo_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    # wedges at the low-rank corner u: (v, w) both oriented-out of u
+    e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    wedges = e1.join(e2, "u").where(F.col("v") < F.col("w"))
+    # closure: does (v, w) exist as an undirected edge? (canonical a<b)
+    closing = und.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tris = wedges.join(closing, ["v", "w"])  # rows (u, v, w): one per triangle
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v").alias("node")))
+        .unionAll(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(coalesce(triangles, 0) * 2000)"
+                    " div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_milli"),
+        )
+    )
+
+
+def reciprocity(edges: DataFrame, min_out: int = 1) -> DataFrame:
+    """Per-source link reciprocity (integer milli) over a DIRECTED edge
+    set: the fraction of a host's distinct outlinks that link back — the
+    link-exchange-scheme signal that complements ``link_farm_scores``
+    (farms concentrate; exchanges reciprocate). One distinct pass, one
+    self-join on the reversed key (co-partitioned equi-join — both sides
+    hash on the same pair), one per-source aggregate.
+
+    Output: (src, out_links, reciprocated, reciprocity_milli) for
+    sources with at least ``min_out`` distinct outlinks.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    marked = e.join(rev.withColumn("__back", F.lit(1)), ["src", "dst"], "left")
+    return (
+        marked.groupBy("src")
+        .agg(
+            F.count("*").cast("long").alias("out_links"),
+            F.sum(F.coalesce("__back", F.lit(0))).cast("long")
+            .alias("reciprocated"),
+        )
+        .where(F.col("out_links") >= min_out)
+        .select(
+            "src",
+            "out_links",
+            "reciprocated",
+            F.expr("(reciprocated * 1000) div out_links").cast("long")
+            .alias("reciprocity_milli"),
+        )
+    )
+
+
+def community_edges(
+    nodes: DataFrame, id_col: str = "doc_id", block: int = 8
+) -> DataFrame:
+    """Deterministic COMMUNITY graph over a keyed table: nodes fall into
+    consecutive blocks of ``block``; each node links to the next 1, 2 and
+    3 positions within its block (mod block), plus a +6 back-stride when
+    node % 3 == 0 (so reciprocity varies per node instead of being
+    degenerate). Unlike ``synthetic_edges`` (an expander — triangle-free
+    in practice), blocks are near-cliques, so triangle/clustering/
+    reciprocity signals are non-trivial. Pure integer arithmetic —
+    expressible identically in ANSI SQL for the exact oracle."""
+    n = nodes.count()
+    src = F.col(id_col).cast("long")
+    pos = src % block
+    blk = src - pos
+    strides = [F.lit(1), F.lit(2), F.lit(3)]
+    dsts = [blk + (pos + s) % block for s in strides]
+    back = blk + (pos + F.lit(6)) % block
+    arr = F.array_union(
+        F.array(*dsts),
+        F.when(src % 3 == 0, F.array(back)).otherwise(F.array().cast("array<bigint>")),
+    )
+    return nodes.select(
+        src.alias("src"),
+        F.explode(
+            F.filter(arr, lambda d: (d != src) & (d < F.lit(n)))
+        ).alias("dst"),
+    )

@@ -418,3 +418,56 @@ def test_link_farm_scores_flags_concentration_with_evidence(spark):
     assert rows["tiny.test"]["is_suspect"] is False     # min_links guard
     assert rows["organic.test"]["is_suspect"] is False  # spread
     assert rows["organic.test"]["top_share_milli"] == 1000 // 12 * 1
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: nodes 0-3, edges forming two triangles sharing
+    edge (1,2); hand-checked degrees/counts/clustering."""
+    from see_spark.operators.linkgraph import triangle_counts
+
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r["node"]: r for r in triangle_counts(df).collect()}
+    assert rows[0]["triangles"] == 1 and rows[3]["triangles"] == 1
+    assert rows[1]["triangles"] == 2 and rows[2]["triangles"] == 2
+    # node 1: degree 3, 2 triangles -> 2*2000 div (3*2) = 666
+    assert rows[1]["clustering_milli"] == 666
+    # node 0: degree 2, 1 triangle -> clustering 1000 (its nbrs are linked)
+    assert rows[0]["clustering_milli"] == 1000
+
+
+def test_triangle_counts_direction_and_dup_invariant(spark):
+    """Duplicate and reversed edge rows must not change counts."""
+    from see_spark.operators.linkgraph import triangle_counts
+
+    base = [(0, 1), (1, 2), (2, 0)]
+    noisy = base + [(1, 0), (2, 1), (0, 2), (0, 1)]
+    a = {(r["node"], r["triangles"]) for r in
+         triangle_counts(spark.createDataFrame(base, "src long, dst long")).collect()}
+    b = {(r["node"], r["triangles"]) for r in
+         triangle_counts(spark.createDataFrame(noisy, "src long, dst long")).collect()}
+    assert a == b == {(0, 1), (1, 1), (2, 1)}
+
+
+def test_reciprocity_counts_backlinks(spark):
+    from see_spark.operators.linkgraph import reciprocity
+
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = {r["src"]: r for r in reciprocity(df).collect()}
+    assert rows["a"]["out_links"] == 2 and rows["a"]["reciprocated"] == 1
+    assert rows["a"]["reciprocity_milli"] == 500
+    assert rows["b"]["reciprocity_milli"] == 1000
+    assert rows["c"]["reciprocated"] == 0
+
+
+def test_community_edges_in_range_and_deterministic(spark):
+    from see_spark.operators.linkgraph import community_edges
+
+    docs = spark.range(20).withColumnRenamed("id", "doc_id")
+    e = community_edges(docs).collect()
+    assert all(0 <= r["dst"] < 20 and r["src"] != r["dst"] for r in e)
+    # +6 back-stride only for src % 3 == 0
+    assert any(r["src"] % 3 == 0 and (r["dst"] - r["src"]) % 8 == 6 for r in e)
+    e2 = community_edges(docs).collect()
+    assert sorted(map(tuple, e)) == sorted(map(tuple, e2))
