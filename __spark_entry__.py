@@ -7007,6 +7007,99 @@ ORACLES_EXTRA.update(
 ORACLES_EXTRA.update({"trustrank_synth": _trustrank_oracle_sql()})
 
 
+# --- winnowing fingerprints (MOSS local copy detection) --------------------
+
+
+def _winnow_sel_sql(k: int = 3, w: int = 4) -> str:
+    """Shared CTE chain: positional tokens -> k-gram hashes -> the
+    closed-form window-minimum selection (same lag/lead expressions, same
+    null handling as operators/winnow.winnow_select)."""
+    gram = " || ' ' || ".join(
+        ["word"] + [f"lead(word, {i}) OVER wv" for i in range(1, k)]
+    )
+    lags = ", ".join(
+        f"lag(khash, {i}) OVER w2 AS l{i}, lead(khash, {i}) OVER w2 AS r{i}"
+        for i in range(1, w)
+    )
+    a_terms, b_terms = [], []
+    a_conj, b_conj = [], []
+    for i in range(1, w):
+        a_conj.append(f"COALESCE(l{i} >= khash, FALSE)")
+        b_conj.append(f"COALESCE(r{i} > khash, FALSE)")
+        a_terms.append("CASE WHEN " + " AND ".join(a_conj) + " THEN 1 ELSE 0 END")
+        b_terms.append("CASE WHEN " + " AND ".join(b_conj) + " THEN 1 ELSE 0 END")
+    absum = " + ".join(a_terms + b_terms)
+    return f"""
+    pos AS ({_POS_TOKENS_SQL}),
+    g AS (SELECT doc_id, pos, {gram} AS gram,
+                 lead(word, {k - 1}) OVER wv AS lastw
+          FROM pos WINDOW wv AS (PARTITION BY doc_id ORDER BY pos)),
+    kg AS (SELECT doc_id, pos,
+                  ('0x' || substr(md5(gram), 1, 15))::BIGINT AS khash
+           FROM g WHERE lastw IS NOT NULL),
+    lg AS (SELECT doc_id, pos, khash, {lags},
+                  COUNT(*) OVER (PARTITION BY doc_id) AS n
+           FROM kg WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)),
+    sel AS (SELECT doc_id, pos, khash,
+                   ({absum}) >= LEAST({w}, n) - 1 AS selected
+            FROM lg)
+"""
+
+
+def _q_winnow_stats(spark, sf_dir):
+    """Engine addition: per-doc winnowing fingerprint audit
+    (operators/winnow.py — Schleimer/Wilkerson/Aiken 2003, k=3, w=4);
+    density_milli should sit near 2000/(w+1)=400 on non-degenerate text."""
+    from see_spark.operators.positional import positional_postings
+    from see_spark.operators.winnow import winnow_stats
+
+    return winnow_stats(positional_postings(_documents(spark, sf_dir)))
+
+
+def _q_winnow_matches(spark, sf_dir):
+    """Engine addition: copied-passage candidate pairs — selected
+    fingerprints equi-joined on the 60-bit hash with a df<=50 ubiquity cap
+    before the fan-out; >= 2 shared fingerprints to pair."""
+    from see_spark.operators.positional import positional_postings
+    from see_spark.operators.winnow import winnow_matches
+
+    return winnow_matches(positional_postings(_documents(spark, sf_dir)))
+
+
+QUERIES_EXTRA.update(
+    {
+        "winnow_stats": _q_winnow_stats,
+        "winnow_matches": _q_winnow_matches,
+    }
+)
+
+ORACLES_EXTRA.update(
+    {
+        "winnow_stats": f"""
+        WITH {_winnow_sel_sql()}
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kgrams,
+               CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_selected,
+               CAST((SUM(CASE WHEN selected THEN 1 ELSE 0 END) * 1000)
+                    // COUNT(*) AS BIGINT) AS density_milli
+        FROM sel GROUP BY doc_id
+    """,
+        "winnow_matches": f"""
+        WITH {_winnow_sel_sql()},
+        fp AS (SELECT DISTINCT doc_id, khash FROM sel WHERE selected),
+        dfc AS (SELECT khash FROM fp GROUP BY khash HAVING COUNT(*) <= 50),
+        kept AS (SELECT fp.doc_id, fp.khash FROM fp JOIN dfc USING (khash))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM kept a JOIN kept b ON a.khash = b.khash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    }
+)
+
+
+
 # --- graph-density spam signals: triangles + reciprocity ------------------
 
 _COMMUNITY_SQL = """
