@@ -7007,6 +7007,147 @@ ORACLES_EXTRA.update(
 ORACLES_EXTRA.update({"trustrank_synth": _trustrank_oracle_sql()})
 
 
+# --- soft-404 detection + frontier backlog audit ---------------------------
+
+
+def _q_soft404(spark, sf_dir):
+    """Engine addition: soft-404 detection (operators/soft404.py —
+    Bar-Yossef et al. 2004). Synthetic fetch results over documents:
+    every 17th doc is the host's error template (digits vary per page —
+    the normalization must strip them), every 29th+5 is a short
+    phrase-heuristic page, every 31st is an honest 404 (never flagged).
+    Probe table = one cannot-exist fetch per host."""
+    from see_spark.operators.soft404 import soft404_flags
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 23).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.when(F.col("doc_id") % 31 == 0, F.lit(404))
+        .otherwise(F.lit(200)).cast("int").alias("status"),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.lit("Oops! page Not Found: /order/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(F.col("doc_id") % 29 == 5, F.lit("sorry, this item does not exist"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    probes = (
+        _documents(spark, sf_dir)
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 23).cast("string"), F.lit(".test")
+            ).alias("host")
+        )
+        .distinct()
+        .select("host", F.lit("Oops! page Not Found: /order/999999").alias("text"))
+    )
+    return soft404_flags(d, probes, short_chars=80)
+
+
+def _q_backlog_audit(spark, sf_dir):
+    """Engine addition: per-host frontier backlog / starvation audit
+    (operators/frontier.py:backlog_audit) over the synthetic frontier with
+    a budget dimension containing real zeros (hostnum % 4 == 0 hosts),
+    exercising the -1 drain sentinel."""
+    from see_spark.operators.frontier import backlog_audit
+
+    f = _orders_frontier(spark, sf_dir)
+    budgets = (
+        f.select("host").distinct().select(
+            "host",
+            (
+                F.regexp_extract("host", r"host(\d+)\.test", 1).cast("long") % 4
+            ).alias("budget"),
+        )
+    )
+    return backlog_audit(f, budgets, rounds_threshold=10)
+
+
+QUERIES_EXTRA.update(
+    {
+        "soft404_detect": _q_soft404,
+        "backlog_audit": _q_backlog_audit,
+    }
+)
+
+_SOFT404_NORM = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'),"
+    " '[ \t\n\r]+', ' ', 'g')))"
+)
+_SOFT404_PHRASE = "(not found|no longer available|does not exist)"
+
+ORACLES_EXTRA.update(
+    {
+        "soft404_detect": f"""
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 'h' || CAST(doc_id % 23 AS VARCHAR) || '.test' AS host,
+                 CAST(CASE WHEN doc_id % 31 = 0 THEN 404 ELSE 200 END
+                      AS INTEGER) AS status,
+                 CASE WHEN doc_id % 17 = 0
+                      THEN 'Oops! page Not Found: /order/'
+                           || CAST(doc_id AS VARCHAR)
+                      WHEN doc_id % 29 = 5
+                      THEN 'sorry, this item does not exist'
+                      ELSE text END AS text
+          FROM documents),
+        p AS (
+          SELECT DISTINCT 'h' || CAST(doc_id % 23 AS VARCHAR) || '.test'
+                   AS host,
+                 'Oops! page Not Found: /order/999999' AS text
+          FROM documents),
+        sig AS (SELECT host, {_SOFT404_NORM} AS err_sig FROM p),
+        dd AS (SELECT doc_id, host, status, {_SOFT404_NORM} AS s,
+                      lower(text) AS low, length(text) AS len
+               FROM d)
+        SELECT dd.doc_id, dd.host, dd.status,
+               CASE WHEN status = 200 AND s = err_sig
+                    THEN 'probe_signature'
+                    WHEN status = 200 AND len <= 80
+                         AND regexp_matches(low, '{_SOFT404_PHRASE}')
+                    THEN 'error_phrase'
+                    ELSE 'ok' END AS reason,
+               (status = 200 AND (s = err_sig OR (len <= 80
+                    AND regexp_matches(low, '{_SOFT404_PHRASE}'))))
+                 AS is_soft404
+        FROM dd JOIN sig USING (host)
+    """,
+        "backlog_audit": f"""
+        WITH frontier AS ({{_F}}),
+        unv AS (
+          SELECT host, COUNT(*) AS n_unvisited, MIN(seq) AS oldest_seq,
+                 MAX(seq) AS newest_seq
+          FROM frontier WHERE state = 'unvisited' GROUP BY host),
+        bud AS (
+          SELECT DISTINCT host,
+                 CAST(CAST(regexp_extract(host, 'host(\d+)\.test', 1)
+                      AS BIGINT) % 4 AS BIGINT) AS budget
+          FROM frontier)
+        SELECT u.host,
+               CAST(u.n_unvisited AS BIGINT) AS n_unvisited,
+               CAST(u.oldest_seq AS BIGINT) AS oldest_seq,
+               CAST(u.newest_seq AS BIGINT) AS newest_seq,
+               COALESCE(b.budget, 0) AS budget,
+               CAST(CASE WHEN COALESCE(b.budget, 0) > 0
+                    THEN (u.n_unvisited + b.budget - 1) // b.budget
+                    ELSE -1 END AS BIGINT) AS drain_rounds,
+               (CASE WHEN COALESCE(b.budget, 0) > 0
+                     THEN (u.n_unvisited + b.budget - 1) // b.budget
+                     ELSE -1 END) >= 10 OR COALESCE(b.budget, 0) <= 0
+                 AS is_starved
+        FROM unv u LEFT JOIN bud b USING (host)
+    """.replace("{_F}", _FRONTIER_SQL),
+    }
+)
+
+
+
 # --- winnowing fingerprints (MOSS local copy detection) --------------------
 
 

@@ -553,3 +553,54 @@ def allocate_budget(
         .cast("long")
         .alias("budget"),
     )
+
+
+def backlog_audit(
+    frontier: DataFrame,
+    budgets: DataFrame,
+    rounds_threshold: int = 10,
+) -> DataFrame:
+    """Per-host frontier BACKLOG / starvation audit — the capacity check
+    an operator runs before blaming politeness for slow coverage: at the
+    current per-round checkout budget, how many rounds would each host's
+    unvisited backlog take to drain, and which hosts are starved (drain
+    time >= ``rounds_threshold`` rounds)?
+
+    ``frontier``: rows with (host, seq, state); ``budgets``: (host,
+    budget) — the apportioner's output (allocate_budget /
+    allocate_budget_by_pld). Hosts with budget 0 and a non-empty backlog
+    drain never; drain_rounds reports -1 for them (sentinel, keeps the
+    column integer). oldest_seq is the smallest enqueue sequence still
+    unvisited — a monotone age proxy (seq is the crawl's dense enqueue
+    order), so a persistently small oldest_seq across audits means the
+    scheduler never reaches that host's tail.
+
+    Scale shape: one combinable aggregate over unvisited rows keyed by
+    host, one broadcast-or-hash join against the host DIMENSION — the
+    frontier row set shuffles once, no windows.
+    """
+    unv = (
+        frontier.where(F.col("state") == STATE_UNVISITED)
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_unvisited"),
+            F.min("seq").cast("long").alias("oldest_seq"),
+            F.max("seq").cast("long").alias("newest_seq"),
+        )
+    )
+    b = budgets.select("host", F.col("budget").cast("long").alias("budget"))
+    j = unv.join(b, "host", "left").select(
+        "host", "n_unvisited", "oldest_seq", "newest_seq",
+        F.coalesce("budget", F.lit(0)).alias("budget"),
+    )
+    drain = F.when(
+        F.col("budget") > 0,
+        F.expr("(n_unvisited + budget - 1) div budget"),
+    ).otherwise(F.lit(-1))
+    return j.select(
+        "host", "n_unvisited", "oldest_seq", "newest_seq", "budget",
+        drain.cast("long").alias("drain_rounds"),
+        (
+            (drain >= rounds_threshold) | (F.col("budget") <= 0)
+        ).alias("is_starved"),
+    )
