@@ -7007,6 +7007,126 @@ ORACLES_EXTRA.update(
 ORACLES_EXTRA.update({"trustrank_synth": _trustrank_oracle_sql()})
 
 
+# --- weighted sampling + ranker-agreement eval ------------------------------
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Engine addition: Efraimidis-Spirakis weighted sampling without
+    replacement (operators/textfilters.py:weighted_sample), weight =
+    n_chars, k = 100. The sample SET itself is deterministic (seeded
+    md5-derived u, exact power-of-two division, libm ln), so the oracle
+    reproduces the exact same 100 rows."""
+    from see_spark.operators.textfilters import weighted_sample
+
+    return weighted_sample(
+        _documents(spark, sf_dir), k=100, weight_col="n_chars"
+    )
+
+
+def _q_rank_agreement(spark, sf_dir):
+    """Engine addition: Spearman/Kendall agreement between two corpus
+    quality signals — Flesch-Kincaid grade vs the stopword/repetition
+    quality score (operators/evaluation.py:rank_agreement). Exact integer
+    ranks (pinned ties) -> exact integer rho/tau milli with sign-factored
+    truncation."""
+    from see_spark.operators.evaluation import rank_agreement
+    from see_spark.operators.reputation import doc_quality_milli
+    from see_spark.operators.textstats import readability
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    a = readability(d).select("doc_id", "fk_grade_milli")
+    b = doc_quality_milli(d.withColumn("host", F.lit("x"))).select(
+        "doc_id", "q_milli"
+    )
+    return rank_agreement(
+        a, b, id_col="doc_id", score_a="fk_grade_milli", score_b="q_milli"
+    )
+
+
+QUERIES_EXTRA.update(
+    {
+        "weighted_sample": _q_weighted_sample,
+        "rank_agreement": _q_rank_agreement,
+    }
+)
+
+ORACLES_EXTRA.update(
+    {
+        "weighted_sample": """
+        WITH w AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 CAST(n_chars AS BIGINT) AS weight,
+                 ln((('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),
+                       1, 15))::BIGINT + 1) / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE) AS key
+          FROM documents WHERE n_chars > 0)
+        SELECT id, weight, round(key, 9) AS ws_key
+        FROM w ORDER BY key DESC, id ASC LIMIT 100
+    """,
+        "rank_agreement": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                   FROM documents),
+        fk AS (
+          SELECT doc_id,
+                 (390 * greatest(len(list_filter(
+                      string_split_regex(text, '\\s+'), x -> x <> '')), 1))
+                   // greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 + (11800 * len(regexp_extract_all(lower(text), '[aeiouy]+')))
+                   // greatest(len(list_filter(
+                      string_split_regex(text, '\\s+'), x -> x <> '')), 1)
+                 - 15590 AS score_a
+          FROM d),
+        feats AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                 CAST(len(string_split(text, ' '))
+                      - len(list_distinct(string_split(text, ' ')))
+                   AS BIGINT) AS rep,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      x -> list_contains(
+                        ['the','a','of','and','to','in','is'], x)))
+                   AS BIGINT) AS stop
+          FROM d),
+        q AS (SELECT doc_id,
+                     (1000 * least(n, 200) * (n - rep) * (n + stop))
+                       // (400 * n * n) AS score_b
+              FROM feats),
+        ra AS (SELECT doc_id AS id, row_number() OVER (
+                 ORDER BY score_a DESC, doc_id ASC) AS ra FROM fk),
+        rb AS (SELECT doc_id AS id, row_number() OVER (
+                 ORDER BY score_b DESC, doc_id ASC) AS rb FROM q),
+        j AS (SELECT ra.id, ra.ra, rb.rb FROM ra JOIN rb USING (id)),
+        base AS (SELECT COUNT(*) AS n,
+                        CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+                 FROM j),
+        cd AS (SELECT
+                 CAST(SUM(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+                 CAST(SUM(CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) < 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+               FROM j a JOIN j b ON a.id < b.id),
+        o AS (SELECT n, sum_d2, concordant, discordant,
+                     n * (n * n - 1) - 6 * sum_d2 AS spnum,
+                     n * (n * n - 1) AS spden,
+                     concordant - discordant AS ktnum,
+                     (n * (n - 1)) // 2 AS ktden
+              FROM base, cd)
+        SELECT CAST(n AS BIGINT) AS n, sum_d2, concordant, discordant,
+               CAST((CASE WHEN spnum < 0 THEN -1 ELSE 1 END)
+                    * ((1000 * abs(spnum)) // spden) AS BIGINT)
+                 AS spearman_milli,
+               CAST((CASE WHEN ktnum < 0 THEN -1 ELSE 1 END)
+                    * ((1000 * abs(ktnum)) // ktden) AS BIGINT)
+                 AS kendall_milli
+        FROM o
+    """,
+    }
+)
+
+
+
 # --- soft-404 detection + frontier backlog audit ---------------------------
 
 

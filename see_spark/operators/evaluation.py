@@ -90,3 +90,86 @@ def retrieval_metrics(results: DataFrame, qrels: DataFrame, k: int = 10,
             F.round(F.col("dcg") / F.col("idcg"), round_dp).alias("ndcg"),
         )
     )
+
+
+def rank_agreement(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    score_a: str = "score_a",
+    score_b: str = "score_b",
+) -> DataFrame:
+    """Agreement between two rankers over the SAME item set: one row
+    (n, sum_d2, concordant, discordant, spearman_milli, kendall_milli).
+
+    Ranks are pinned total orders (score desc, id asc), so both engines
+    produce identical integer ranks; Spearman's rho and Kendall's tau
+    are then EXACT integer arithmetic — the only care is signed
+    division, emitted as sign(num) * (1000*|num| div den) so truncation
+    is toward zero in both engines (DuckDB // floors, Spark div
+    truncates — they differ on negatives, so the sign is factored out).
+
+    Scale: rank assignment is a global window — this operator is for
+    EVAL-SIZED inputs (top-k lists, judged pools, signal-agreement
+    samples), exactly like retrieval_metrics above; Kendall's pair join
+    is O(n^2) by definition. For corpus-wide monitoring, feed it a
+    deterministic sample (textfilters.weighted_sample), never the corpus.
+    """
+    ra = a.select(
+        F.col(id_col).alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(score_a), F.asc(id_col)))
+        .cast("long")
+        .alias("ra"),
+    )
+    rb = b.select(
+        F.col(id_col).alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(score_b), F.asc(id_col)))
+        .cast("long")
+        .alias("rb"),
+    )
+    j = ra.join(rb, "id")
+    base = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+        .cast("long")
+        .alias("sum_d2"),
+    )
+    p1 = j.select(F.col("id").alias("i1"), F.col("ra").alias("ra1"),
+                  F.col("rb").alias("rb1"))
+    p2 = j.select(F.col("id").alias("i2"), F.col("ra").alias("ra2"),
+                  F.col("rb").alias("rb2"))
+    pairs = p1.join(p2, F.col("i1") < F.col("i2"))
+    cd = pairs.agg(
+        F.sum(
+            (
+                (F.col("ra1") - F.col("ra2")) * (F.col("rb1") - F.col("rb2"))
+                > 0
+            ).cast("long")
+        ).alias("concordant"),
+        F.sum(
+            (
+                (F.col("ra1") - F.col("ra2")) * (F.col("rb1") - F.col("rb2"))
+                < 0
+            ).cast("long")
+        ).alias("discordant"),
+    )
+    out = base.crossJoin(cd).select(
+        "n", "sum_d2", "concordant", "discordant",
+        F.expr("n * (n * n - 1) - 6 * sum_d2").alias("__spnum"),
+        F.expr("n * (n * n - 1)").alias("__spden"),
+        (F.col("concordant") - F.col("discordant")).alias("__ktnum"),
+        F.expr("n * (n - 1) div 2").alias("__ktden"),
+    )
+    return out.select(
+        "n", "sum_d2", "concordant", "discordant",
+        (
+            F.when(F.col("__spnum") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr("(1000 * abs(__spnum)) div __spden")
+        ).cast("long").alias("spearman_milli"),
+        (
+            F.when(F.col("__ktnum") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr("(1000 * abs(__ktnum)) div __ktden")
+        ).cast("long").alias("kendall_milli"),
+    )

@@ -362,3 +362,47 @@ def normalize_text(
         (collapsed != F.col(text_col)).cast("long").alias("changed"),
         F.length(collapsed).cast("long").alias("n_chars"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — Efraimidis
+    & Spirakis 2006: each row gets key = ln(u) / w with u in (0, 1]
+    derived from a seeded 60-bit hash of its id; the k largest keys are
+    an exact weight-proportional sample. Because u is pure arithmetic on
+    md5 (u = (h + 1) / 2^60 — a power-of-two division, exact in IEEE)
+    and ln is the one libm op (JVM == DuckDB for these inputs, the
+    repo-wide convention), both engines select the SAME k rows, making
+    the sample itself oracle-checkable — unlike rand()-based sampling.
+
+    Rows with weight <= 0 are excluded (zero weight = never sampled).
+    Scale: row-local key computation + top-k (TakeOrderedAndProject —
+    per-partition heaps, no global sort); changing ``seed`` redraws.
+    Used for corpus-quality sampling where importance is a column
+    (quality milli, PageRank, token count) rather than uniform.
+    """
+    from .dedup import hash60
+
+    u = (
+        hash60(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    out = (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias("__key"),
+        )
+        .orderBy(F.desc("__key"), F.asc("id"))
+        .limit(k)
+    )
+    return out.select(
+        "id", "weight", F.round("__key", 9).alias("ws_key")
+    )
