@@ -7453,6 +7453,123 @@ ORACLES_EXTRA.update(
 
 
 
+# --- best-window snippets + host-template boilerplate mass ------------------
+
+
+def _q_search_snippets(spark, sf_dir):
+    """Engine addition: best-passage snippet extraction
+    (operators/positional.py:best_window_snippets) — densest width-10
+    token window over the search-suite query terms, ties to the earliest
+    start; snippet resolved from the kept-token arrays."""
+    from see_spark.functions.udfs import tokenize_expr
+    from see_spark.operators.positional import (
+        best_window_snippets, positional_postings,
+    )
+
+    d = _documents(spark, sf_dir)
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokenize_expr(F.col("text")).alias("toks"),
+    )
+    return best_window_snippets(
+        positional_postings(d), toks, _SEARCH_WORDS, width=10
+    )
+
+
+def _q_template_mass(spark, sf_dir):
+    """Engine addition: per-doc boilerplate ratio from winnowing
+    fingerprints (operators/winnow.py:template_mass). Docs are augmented
+    with a per-host nav prefix so host-template hashes genuinely exist;
+    a hash is template when >= 50% of the host's docs (>= 3 docs
+    evidence) contain it."""
+    from see_spark.operators.positional import positional_postings
+    from see_spark.operators.winnow import fingerprints, template_mass
+
+    d = _documents(spark, sf_dir)
+    k = F.col("doc_id").cast("long")
+    aug = d.select(
+        k.alias("doc_id"),
+        F.concat(
+            F.lit("nav home about contact host"),
+            (k % 13).cast("string"),
+            F.lit(" menu "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    hosts = aug.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 13).cast("string"), F.lit(".test")
+        ).alias("host"),
+    )
+    fps = fingerprints(positional_postings(aug)).select("doc_id", "khash")
+    return template_mass(fps, hosts, share_milli=500, min_docs=3)
+
+
+QUERIES_EXTRA.update(
+    {
+        "search_snippets": _q_search_snippets,
+        "template_mass": _q_template_mass,
+    }
+)
+
+ORACLES_EXTRA.update(
+    {
+        "search_snippets": f"""
+        WITH pos AS ({_POS_TOKENS_SQL}),
+        ta AS ({_TOKARR_SQL}),
+        occ AS (SELECT doc_id, pos FROM pos
+                WHERE word IN ('table', 'join', 'query')),
+        dens AS (SELECT doc_id, pos,
+                   CAST(COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING)
+                     AS BIGINT) AS density
+                 FROM occ),
+        best AS (SELECT doc_id, density, pos AS start,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY density DESC, pos ASC) AS rn
+                 FROM dens)
+        SELECT b.doc_id, CAST(b.start AS BIGINT) AS start, b.density,
+               array_to_string(
+                 list_slice(ta.toks, b.start + 1, b.start + 10), ' ')
+                 AS snippet
+        FROM best b JOIN ta USING (doc_id) WHERE rn = 1
+    """,
+        "template_mass": f"""
+        WITH docaug AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 'nav home about contact host' || CAST(doc_id % 13 AS VARCHAR)
+                 || ' menu ' || text AS text
+          FROM documents),
+        {_winnow_sel_sql().replace("FROM documents", "FROM docaug")},
+        fsel AS (SELECT DISTINCT doc_id, khash FROM sel WHERE selected),
+        hosts AS (SELECT doc_id,
+                         'h' || CAST(doc_id % 13 AS VARCHAR) || '.test'
+                           AS host
+                  FROM docaug),
+        f AS (SELECT fsel.doc_id, fsel.khash, hosts.host
+              FROM fsel JOIN hosts USING (doc_id)),
+        hd AS (SELECT host, COUNT(DISTINCT doc_id) AS hn
+               FROM hosts GROUP BY host),
+        hdf AS (SELECT host, khash, COUNT(DISTINCT doc_id) AS dfh
+                FROM f GROUP BY host, khash),
+        tpl AS (SELECT host, khash FROM hdf JOIN hd USING (host)
+                WHERE hn >= 3 AND dfh * 1000 >= 500 * hn),
+        m AS (SELECT f.doc_id, f.host,
+                     CASE WHEN t.khash IS NOT NULL THEN 1 ELSE 0 END AS tp
+              FROM f LEFT JOIN tpl t
+                ON t.host = f.host AND t.khash = f.khash)
+        SELECT doc_id, host,
+               CAST(COUNT(*) AS BIGINT) AS n_fps,
+               CAST(SUM(tp) AS BIGINT) AS n_template,
+               CAST((SUM(tp) * 1000) // COUNT(*) AS BIGINT)
+                 AS template_milli
+        FROM m GROUP BY doc_id, host
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.udfs import tokenize_expr
@@ -120,4 +120,64 @@ def phrase_snippets(
                 " ",
             ).alias("snippet"),
         )
+    )
+
+
+def best_window_snippets(
+    pos_postings: DataFrame,
+    tok_arrays: DataFrame,
+    terms: Sequence[str],
+    width: int = 10,
+) -> DataFrame:
+    """SERP snippet extraction: for every document containing at least
+    one query term, the token window of ``width`` starting at a term
+    occurrence that maximizes query-term DENSITY (count of term
+    occurrences inside the window), ties broken to the earliest start —
+    the classic best-passage heuristic (search engines show the densest
+    matching window, not the first match; complements phrase_snippets
+    which anchors on exact phrases only).
+
+    Shape: filter positional postings to the query terms (a literal
+    isin — at 10^10 scale the postings scan prunes to the terms'
+    slices), then ONE range-frame window per doc over the term
+    occurrences only (never over all tokens: candidate starts are term
+    positions — any denser window can be left-shifted to start at a
+    term occurrence without losing members, so the restriction is
+    lossless), an argmax struct-aggregate, and one join against the
+    kept-token arrays for the final slice. The window frame is
+    RANGE [0, width-1] over the integer position — O(occurrences) work,
+    not O(tokens).
+
+    Output: (doc_id, start, density, snippet) — all scalars.
+    """
+    occ = pos_postings.where(
+        F.col("word").isin([t for t in terms])
+    ).select("doc_id", "pos")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rangeBetween(0, width - 1)
+    )
+    dens = occ.select(
+        "doc_id", "pos", F.count("*").over(w).cast("long").alias("density")
+    )
+    best = dens.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("density"), (-F.col("pos")).alias("negpos")
+            )
+        ).alias("__b")
+    )
+    sel = best.select(
+        "doc_id",
+        F.col("__b.density").alias("density"),
+        (-F.col("__b.negpos")).cast("long").alias("start"),
+    )
+    return sel.join(tok_arrays, "doc_id").select(
+        "doc_id",
+        "start",
+        "density",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1, width), " "
+        ).alias("snippet"),
     )

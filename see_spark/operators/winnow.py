@@ -144,3 +144,51 @@ def winnow_matches(
         .agg(F.count("*").cast("long").alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+def template_mass(
+    fp: DataFrame,
+    hosts: DataFrame,
+    share_milli: int = 500,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-document BOILERPLATE mass from winnowing fingerprints: a
+    fingerprint is a host TEMPLATE hash when it appears in >= share_milli
+    per-mille of the host's documents (with >= min_docs docs of evidence
+    — single-page hosts are degenerately all-template); each doc then
+    reports what fraction of its own fingerprints are template
+    (template_milli). High template_milli = navigation/chrome-dominated
+    page; the curation pipeline downweights or strips those. This is the
+    HOST-level complement of content.classify_blocks (which works within
+    one page) — template detection needs cross-page evidence.
+
+    ``fp``: (doc_id, khash) selected fingerprints (winnow.fingerprints);
+    ``hosts``: (doc_id, host). Shapes: two combinable aggregates keyed by
+    (host, khash) and host, one broadcast-or-hash join back — never
+    all-pairs, never a window over row data.
+
+    Output: (doc_id, host, n_fps, n_template, template_milli).
+    """
+    f = fp.select("doc_id", "khash").distinct().join(hosts, "doc_id")
+    host_docs = hosts.groupBy("host").agg(
+        F.countDistinct("doc_id").cast("long").alias("__hn")
+    )
+    hash_df = f.groupBy("host", "khash").agg(
+        F.countDistinct("doc_id").cast("long").alias("__df")
+    )
+    template = (
+        hash_df.join(host_docs, "host")
+        .where(
+            (F.col("__hn") >= min_docs)
+            & (F.col("__df") * 1000 >= F.lit(share_milli) * F.col("__hn"))
+        )
+        .select("host", "khash", F.lit(1).alias("__tpl"))
+    )
+    marked = f.join(template, ["host", "khash"], "left")
+    return marked.groupBy("doc_id", "host").agg(
+        F.count("*").cast("long").alias("n_fps"),
+        F.sum(F.coalesce("__tpl", F.lit(0))).cast("long").alias("n_template"),
+        F.expr("(sum(coalesce(__tpl, 0)) * 1000) div count(*)")
+        .cast("long")
+        .alias("template_milli"),
+    )

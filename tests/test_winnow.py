@@ -94,3 +94,54 @@ def test_winnow_max_df_cap_drops_ubiquitous_fingerprints(spark):
     assert winnow_matches(pp, max_df=3, min_shared=1).count() == 0
     # cap above -> all 15 pairs
     assert winnow_matches(pp, max_df=10, min_shared=1).count() == 15
+
+
+def test_template_mass_flags_host_boilerplate(spark):
+    from see_spark.operators.positional import positional_postings
+    from see_spark.operators.winnow import fingerprints, template_mass
+
+    nav = "navigation home about contact products categories sitemap legal "
+    bodies = [
+        "unique article alpha discusses rivers and mountains today",
+        "another piece beta about oceans skies and weather patterns",
+        "third story gamma covering forests deserts and canyons well",
+        "fourth entry delta regarding cities towns and villages here",
+    ]
+    docs = spark.createDataFrame(
+        [(i, nav + b) for i, b in enumerate(bodies)]
+        + [(99, "lone page on its own single host " * 3)],
+        "doc_id long, text string",
+    )
+    hosts = spark.createDataFrame(
+        [(i, "big.test") for i in range(4)] + [(99, "solo.test")],
+        "doc_id long, host string",
+    )
+    fps = fingerprints(positional_postings(docs)).select("doc_id", "khash")
+    rows = {r["doc_id"]: r for r in
+            template_mass(fps, hosts, share_milli=500, min_docs=3).collect()}
+    # every big.test doc carries some template fingerprints, none is 100%
+    for i in range(4):
+        assert rows[i]["n_template"] > 0, rows[i]
+        assert 0 < rows[i]["template_milli"] < 1000, rows[i]
+    # single-doc host: below min_docs evidence -> nothing is template
+    assert rows[99]["n_template"] == 0
+
+
+def test_best_window_snippets_picks_densest_window(spark):
+    from see_spark.operators.positional import (
+        best_window_snippets, positional_postings,
+    )
+    from see_spark.functions.udfs import tokenize_expr
+    from pyspark.sql import functions as F
+
+    text = ("query appears here alone filler filler filler filler filler "
+            "filler then query join query cluster sits here at the end")
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = docs.select("doc_id", tokenize_expr(F.col("text")).alias("toks"))
+    out = best_window_snippets(
+        positional_postings(docs), toks, ["query", "join"], width=5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["density"] == 3                      # query join query
+    assert r["snippet"].startswith("query join query")
