@@ -7570,6 +7570,151 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+# --- change-rate estimation + charset sniffing ------------------------------
+
+
+def _q_change_rate(spark, sf_dir):
+    """Engine addition: Cho & Garcia-Molina Poisson change-rate estimator
+    (operators/recrawl.py:change_rate_estimate) over a synthetic fetch
+    history from lineitem (url per order, round = linenumber, content
+    hash flips at round 4 so short histories give X=0 and longer ones
+    X>=1; single-fetch urls exercise the NULL-evidence arm)."""
+    from see_spark.operators.recrawl import change_rate_estimate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hist = li.select(
+        F.concat(F.lit("u"), F.col("l_orderkey").cast("string")).alias("url"),
+        F.col("l_linenumber").cast("long").alias("round"),
+        F.expr("cast((l_orderkey + (l_linenumber div 4)) % 3 as string)")
+        .alias("content_hash"),
+    )
+    return change_rate_estimate(hist)
+
+
+def _q_charset_sniff(spark, sf_dir):
+    """Engine addition: WHATWG-precedence charset sniffing
+    (operators/charset.py) over synthetic header/BOM/meta evidence —
+    every precedence combination occurs (BOM beats meta beats header
+    beats the utf-8 default)."""
+    from see_spark.operators.charset import charset_sniff
+
+    d = _documents(spark, sf_dir)
+    k = F.col("doc_id").cast("long")
+    ev = d.select(
+        k.alias("doc_id"),
+        F.when(k % 5 == 0, F.lit("text/html; charset=ISO-8859-1"))
+        .when(k % 5 == 2, F.lit('text/plain; charset="Windows-1252"'))
+        .otherwise(F.lit("text/html")).alias("content_type"),
+        F.when(k % 7 == 0, F.lit("EFBBBF3C68746D6C"))
+        .when(k % 7 == 1, F.lit("fffe3c00"))
+        .when(k % 7 == 2, F.lit("feff003c"))
+        .otherwise(F.lit("3c68746d6c")).alias("body_prefix_hex"),
+        F.when(
+            k % 3 == 0,
+            F.lit('<html><head><meta charset="KOI8-R"><title>'),
+        )
+        .when(
+            k % 3 == 1,
+            F.lit('<html><head><meta http-equiv="Content-Type" '
+                  'content="text/html; charset=Shift_JIS">'),
+        )
+        .otherwise(F.lit("<html><head><title>x</title>")).alias("body_prefix"),
+    )
+    return charset_sniff(ev)
+
+
+QUERIES_EXTRA.update(
+    {
+        "change_rate": _q_change_rate,
+        "charset_sniff": _q_charset_sniff,
+    }
+)
+
+ORACLES_EXTRA.update(
+    {
+        "change_rate": """
+        WITH h AS (
+          SELECT 'u' || CAST(l_orderkey AS VARCHAR) AS url,
+                 CAST(l_linenumber AS BIGINT) AS round,
+                 CAST((l_orderkey + l_linenumber // 4) % 3 AS VARCHAR)
+                   AS content_hash
+          FROM lineitem),
+        f AS (SELECT url, round, content_hash,
+                     lag(content_hash) OVER (
+                       PARTITION BY url ORDER BY round) AS prev
+              FROM h),
+        a AS (SELECT url,
+                CAST(COUNT(CASE WHEN prev IS NOT NULL THEN 1 END)
+                  AS BIGINT) AS n_cmp,
+                CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL
+                     AND content_hash <> prev THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_changes,
+                CAST(MAX(round) - MIN(round) AS BIGINT) AS span
+              FROM f GROUP BY url)
+        SELECT url, n_cmp, n_changes, span,
+               CASE WHEN n_cmp > 0 AND span > 0
+                    THEN round(-ln((2 * (n_cmp - n_changes) + 1)
+                         / CAST(2 * n_cmp + 1 AS DOUBLE)) * n_cmp / span, 6)
+                    END AS lambda_6,
+               CASE WHEN n_cmp > 0 AND span > 0 AND n_changes > 0
+                    THEN round(ln(2.0)
+                         / (-ln((2 * (n_cmp - n_changes) + 1)
+                            / CAST(2 * n_cmp + 1 AS DOUBLE))
+                            * n_cmp / span), 6)
+                    END AS half_life_6
+        FROM a
+    """,
+        "charset_sniff": """
+        WITH ev AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN 'text/html; charset=ISO-8859-1'
+                      WHEN doc_id % 5 = 2
+                      THEN 'text/plain; charset="Windows-1252"'
+                      ELSE 'text/html' END AS content_type,
+                 CASE WHEN doc_id % 7 = 0 THEN 'EFBBBF3C68746D6C'
+                      WHEN doc_id % 7 = 1 THEN 'fffe3c00'
+                      WHEN doc_id % 7 = 2 THEN 'feff003c'
+                      ELSE '3c68746d6c' END AS body_prefix_hex,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN '<html><head><meta charset="KOI8-R"><title>'
+                      WHEN doc_id % 3 = 1
+                      THEN '<html><head><meta http-equiv="Content-Type" '
+                           || 'content="text/html; charset=Shift_JIS">'
+                      ELSE '<html><head><title>x</title>' END AS body_prefix
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 CASE WHEN lower(body_prefix_hex) LIKE 'efbbbf%'
+                      THEN 'utf-8'
+                      WHEN lower(body_prefix_hex) LIKE 'fffe%'
+                      THEN 'utf-16le'
+                      WHEN lower(body_prefix_hex) LIKE 'feff%'
+                      THEN 'utf-16be'
+                      ELSE '' END AS bom,
+                 lower(regexp_extract(lower(body_prefix),
+                   '<meta[^>]*charset\s*=\s*["'']?([a-zA-Z0-9._:-]+)', 1))
+                   AS meta,
+                 lower(regexp_extract(lower(COALESCE(content_type, '')),
+                   'charset\s*=\s*["'']?([a-zA-Z0-9._:-]+)', 1)) AS header
+          FROM ev)
+        SELECT doc_id,
+               CASE WHEN bom <> '' THEN bom
+                    WHEN meta <> '' THEN meta
+                    WHEN header <> '' THEN header
+                    ELSE 'utf-8' END AS charset,
+               CASE WHEN bom <> '' THEN 'bom'
+                    WHEN meta <> '' THEN 'meta'
+                    WHEN header <> '' THEN 'header'
+                    ELSE 'default' END AS charset_source
+        FROM s
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -101,3 +101,62 @@ def due_urls(
     dedup applies as usual)."""
     plan = recrawl_schedule(history, min_interval, max_interval, now_round)
     return plan.filter(F.col("due")).select("url", "next_due_round")
+
+
+def change_rate_estimate(history: DataFrame) -> DataFrame:
+    """Poisson change-rate estimation per URL — Cho & Garcia-Molina 2003
+    ("Estimating frequency of change"): with n COMPARISONS between
+    consecutive fetches (n = fetches - 1), X of which detected a change,
+    and mean inter-fetch gap Ibar = span / n rounds, the bias-corrected
+    estimator is
+
+        lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) / Ibar
+
+    changes per round. ``half_life`` = ln(2)/lambda_hat is the age at
+    which the cached copy is stale with probability 1/2 — the number a
+    scheduler actually compares against its revisit interval
+    (recrawl_schedule's exponential backoff CONVERGES to a fixed
+    interval; this estimator justifies WHICH interval, from history).
+
+    Exactness: the ratio is evaluated as (2*(n-X)+1)/(2*n+1) — an
+    integer-over-integer double division, bit-identical across engines —
+    and ln is the one libm op (the repo convention), so outputs rounded
+    to 6dp are oracle-exact. X = 0 (never changed) yields lambda 0 and
+    NULL half_life; single-fetch URLs (n = 0) and zero-span histories
+    emit NULL lambda (no evidence — the engine's cold-start rule).
+
+    One window pass keyed by url (change flags) + one combinable
+    aggregate; the history table is url-partitioned so nothing crosses
+    partitions. Returns (url, n_cmp, n_changes, span, lambda_6,
+    half_life_6).
+    """
+    w = Window.partitionBy("url").orderBy("round")
+    prev = F.lag("content_hash").over(w)
+    flagged = history.select(
+        "url", "round",
+        F.when(prev.isNull(), F.lit(None).cast("int"))
+        .otherwise((F.col("content_hash") != prev).cast("int"))
+        .alias("chg"),
+    )
+    agg = flagged.groupBy("url").agg(
+        F.count("chg").cast("long").alias("n_cmp"),
+        F.coalesce(F.sum("chg"), F.lit(0)).cast("long").alias("n_changes"),
+        (F.max("round") - F.min("round")).cast("long").alias("span"),
+    )
+    ratio = (
+        (2 * (F.col("n_cmp") - F.col("n_changes")) + 1).cast("double")
+        / (2 * F.col("n_cmp") + 1).cast("double")
+    )
+    lam = -F.log(ratio) * F.col("n_cmp").cast("double") / F.col("span").cast("double")
+    valid = (F.col("n_cmp") > 0) & (F.col("span") > 0)
+    lam_col = F.when(valid, F.round(lam, 6)).otherwise(
+        F.lit(None).cast("double")
+    )
+    hl = F.when(
+        valid & (F.col("n_changes") > 0),
+        F.round(F.log(F.lit(2.0)) / lam, 6),
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.select(
+        "url", "n_cmp", "n_changes", "span",
+        lam_col.alias("lambda_6"), hl.alias("half_life_6"),
+    )
