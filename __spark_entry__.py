@@ -7715,6 +7715,122 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+# --- k-core peeling + more-like-this ----------------------------------------
+
+
+K_CORE_K = 10
+
+
+def _kcore_oracle_sql(k: int = 5, n_iter: int = 8) -> str:
+    """Unrolled peeling, round-for-round what linkgraph.kcore computes
+    (peeling is monotone, so extra rounds past the fixpoint are no-ops)."""
+    ctes = [
+        _COMMUNITY_SQL,
+        "xedges AS MATERIALIZED (SELECT src, dst FROM cedges UNION ALL "
+        + " UNION ALL ".join(
+            f"SELECT node AS src, (node*{m} + {c}) % (SELECT n FROM nn)"
+            f" AS dst FROM cnodes"
+            for m, c in _STRIDES
+        )
+        + ")",
+        "a0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,"
+        " GREATEST(src, dst) AS b FROM xedges WHERE src <> dst)",
+    ]
+    # MATERIALIZED: without it DuckDB inlines a{i-1} into all three of
+    # a{i}'s references -> 3^n_iter scan blow-up (observed as fd
+    # exhaustion on the parquet view)
+    for i in range(1, n_iter + 1):
+        p = f"a{i-1}"
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM ("
+            f"SELECT a AS node FROM {p} UNION ALL SELECT b FROM {p})"
+            f" GROUP BY node)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT x.a, x.b FROM {p} x"
+            f" JOIN d{i} da ON da.node = x.a AND da.d >= {k}"
+            f" JOIN d{i} db ON db.node = x.b AND db.d >= {k})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      SELECT a AS node FROM a{n_iter}
+      UNION ALL SELECT b FROM a{n_iter})
+    GROUP BY node"""
+    )
+
+
+def _q_kcore(spark, sf_dir):
+    """Engine addition: 5-core of the deterministic community graph
+    (operators/linkgraph.py:kcore — Batagelj-Zaversnik peeling, 8
+    rounds, past the cascade's fixpoint). Oracle = the unrolled peel."""
+    from see_spark.operators.linkgraph import (
+        community_edges, kcore, synthetic_edges,
+    )
+
+    d = _documents(spark, sf_dir)
+    mixed = community_edges(d).unionAll(synthetic_edges(d))
+    return kcore(mixed, k=K_CORE_K, n_iter=8)
+
+
+def _q_more_like_this(spark, sf_dir):
+    """Engine addition: 'more like this' related-document ranking
+    (operators/search.py:more_like_this) seeded at doc 7 — top-5
+    distinguishing terms, sum tf-idf over them, top-10 (all tie-breaks
+    pinned). The df aggregate is word-restricted (plan-guarded family)."""
+    from see_spark.operators.search import more_like_this
+
+    return more_like_this(
+        _doc_postings_tf(spark, sf_dir),
+        source_id=7,
+        page_count=_documents(spark, sf_dir).count(),
+        m=5,
+        k=10,
+    )
+
+
+QUERIES_EXTRA.update(
+    {
+        "kcore": _q_kcore,
+        "more_like_this": _q_more_like_this,
+    }
+)
+
+ORACLES_EXTRA.update(
+    {
+        "kcore": _kcore_oracle_sql(k=K_CORE_K),
+        "more_like_this": f"""
+        WITH p0 AS ({_POSTINGS_SQL}),
+        p AS (SELECT doc_id, word, term_count / doc_len AS tf FROM p0),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        src AS (SELECT word, tf AS src_tf FROM p WHERE doc_id = 7),
+        dfb AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM p
+                WHERE word IN (SELECT word FROM src) GROUP BY word),
+        kw AS (SELECT s.word,
+                      ln(CAST((SELECT n FROM nn) AS DOUBLE) / (1.0 + d.df))
+                        AS idf,
+                      s.src_tf
+                      * ln(CAST((SELECT n FROM nn) AS DOUBLE) / (1.0 + d.df))
+                        AS kscore
+               FROM src s JOIN dfb d USING (word)
+               ORDER BY kscore DESC, word ASC LIMIT 5),
+        cand AS (SELECT p.doc_id, p.tf * kw.idf AS part
+                 FROM p JOIN kw USING (word) WHERE p.doc_id <> 7),
+        scored AS (SELECT doc_id,
+                          CAST(COUNT(*) AS BIGINT) AS n_shared,
+                          SUM(part) AS score
+                   FROM cand GROUP BY doc_id)
+        SELECT doc_id, n_shared, round(score, 6) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

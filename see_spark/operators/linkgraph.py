@@ -640,3 +640,52 @@ def community_edges(
             F.filter(arr, lambda d: (d != src) & (d < F.lit(n)))
         ).alias("dst"),
     )
+
+
+def kcore(edges: DataFrame, k: int = 3, n_iter: int = 8) -> DataFrame:
+    """k-core membership by iterative peeling (Seidman 1983; the
+    Batagelj–Zaveršnik distributed variant): repeatedly delete nodes of
+    degree < k from the UNDIRECTED simple graph until none remain. The
+    surviving subgraph — every member keeps >= k neighbors inside it —
+    is the standard dense-community / link-spam-nucleus signal one level
+    up from triangles (a farm's core survives high k; organic long-tail
+    hosts peel away immediately).
+
+    ``n_iter`` bounds the peeling rounds; peeling is MONOTONE (deleted
+    nodes never return), so if a round removes nothing the loop is at
+    the true fixpoint and remaining rounds are no-ops — callers pick
+    n_iter >= the cascade depth (graphs peel in O(log n) rounds in
+    practice; the pytest asserts fixpoint-reached on its graphs).
+
+    Per round: one combinable degree aggregate + two semi-joins on the
+    endpoint keys (the standard Pregel-equivalent shape; lineage cut per
+    round like pagerank). Returns (node, degree) of the surviving core
+    with degrees WITHIN the core.
+    """
+    alive = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_iter):
+        deg = (
+            alive.select(F.col("a").alias("node"))
+            .unionAll(alive.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("__d"))
+        )
+        keep = deg.where(F.col("__d") >= k).select("node")
+        alive = (
+            alive.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        alive.select(F.col("a").alias("node"))
+        .unionAll(alive.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )

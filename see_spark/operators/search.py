@@ -795,3 +795,60 @@ def percolate(
         .filter(F.col("n_matched") == F.col("__need"))
         .select("doc_id", "query_id", "n_matched")
     )
+
+
+def more_like_this(
+    postings: DataFrame,
+    source_id,
+    page_count: int,
+    m: int = 5,
+    k: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """"More like this": rank documents by similarity to ONE source
+    document — the classic related-content query (Lucene's MLT shape):
+    take the source doc's top-``m`` distinguishing terms (highest
+    tf·idf, the doc_keywords criterion, ties pinned word-asc), then
+    score every other document over those terms with Σ tf·idf and
+    return the top ``k`` (ties doc-asc).
+
+    Scale shape: the source doc's postings are ONE doc's vocabulary
+    (broadcast); the df aggregate is word-restricted to that vocabulary
+    (semi-join UNDER the aggregate — the plan-guarded family, never a
+    full-postings df pass); candidate scoring joins postings against m
+    broadcast keywords, one doc_id-keyed combinable aggregate,
+    TakeOrderedAndProject top-k. No full-corpus shuffle anywhere.
+
+    Returns (doc_id, n_shared, score).
+    """
+    src = postings.where(F.col("doc_id") == source_id).select(
+        "word", F.col("tf").alias("src_tf")
+    )
+    dfb = (
+        postings.join(F.broadcast(src.select("word")), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = F.log(F.lit(float(page_count)) / (F.lit(1.0) + F.col("df")))
+    kw = (
+        src.join(F.broadcast(dfb), "word")
+        .select(
+            "word",
+            idf.alias("idf"),
+            (F.col("src_tf") * idf).alias("kscore"),
+        )
+        .orderBy(F.desc("kscore"), F.asc("word"))
+        .limit(m)
+    )
+    cand = postings.join(
+        F.broadcast(kw.select("word", "idf")), "word"
+    ).where(F.col("doc_id") != source_id)
+    scored = cand.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shared"),
+        F.sum(F.col("tf") * F.col("idf")).alias("__score"),
+    )
+    return (
+        scored.orderBy(F.desc("__score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "n_shared", F.round("__score", round_dp).alias("score"))
+    )

@@ -471,3 +471,28 @@ def test_community_edges_in_range_and_deterministic(spark):
     assert any(r["src"] % 3 == 0 and (r["dst"] - r["src"]) % 8 == 6 for r in e)
     e2 = community_edges(docs).collect()
     assert sorted(map(tuple, e)) == sorted(map(tuple, e2))
+
+
+def test_kcore_peeling_cascade(spark):
+    """Pendant chain hanging off a K5 clique: the chain peels one node
+    per round (a genuine cascade), the clique survives as the 4-core."""
+    from see_spark.operators.linkgraph import kcore
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12), (12, 13)]
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    core = {r["node"]: r["degree"] for r in kcore(df, k=4, n_iter=6).collect()}
+    assert set(core) == {0, 1, 2, 3, 4}
+    assert all(d == 4 for d in core.values())
+    # k above the clique degree empties the graph
+    assert kcore(df, k=5, n_iter=6).count() == 0
+
+
+def test_kcore_fixpoint_extra_rounds_noop(spark):
+    from see_spark.operators.linkgraph import community_edges, kcore, synthetic_edges
+
+    docs = spark.range(120).withColumnRenamed("id", "doc_id")
+    mixed = community_edges(docs).unionAll(synthetic_edges(docs, n_nodes=120))
+    a = sorted((r["node"], r["degree"]) for r in kcore(mixed, k=8, n_iter=6).collect())
+    b = sorted((r["node"], r["degree"]) for r in kcore(mixed, k=8, n_iter=9).collect())
+    assert a == b and len(a) > 0

@@ -185,3 +185,31 @@ def test_percolate_conjunctive_semantics(spark):
     assert sorted(map(tuple, percolate(postings, dup).collect())) == sorted(
         (d, q, n) for (d, q), n in got.items()
     )
+
+
+def test_more_like_this_excludes_source_and_ranks_shared_vocab(spark):
+    from see_spark.operators.search import more_like_this
+    from pyspark.sql import functions as F
+
+    docs = [
+        # source repeats its distinctive vocabulary so tf (not the
+        # alphabetical tie-break) decides the keyword cut
+        (1, "photovoltaic photovoltaic wafer wafer inverter inverter "
+            "electricity grid"),
+        (2, "photovoltaic wafer inverter homes cheap"),
+        (3, "electricity grid maintenance schedule report"),
+        (4, "pasta basil recipe cooking tonight"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).groupBy("doc_id", "word").count().withColumnRenamed("count", "term_count")
+    postings = toks.withColumn(
+        "doc_len",
+        F.sum("term_count").over(__import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy("doc_id")),
+    ).withColumn("tf", F.col("term_count") / F.col("doc_len"))
+    res = more_like_this(postings, source_id=1, page_count=4, m=4, k=3).collect()
+    ids = [r["doc_id"] for r in res]
+    assert 1 not in ids                    # source never returned
+    assert ids[0] == 2                     # the near-duplicate ranks first
+    assert 4 not in ids or res[-1]["doc_id"] == 4
