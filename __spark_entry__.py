@@ -7831,6 +7831,143 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+# --- HTTP freshness lifetime + language contamination ------------------------
+
+
+def _q_http_ttl(spark, sf_dir):
+    """Engine addition: RFC 9111 freshness lifetime per stored response
+    (operators/httpcache.py:http_ttl) over synthetic header evidence from
+    orders — every precedence arm occurs (no-store/no-cache beats
+    max-age beats Expires beats the 10% Last-Modified heuristic beats
+    none)."""
+    from see_spark.operators.httpcache import http_ttl
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey").cast("long")
+    date_s = (F.lit(1000000) + k % 100).cast("long")
+    resp = o.select(
+        F.concat(F.lit("u"), k.cast("string")).alias("url"),
+        F.when(k % 6 == 0, F.lit("no-store"))
+        .when(k % 6 == 1, F.lit("public, max-age=3600"))
+        .when(k % 6 == 2, F.lit("private, no-cache, max-age=60"))
+        .when(k % 6 == 3, F.lit("public"))
+        .when(k % 6 == 4, F.lit('max-age="120"'))
+        .otherwise(F.lit(None).cast("string")).alias("cache_control"),
+        date_s.alias("date_s"),
+        F.when(k % 5 == 0, date_s + 500)
+        .when(k % 5 == 1, date_s - 50)
+        .otherwise(F.lit(None).cast("long")).alias("expires_s"),
+        F.when(k % 4 == 0, date_s - (k % 1000) * 10)
+        .otherwise(F.lit(None).cast("long")).alias("last_modified_s"),
+    )
+    return http_ttl(resp)
+
+
+def _q_lang_outliers(spark, sf_dir):
+    """Engine addition: host-majority language contamination audit
+    (operators/textstats.py:lang_outliers); every 97th doc sits alone on
+    a rare host, exercising the min_docs evidence floor."""
+    from see_spark.operators.textstats import lang_outliers
+
+    d = _documents(spark, sf_dir)
+    k = F.col("doc_id").cast("long")
+    dd = d.select(
+        k.alias("doc_id"),
+        F.when(
+            k % 97 == 0, F.concat(F.lit("rare"), k.cast("string"))
+        ).otherwise(
+            F.concat(F.lit("h"), (k % 19).cast("string"))
+        ).alias("host"),
+        "lang",
+    )
+    return lang_outliers(dd, min_docs=3)
+
+
+QUERIES_EXTRA.update(
+    {
+        "http_ttl": _q_http_ttl,
+        "lang_outliers": _q_lang_outliers,
+    }
+)
+
+_TTL_MAXAGE = r"""regexp_extract(cc, '(?:^|[,\s])max-age\s*=\s*"?([0-9]+)', 1)"""
+_TTL_NOSTORE = r"""regexp_matches(cc, '(?:^|[,\s])(no-store|no-cache)(?:$|[,\s=])')"""
+
+ORACLES_EXTRA.update(
+    {
+        "http_ttl": f"""
+        WITH r AS (
+          SELECT 'u' || CAST(o_orderkey AS VARCHAR) AS url,
+                 CASE o_orderkey % 6
+                      WHEN 0 THEN 'no-store'
+                      WHEN 1 THEN 'public, max-age=3600'
+                      WHEN 2 THEN 'private, no-cache, max-age=60'
+                      WHEN 3 THEN 'public'
+                      WHEN 4 THEN 'max-age="120"'
+                      END AS cache_control,
+                 CAST(1000000 + o_orderkey % 100 AS BIGINT) AS date_s,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN CAST(1000000 + o_orderkey % 100 + 500 AS BIGINT)
+                      WHEN o_orderkey % 5 = 1
+                      THEN CAST(1000000 + o_orderkey % 100 - 50 AS BIGINT)
+                      END AS expires_s,
+                 CASE WHEN o_orderkey % 4 = 0
+                      THEN CAST(1000000 + o_orderkey % 100
+                           - (o_orderkey % 1000) * 10 AS BIGINT)
+                      END AS last_modified_s
+          FROM orders),
+        s AS (SELECT url, lower(COALESCE(cache_control, '')) AS cc,
+                     date_s, expires_s, last_modified_s
+              FROM r)
+        SELECT url,
+               CAST(CASE
+                 WHEN {_TTL_NOSTORE} THEN 0
+                 WHEN {_TTL_MAXAGE} <> ''
+                   THEN CAST({_TTL_MAXAGE} AS BIGINT)
+                 WHEN expires_s IS NOT NULL AND date_s IS NOT NULL
+                   THEN greatest(expires_s - date_s, 0)
+                 WHEN last_modified_s IS NOT NULL AND date_s IS NOT NULL
+                   THEN greatest(date_s - last_modified_s, 0) // 10
+                 END AS BIGINT) AS ttl_s,
+               CASE
+                 WHEN {_TTL_NOSTORE} THEN 'no-store'
+                 WHEN {_TTL_MAXAGE} <> '' THEN 'max-age'
+                 WHEN expires_s IS NOT NULL AND date_s IS NOT NULL
+                   THEN 'expires'
+                 WHEN last_modified_s IS NOT NULL AND date_s IS NOT NULL
+                   THEN 'heuristic'
+                 ELSE 'none' END AS ttl_source
+        FROM s
+    """,
+        "lang_outliers": """
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CASE WHEN doc_id % 97 = 0
+                      THEN 'rare' || CAST(doc_id AS VARCHAR)
+                      ELSE 'h' || CAST(doc_id % 19 AS VARCHAR) END AS host,
+                 lang
+          FROM documents),
+        c AS (SELECT host, lang, COUNT(*) AS n FROM d GROUP BY 1, 2),
+        p AS (SELECT host, n, lang,
+                     SUM(n) OVER (PARTITION BY host) AS host_docs,
+                     row_number() OVER (PARTITION BY host
+                       ORDER BY n DESC, lang DESC) AS rn
+              FROM c),
+        dim AS (SELECT host, host_docs, lang AS majority_lang,
+                       (n * 1000) // host_docs AS majority_milli
+                FROM p WHERE rn = 1)
+        SELECT d.doc_id, d.host, d.lang, dim.majority_lang,
+               CAST(dim.majority_milli AS BIGINT) AS majority_milli,
+               (d.lang <> dim.majority_lang AND dim.host_docs >= 3)
+                 AS is_outlier
+        FROM d JOIN dim USING (host)
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

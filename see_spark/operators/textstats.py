@@ -158,3 +158,52 @@ def readability(docs: DataFrame, text_col: str = "text",
             - F.lit(15590)
         ).cast("long"),
     )
+
+
+def lang_outliers(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    lang_col: str = "lang",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Language-contamination audit: flag documents whose language
+    differs from their HOST's majority language — on a real crawl these
+    are usually boilerplate-dominated pages, mislabeled langid, scraped
+    spam, or embedded foreign quotations, and multilingual curation
+    pipelines route them to review rather than into a monolingual split.
+
+    Majority = the host's most frequent lang, ties pinned (count desc,
+    lang desc — a total order, engine-exact). Hosts with fewer than
+    ``min_docs`` documents flag nothing (no evidence — the engine's
+    cold-start rule). Two combinable host-keyed aggregates (lang counts
+    -> struct-max + total) and one join back; the doc side shuffles
+    once on host.
+
+    Returns (doc_id, host, lang, majority_lang, majority_milli,
+    is_outlier)."""
+    counts = docs.groupBy(host_col, lang_col).agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    per_host = counts.groupBy(host_col).agg(
+        F.sum("__n").cast("long").alias("__host_docs"),
+        F.max(F.struct(F.col("__n"), F.col(lang_col))).alias("__top"),
+    )
+    dim = per_host.select(
+        host_col,
+        F.col("__host_docs"),
+        F.col(f"__top.{lang_col}").alias("majority_lang"),
+        F.expr("(__top.__n * 1000) div __host_docs").cast("long")
+        .alias("majority_milli"),
+    )
+    return docs.select(id_col, host_col, lang_col).join(dim, host_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.col(lang_col).alias("lang"),
+        "majority_lang",
+        "majority_milli",
+        (
+            (F.col(lang_col) != F.col("majority_lang"))
+            & (F.col("__host_docs") >= min_docs)
+        ).alias("is_outlier"),
+    )
