@@ -7968,6 +7968,217 @@ ORACLES_EXTRA.update(
 )
 
 
+def _q_allpairs_ppjoin(spark, sf_dir):
+    """Engine addition: EXACT threshold-Jaccard set-similarity self-join
+    with the All-Pairs/PPJoin prefix filter (Bayardo et al. WWW 2007;
+    Xiao et al. WWW 2008) over per-document token sets — provably
+    complete candidate pruning (rarest-df-first prefixes), integer-milli
+    scores (operators/simjoin.py). The oracle is the BRUTE-FORCE pair
+    join, so the gate check proves the pruned plan loses no pair."""
+    from see_spark.operators.simjoin import ppjoin_pairs
+
+    return ppjoin_pairs(_documents(spark, sf_dir), threshold_milli=900)
+
+
+def _q_kmv_jaccard(spark, sf_dir):
+    """Engine addition: KMV (bottom-k) sketch Jaccard estimation
+    (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007) — k=16 smallest
+    60-bit shingle hashes per doc; candidate pairs via sketch-hash
+    equi-join; estimate = shared fraction of the bottom-k of the sketch
+    union, audited against exact truth (operators/simjoin.py). Integer
+    milli throughout, bit-exact oracle."""
+    from see_spark.operators.simjoin import kmv_jaccard_pairs
+
+    return kmv_jaccard_pairs(_documents(spark, sf_dir), k=16, n=3)
+
+
+def _q_opic_importance(spark, sf_dir):
+    """Engine addition: OPIC crawl-importance (Abiteboul et al. WWW 2003)
+    over the deterministic synthetic expander — 4 synchronous rounds of
+    integer micro-cash distribution (operators/linkgraph.py:opic); the
+    oracle unrolls the identical BIGINT arithmetic, so the check is
+    bit-exact (no float tolerance, unlike PageRank's 9dp rounding)."""
+    from see_spark.operators.linkgraph import opic, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return opic(nodes, synthetic_edges(docs), n_iter=4)
+
+
+def _q_redde_selection(spark, sf_dir):
+    """Engine addition: ReDDE shard selection (Si & Callan SIGIR 2003) —
+    rank 8 document shards for the pinned query from a deterministic
+    ~1/7 central sample (operators/sharding.py:redde_shard_ranks).
+    Integer-milli estimates, bit-exact oracle."""
+    from see_spark.operators.sharding import redde_shard_ranks
+
+    return redde_shard_ranks(
+        _documents(spark, sf_dir), _SEARCH_WORDS,
+        n_shards=8, sample_mod=7, top_n=50,
+    )
+
+
+QUERIES_EXTRA.update(
+    {
+        "allpairs_ppjoin": _q_allpairs_ppjoin,
+        "kmv_jaccard": _q_kmv_jaccard,
+        "opic_importance": _q_opic_importance,
+        "redde_selection": _q_redde_selection,
+    }
+)
+
+
+def _opic_oracle_sql(n_iter: int = 4, grain: int = 1_000_000) -> str:
+    """Unrolled OPIC cash rounds, term-for-term linkgraph.opic(): same
+    floor divisions, same virtual-pot scalar, all BIGINT."""
+    ctes = [
+        _LINKGRAPH_SQL,
+        f"s0 AS (SELECT node, CAST({grain} AS BIGINT) AS cash,"
+        f" CAST(0 AS BIGINT) AS hist FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"s{i-1}"
+        ctes.append(
+            f"v{i} AS (SELECT CAST(COALESCE(SUM("
+            f"CASE WHEN o.deg IS NULL THEN s.cash"
+            f" ELSE s.cash - o.deg * (s.cash // o.deg) END), 0) AS BIGINT)"
+            f" AS pot FROM {p} s LEFT JOIN outdeg o ON o.src = s.node)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM(s.cash // o.deg) AS BIGINT) AS contrib"
+            f" FROM edges e JOIN {p} s ON e.src = s.node"
+            f" JOIN outdeg o ON o.src = e.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT n.node,"
+            f" CAST(COALESCE(c.contrib, 0)"
+            f" + (SELECT pot FROM v{i}) // (SELECT n FROM nn) AS BIGINT)"
+            f" AS cash, CAST(s.hist + s.cash AS BIGINT) AS hist"
+            f" FROM nodes n JOIN {p} s ON s.node = n.node"
+            f" LEFT JOIN c{i} c ON c.node = n.node)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, hist AS hist_micro, cash AS cash_micro"
+        f" FROM s{n_iter}"
+    )
+
+
+ORACLES_EXTRA.update({"opic_importance": _opic_oracle_sql()})
+
+ORACLES_EXTRA.update(
+    {
+        # Brute-force referee for the prefix-filtered join: every pair,
+        # no pruning — identical qualifying set proves completeness.
+        "allpairs_ppjoin": f"""
+        WITH toks AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, word
+                      FROM ({_TOKENS_SQL})),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          COUNT(*) AS c
+                   FROM toks a JOIN toks b
+                     ON a.word = b.word AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(c AS BIGINT) AS inter,
+               CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+               CAST((1000 * c) // (sa.n + sb.n - c) AS BIGINT) AS jac_milli
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE 1000 * c >= 900 * (sa.n + sb.n - c)
+    """,
+        # Replays kmv_sketches + kmv_jaccard_pairs step-for-step: same
+        # md5 60-bit hash, same bottom-k windows, same floor-milli math.
+        "kmv_jaccard": f"""
+        WITH {_SHINGLES3_SQL},
+        h AS (SELECT doc_id, shingle,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS khash
+              FROM sh),
+        sk AS (SELECT doc_id, khash FROM (
+                 SELECT doc_id, khash,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY khash, shingle) AS r
+                 FROM h)
+               WHERE r <= 16),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM sk a JOIN sk b
+                   ON a.khash = b.khash AND a.doc_id < b.doc_id),
+        m AS (SELECT doc_a, doc_b, khash,
+                     MAX(in_a) AS in_a, MAX(in_b) AS in_b
+              FROM (SELECT c.doc_a, c.doc_b, s.khash, 1 AS in_a, 0 AS in_b
+                    FROM cand c JOIN sk s ON s.doc_id = c.doc_a
+                    UNION ALL
+                    SELECT c.doc_a, c.doc_b, s.khash, 0, 1
+                    FROM cand c JOIN sk s ON s.doc_id = c.doc_b)
+              GROUP BY 1, 2, 3),
+        est AS (SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS k_used,
+                       CAST(SUM(in_a * in_b) AS BIGINT) AS matching
+                FROM (SELECT *, row_number() OVER (
+                        PARTITION BY doc_a, doc_b ORDER BY khash) AS r
+                      FROM m)
+                WHERE r <= 16 GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        tr AS (SELECT e.doc_a, e.doc_b, COUNT(*) AS ti
+               FROM est e
+               JOIN sh a ON a.doc_id = e.doc_a
+               JOIN sh b ON b.doc_id = e.doc_b AND b.shingle = a.shingle
+               GROUP BY 1, 2)
+        SELECT e.doc_a, e.doc_b, e.k_used, e.matching,
+               CAST((1000 * e.matching) // e.k_used AS BIGINT) AS est_milli,
+               CAST(COALESCE((1000 * tr.ti) // (sa.sz + sb.sz - tr.ti), 0)
+                    AS BIGINT) AS true_milli
+        FROM est e
+        LEFT JOIN tr ON tr.doc_a = e.doc_a AND tr.doc_b = e.doc_b
+        LEFT JOIN sizes sa ON sa.doc_id = e.doc_a
+        LEFT JOIN sizes sb ON sb.doc_id = e.doc_b
+    """,
+        # ReDDE replay: same md5 sampling, same distinct-query-word
+        # scores, same top-50 window and inverse-rate scale-up.
+        "redde_selection": f"""
+        WITH toks AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, word
+                      FROM ({_TOKENS_SQL})),
+        base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                        CAST(doc_id AS BIGINT) % 8 AS shard,
+                        CASE WHEN ('0x' || substr(md5(
+                               CAST(CAST(doc_id AS BIGINT) AS VARCHAR)),
+                               1, 15))::BIGINT % 7 = 0
+                             THEN 1 ELSE 0 END AS in_sample
+                 FROM documents),
+        q AS (SELECT unnest(['table', 'join', 'query']) AS word),
+        scores AS (SELECT t.doc_id, COUNT(*) AS score
+                   FROM toks t
+                   JOIN q USING (word)
+                   JOIN base b ON b.doc_id = t.doc_id AND b.in_sample = 1
+                   GROUP BY 1),
+        hits AS (SELECT b.shard, COUNT(*) AS sample_hits
+                 FROM (SELECT doc_id, row_number() OVER (
+                         ORDER BY score DESC, doc_id) AS r
+                       FROM scores) s
+                 JOIN base b ON b.doc_id = s.doc_id
+                 WHERE s.r <= 50 GROUP BY 1),
+        tallies AS (SELECT shard, COUNT(*) AS shard_docs,
+                           SUM(in_sample) AS sample_docs
+                    FROM base GROUP BY 1),
+        est AS (SELECT t.shard,
+                       CAST(t.shard_docs AS BIGINT) AS shard_docs,
+                       CAST(t.sample_docs AS BIGINT) AS sample_docs,
+                       CAST(COALESCE(h.sample_hits, 0) AS BIGINT)
+                         AS sample_hits,
+                       CAST(CASE WHEN t.sample_docs > 0
+                            THEN (1000 * COALESCE(h.sample_hits, 0)
+                                  * t.shard_docs) // t.sample_docs
+                            ELSE 0 END AS BIGINT) AS est_rel_milli
+                FROM tallies t LEFT JOIN hits h ON h.shard = t.shard)
+        SELECT est.*, CAST(row_number() OVER (
+                 ORDER BY est_rel_milli DESC, shard) AS BIGINT) AS rank
+        FROM est
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -689,3 +689,90 @@ def kcore(edges: DataFrame, k: int = 3, n_iter: int = 8) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("degree"))
     )
+
+
+def opic(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 4,
+    id_col: str = "node",
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """OPIC — Adaptive On-Line Page Importance Computation (Abiteboul,
+    Preda & Cobéna, WWW 2003), synchronous batch variant in EXACT integer
+    micro-cash, the crawl-native importance signal: unlike PageRank it
+    needs no convergence criterion — the frontier can consume ``hist``
+    after any number of rounds, which is why real crawlers (and the
+    north rule's priority queue) prefer it for ordering fetches.
+
+    Every node starts with ``grain`` cash. Per iteration: (1) history
+    absorbs current cash, (2) each node with out-degree d sends
+    ``cash div d`` to every out-neighbor; division remainders and the
+    whole cash of dangling nodes go to the virtual pot, (3) the pot is
+    split uniformly (``pot div n``; the sub-micro remainder is dropped,
+    deterministically). All arithmetic is BIGINT so the DuckDB oracle
+    replays it bit-for-bit — no float tolerance anywhere.
+
+    Returns (node, hist_micro, cash_micro). Importance after t rounds is
+    hist/t; callers rank by (hist_micro DESC, node) — e.g. joined into
+    the frontier checkout priority exactly as
+    frontier_priority_indegree feeds depth+indegree.
+
+    Scale per iteration: one edge-volume shuffle (join cash on src,
+    groupBy dst) + a one-row scalar agg for the pot — the same shape as
+    pagerank(); lineage cut per round with lazy localCheckpoint.
+    """
+    n = nodes.count()
+    nodes_n = nodes.select(F.col(id_col).cast("long").alias("node"))
+    edges = edges.localCheckpoint(eager=False)
+    deg = out_degrees(edges)
+    state = nodes_n.join(deg, nodes_n["node"] == deg["src"], "left").select(
+        "node",
+        F.lit(grain).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+    )
+    for _ in range(n_iter):
+        pot = (
+            state.select(
+                F.when(F.col("out_deg") == 0, F.col("cash"))
+                .otherwise(
+                    F.col("cash")
+                    - F.col("out_deg") * F.expr("cash div out_deg")
+                )
+                .alias("leftover")
+            )
+            .agg(F.coalesce(F.sum("leftover"), F.lit(0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            edges.join(
+                state.where(F.col("out_deg") > 0).select(
+                    "node", F.expr("cash div out_deg").alias("share")
+                ),
+                edges["src"] == F.col("node"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        vshare = int(pot) // n
+        state = (
+            state.select(
+                "node", "out_deg", (F.col("hist") + F.col("cash")).alias("hist")
+            )
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.coalesce("contrib", F.lit(0)) + F.lit(vshare))
+                .cast("long")
+                .alias("cash"),
+                "hist",
+                "out_deg",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state.select(
+        "node",
+        F.col("hist").cast("long").alias("hist_micro"),
+        F.col("cash").cast("long").alias("cash_micro"),
+    )

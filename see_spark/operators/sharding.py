@@ -71,3 +71,101 @@ def shard_stats(assignment: DataFrame, n_shards: int) -> DataFrame:
         .cast("long")
         .alias("load_milli"),
     )
+
+
+def redde_shard_ranks(
+    docs: DataFrame,
+    query_words,
+    n_shards: int = 8,
+    sample_mod: int = 7,
+    top_n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ReDDE resource selection (Si & Callan, SIGIR 2003): which shards
+    should a broker route this query to?
+
+    At 10^10 docs a broker cannot score every shard for every query; the
+    ReDDE estimator ranks shards from a small CENTRAL SAMPLE index: run
+    the query against the sample, take the top ``top_n`` sampled docs,
+    and credit each hit's shard with that shard's inverse sampling rate
+    (shard_docs / shard_sample_docs) — an unbiased estimate of how many
+    relevant docs the full shard holds. Shards are then ranked by the
+    estimate; the broker fans the query out only to the leading ones.
+
+    Deterministic concrete form (all integer, oracle bit-exact):
+    shard = doc_id mod n_shards; the sample is docs whose 60-bit md5 of
+    the decimal doc_id is 0 mod ``sample_mod`` (a content-independent
+    deterministic ~1/sample_mod sample); relevance score = number of
+    DISTINCT query words present in the doc's token set; top-n ties
+    break by doc_id asc; est_rel_milli = (1000 * sample_hits *
+    shard_docs) div sample_docs; rank by (est_rel_milli desc, shard).
+
+    Scale: tokens join a BROADCAST query-word list, so scoring touches
+    only sample docs containing a query term; the top-n window orders
+    that small matched set (single-partition window over an
+    already-tiny frame, not the corpus); shard tallies are one groupBy
+    over the doc list. The corpus-wide token table is never shuffled.
+
+    Returns (shard, shard_docs, sample_docs, sample_hits, est_rel_milli,
+    rank) — one row per shard.
+    """
+    if n_shards < 1 or sample_mod < 1 or top_n < 1:
+        raise ValueError("n_shards, sample_mod, top_n must all be >= 1")
+    from pyspark.sql import Window
+    from .dedup import hash60
+    from .simjoin import token_sets
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    ).withColumn("shard", (F.col("doc_id") % n_shards).cast("long"))
+    sampled = base.withColumn(
+        "in_sample",
+        (hash60(F.col("doc_id").cast("string")) % sample_mod == 0).cast("int"),
+    )
+
+    qdf = F.broadcast(
+        sampled.sparkSession.createDataFrame(
+            [(w,) for w in dict.fromkeys(query_words)], "word string"
+        )
+    )
+    scores = (
+        token_sets(sampled.where(F.col("in_sample") == 1), "text", "doc_id")
+        .join(qdf, "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    hits = (
+        scores.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= top_n)
+        .join(sampled.select("doc_id", "shard"), "doc_id")
+        .groupBy("shard")
+        .agg(F.count("*").alias("sample_hits"))
+    )
+
+    tallies = sampled.groupBy("shard").agg(
+        F.count("*").alias("shard_docs"),
+        F.sum("in_sample").alias("sample_docs"),
+    )
+    est = (
+        tallies.join(hits, "shard", "left")
+        .fillna({"sample_hits": 0})
+        .select(
+            "shard",
+            F.col("shard_docs").cast("long").alias("shard_docs"),
+            F.col("sample_docs").cast("long").alias("sample_docs"),
+            F.col("sample_hits").cast("long").alias("sample_hits"),
+            F.when(F.col("sample_docs") > 0,
+                   F.expr("(1000 * sample_hits * shard_docs)"
+                          " div sample_docs"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("est_rel_milli"),
+        )
+    )
+    wr = Window.orderBy(F.desc("est_rel_milli"), F.asc("shard"))
+    return est.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    )
