@@ -8179,6 +8179,151 @@ ORACLES_EXTRA.update(
 )
 
 
+def _q_label_propagation(spark, sf_dir):
+    """Engine addition: synchronous label-propagation communities
+    (Raghavan et al. 2007) over the deterministic synthetic expander —
+    4 rounds, most-frequent-neighbor label, min-label ties
+    (operators/linkgraph.py:label_propagation); the oracle unrolls the
+    identical rounds, bit-exact integer labels."""
+    from see_spark.operators.linkgraph import label_propagation, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return label_propagation(nodes, synthetic_edges(docs), n_iter=4)
+
+
+def _q_maxmin_fair(spark, sf_dir):
+    """Engine addition: max-min fair (water-filling) fetch-budget
+    allocation across hosts by backlog (operators/frontier.py:
+    maxmin_fair_alloc) — exact integer rule, skewed synthetic demands
+    (per-host doc counts × a 1–5 multiplier) + one zero-demand host,
+    budget 300 < total so the water line is real at every sf."""
+    from see_spark.operators.frontier import maxmin_fair_alloc
+
+    docs = _documents(spark, sf_dir)
+    bucket = (F.col("doc_id").cast("long") % 19).alias("bucket")
+    demands = (
+        docs.groupBy(bucket)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(F.lit("h"), F.col("bucket").cast("string")).alias("host"),
+            (F.col("n") * (1 + F.col("bucket") % 5)).cast("long").alias("demand"),
+        )
+        .unionByName(
+            docs.sparkSession.createDataFrame(
+                [("zzz-idle", 0)], "host string, demand long"
+            )
+        )
+    )
+    return maxmin_fair_alloc(demands, 300)
+
+
+QUERIES_EXTRA.update(
+    {
+        "label_propagation": _q_label_propagation,
+        "maxmin_fair_alloc": _q_maxmin_fair,
+    }
+)
+
+
+def _lpa_oracle_sql(n_iter: int = 4) -> str:
+    """Unrolled synchronous LPA rounds, term-for-term
+    linkgraph.label_propagation(): same undirected edge set, same
+    (count DESC, label ASC) argmax, isolated nodes keep their label."""
+    ctes = [
+        _LINKGRAPH_SQL,
+        "und AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)"
+        " WHERE src <> dst)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"l{i-1}"
+        ctes.append(
+            f"g{i} AS (SELECT u.src AS node, l.label, COUNT(*) AS cnt"
+            f" FROM und u JOIN {p} l ON l.node = u.dst GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node"
+            f" ORDER BY cnt DESC, label ASC) AS rn FROM g{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT n.node, COALESCE(b.label, l.label) AS label"
+            f" FROM nodes n JOIN {p} l USING (node)"
+            f" LEFT JOIN b{i} b USING (node))"
+        )
+    last = f"l{n_iter}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+              FROM {last} GROUP BY 1)
+    SELECT l.node, CAST(l.label AS BIGINT) AS label, s.community_size
+    FROM {last} l JOIN sizes s USING (label)"""
+    )
+
+
+ORACLES_EXTRA.update(
+    {
+        "label_propagation": _lpa_oracle_sql(),
+        # Replays maxmin_fair_alloc's exact integer water-filling rule:
+        # same ascending (demand, host) order, same fully-served
+        # condition, same div/mod level+spare, spare +1 by host order.
+        "maxmin_fair_alloc": """
+        WITH d AS (
+          SELECT 'h' || CAST(b AS VARCHAR) AS host,
+                 CAST(n * (1 + b % 5) AS BIGINT) AS demand
+          FROM (SELECT CAST(doc_id AS BIGINT) % 19 AS b, COUNT(*) AS n
+                FROM documents GROUP BY 1)
+          UNION ALL SELECT 'zzz-idle', 0),
+        pos AS (SELECT host, demand,
+                       row_number() OVER (ORDER BY demand, host) AS r,
+                       SUM(demand) OVER (ORDER BY demand, host
+                         ROWS UNBOUNDED PRECEDING) AS p
+                FROM d WHERE demand > 0),
+        nn AS (SELECT COUNT(*) AS n FROM pos),
+        c AS (SELECT *,
+                     (p + demand * ((SELECT n FROM nn) - r) <= 300) AS fully
+              FROM pos),
+        ks AS (SELECT COALESCE(SUM(CASE WHEN fully THEN 1 ELSE 0 END), 0) AS k,
+                      COALESCE(MAX(CASE WHEN fully THEN p END), 0) AS s,
+                      COALESCE(MAX(demand), 0) AS dmax
+               FROM c),
+        lv AS (SELECT CASE WHEN (SELECT n FROM nn) > k
+                        THEN (300 - s) // ((SELECT n FROM nn) - k)
+                        ELSE dmax END AS lev,
+                      CASE WHEN (SELECT n FROM nn) > k
+                        THEN (300 - s) % ((SELECT n FROM nn) - k)
+                        ELSE 0 END AS spare
+               FROM ks),
+        unsat AS (SELECT host, demand,
+                         row_number() OVER (ORDER BY host) AS hr
+                  FROM c WHERE NOT fully)
+        SELECT host, demand, CAST(demand AS BIGINT) AS alloc,
+               TRUE AS satisfied,
+               CAST((SELECT lev FROM lv) AS BIGINT) AS water_level
+        FROM c WHERE fully
+        UNION ALL
+        SELECT host, demand,
+               CAST((SELECT lev FROM lv)
+                    + CASE WHEN hr <= (SELECT spare FROM lv)
+                           THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+               ((SELECT lev FROM lv)
+                + CASE WHEN hr <= (SELECT spare FROM lv)
+                       THEN 1 ELSE 0 END) = demand AS satisfied,
+               CAST((SELECT lev FROM lv) AS BIGINT) AS water_level
+        FROM unsat
+        UNION ALL
+        SELECT host, demand, CAST(0 AS BIGINT) AS alloc, TRUE AS satisfied,
+               CAST(NULL AS BIGINT) AS water_level
+        FROM d WHERE demand <= 0
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

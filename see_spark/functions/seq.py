@@ -118,3 +118,68 @@ def with_dense_sequence(
         )
         .drop("__pid", "__mid", "__off")
     )
+
+
+def with_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: List[str],
+    out_col: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed inclusive prefix sum (scan) of ``value_col`` in the
+    total order ``order_cols`` — the same two-phase shape as
+    ``with_dense_sequence``: range-partition on the order key, a
+    PARTITION-LOCAL running-sum window (never a global single-partition
+    window), then per-partition sum offsets injected as a literal map.
+    The driver sees one (partition_id, partial_sum) row per partition,
+    never row data. ``order_cols`` must be tie-free for determinism.
+    """
+    from pyspark.sql import Window
+
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    ordered = ordered.localCheckpoint(eager=False)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ordered.withColumn("__run", F.sum(F.col(value_col)).over(w))
+    sums = {
+        r["__pid"]: r["s"]
+        for r in ordered.groupBy("__pid")
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("s"))
+        .collect()
+    }
+    offsets = []
+    acc = 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += int(sums[pid])
+    if not offsets:
+        return local.drop("__pid", "__run").withColumn(
+            out_col, F.lit(0).cast("long")
+        ).filter(F.lit(False))
+    if len(offsets) <= _MAP_LITERAL_MAX:
+        pairs: List = []
+        for pid, off in offsets:
+            pairs += [F.lit(pid), F.lit(off)]
+        off_expr = F.element_at(F.create_map(*pairs), F.col("__pid"))
+        return local.withColumn(
+            out_col, (off_expr + F.col("__run")).cast("long")
+        ).drop("__pid", "__run")
+    values = ",".join(f"({pid}, {off}L)" for pid, off in offsets)
+    offsets_df = df.sparkSession.sql(
+        f"SELECT col1 AS __pid, col2 AS __off FROM VALUES {values}"
+    )
+    return (
+        local.join(F.broadcast(offsets_df), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__run")).cast("long"))
+        .drop("__pid", "__run", "__off")
+    )

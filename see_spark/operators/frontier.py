@@ -604,3 +604,124 @@ def backlog_audit(
             (drain >= rounds_threshold) | (F.col("budget") <= 0)
         ).alias("is_starved"),
     )
+
+
+def maxmin_fair_alloc(
+    demands: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+) -> DataFrame:
+    """Max-min fair (progressive-filling / water-filling) allocation of a
+    global fetch budget across hosts by BACKLOG — the fairness-floor
+    complement to ``allocate_budget``'s proportional Hamilton rule:
+    small hosts are fully served first, and the remaining budget is
+    leveled equally across the big ones, so no crawler-trap-sized
+    backlog can starve the long tail (Bertsekas & Gallager, *Data
+    Networks* §6.5.2 — the standard fair-share rule).
+
+    Exact integer rule: sort positive demands ascending (ties
+    host-ascending); host at rank r (prefix sum P_r, n positive hosts)
+    is FULLY served iff P_r + d_r*(n-r) <= B (monotone in r, since
+    serving the smallest first is always feasible-first). With k =
+    #fully-served and S = P_k: the water level is
+    L = (B - S) div (n - k), and the spare (B - S) mod (n - k) slots go
+    +1 each to the first spare unsatisfied hosts in host order — so
+    sum(alloc) == min(B, sum(demand)) exactly, always, and every
+    unsatisfied host gets L or L+1 (both < its demand by maximality of
+    k). Zero-demand hosts allocate 0.
+
+    Scale shape: one distributed prefix sum + one dense sequence over
+    the HOST dimension (both two-phase, partition-local windows only —
+    never a global single-partition window), two scalar aggregates
+    broadcast back. Hosts are the 10^7-row dimension, not the frontier.
+    Returns (host, demand, alloc, satisfied, water_level).
+    """
+    from ..functions.seq import with_dense_sequence, with_prefix_sum
+
+    base = demands.select(
+        F.col(host_col).alias("host"),
+        F.col(demand_col).cast("long").alias("demand"),
+    )
+    pos = base.where(F.col("demand") > 0)
+    scal = pos.agg(F.count("*").cast("long").alias("__n"))
+    ranked = with_dense_sequence(
+        pos, order_cols=["demand", "host"], out_col="__r", start=1
+    )
+    ranked = with_prefix_sum(
+        ranked, "demand", order_cols=["demand", "host"], out_col="__p"
+    )
+    b = F.lit(int(total_budget))
+    cond = ranked.crossJoin(F.broadcast(scal)).withColumn(
+        "__full",
+        (F.col("__p") + F.col("demand") * (F.col("__n") - F.col("__r")) <= b),
+    )
+    cond = cond.localCheckpoint(eager=False)
+    # k = #fully served, S = prefix at k: one scalar row broadcast back.
+    ks = cond.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__full"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("__k"),
+        F.coalesce(
+            F.max(F.when(F.col("__full"), F.col("__p"))), F.lit(0)
+        ).cast("long").alias("__s"),
+        F.coalesce(F.max("demand"), F.lit(0)).cast("long").alias("__dmax"),
+    )
+    lev = (
+        F.when(
+            F.col("__n") > F.col("__k"),
+            F.expr(f"({int(total_budget)} - __s) div (__n - __k)"),
+        )
+        .otherwise(F.col("__dmax"))
+        .cast("long")
+    )
+    spare = (
+        F.when(
+            F.col("__n") > F.col("__k"),
+            F.expr(f"({int(total_budget)} - __s) % (__n - __k)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    shared = cond.crossJoin(F.broadcast(ks)).withColumn(
+        "__lev", lev
+    ).withColumn("__spare", spare)
+    full = shared.where(F.col("__full")).select(
+        "host",
+        "demand",
+        F.col("demand").alias("alloc"),
+        F.lit(True).alias("satisfied"),
+        F.col("__lev").alias("water_level"),
+    )
+    # The spare slots go to unsatisfied hosts in HOST order, which is not
+    # the (demand, host) rank order above the water line — re-rank the
+    # unsatisfied slice by host alone (a second dense sequence, over the
+    # strictly smaller big-host slice).
+    unsat = with_dense_sequence(
+        shared.where(~F.col("__full")),
+        order_cols=["host"],
+        out_col="__hr",
+        start=1,
+    ).select(
+        "host",
+        "demand",
+        (
+            F.col("__lev")
+            + F.when(F.col("__hr") <= F.col("__spare"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+        F.col("__lev").alias("water_level"),
+    ).withColumn(
+        # a spare +1 can complete a just-above-the-line host exactly
+        "satisfied", F.col("alloc") == F.col("demand")
+    )
+    out_pos = full.unionByName(unsat)
+    zero = base.where(F.col("demand") <= 0).select(
+        "host",
+        "demand",
+        F.lit(0).cast("long").alias("alloc"),
+        F.lit(True).alias("satisfied"),
+        F.lit(None).cast("long").alias("water_level"),
+    )
+    return out_pos.unionByName(zero)

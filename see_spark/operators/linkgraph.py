@@ -776,3 +776,66 @@ def opic(
         F.col("hist").cast("long").alias("hist_micro"),
         F.col("cash").cast("long").alias("cash_micro"),
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 4,
+    id_col: str = "node",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007, the deterministic batch variant): every node
+    starts labeled with its own id; each round it adopts the label most
+    frequent among its UNDIRECTED neighbors, ties broken by the SMALLEST
+    label, isolated nodes keep their own. Fixed ``n_iter`` synchronous
+    rounds (the asynchronous variant is order-dependent and therefore
+    unreproducible across partitionings — exactly what the north rule's
+    determinism criterion forbids), so the DuckDB oracle can unroll the
+    identical rounds and the check is bit-exact.
+
+    Crawl relevance: LPA is the cheap first-pass host/page community
+    signal (mirror clusters, link farms, topical hubs) — near-linear
+    per round vs PageRank's full propagation, no damping parameter.
+
+    Scale per round: ONE shuffle of edge volume (neighbor-label join →
+    groupBy (node, label) count, map-side combinable) + one node-keyed
+    window for the argmax; lineage cut per round like pagerank/kcore.
+    Returns (node, label, community_size).
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes_n = nodes.select(F.col(id_col).cast("long").alias("node"))
+    labels = nodes_n.select("node", F.col("node").alias("label"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(n_iter):
+        neigh = (
+            und.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )  # label of each neighbor, keyed by the adopting node (src)
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            neigh.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").cast("long").alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("community_size"))
+    return labels.join(sizes, "label").select("node", "label", "community_size")
