@@ -8324,6 +8324,156 @@ ORACLES_EXTRA.update(
 )
 
 
+def _c4_corpus(spark, sf_dir):
+    """Deterministic line-structured corpus for the C4-filter gate: the
+    word-soup documents re-chunked into 8-token pseudo-lines, each line
+    punctuated by (doc_id + line#) % 4 -> '.', '!', '?', or nothing (the
+    bare case exercises the terminal-punctuation drop; the final partial
+    chunk exercises the min-words drop), plus a 'lorem ipsum' line on
+    every 41st doc and a curly-brace line on every 43rd (the page-level
+    drops). Constructed identically in the SQL oracle."""
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    terms = F.array(F.lit("."), F.lit("!"), F.lit("?"), F.lit(""))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            F.element_at(terms, ((F.col("doc_id") + i) % 4 + 1).cast("int")),
+        ),
+    )
+    text2 = F.array_join(lines, "\n")
+    text2 = F.when(
+        F.col("doc_id") % 41 == 0,
+        F.concat(text2, F.lit("\nlorem ipsum dolor sit amet.")),
+    ).otherwise(text2)
+    text2 = F.when(
+        F.col("doc_id") % 43 == 0,
+        F.concat(text2, F.lit("\nsee the { spec here.")),
+    ).otherwise(text2)
+    return docs.select("doc_id", text2.alias("text"))
+
+
+_C4_CORPUS_SQL = """
+        toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                        string_split(text, ' ') AS t FROM documents),
+        ln AS (SELECT doc_id, t,
+                      unnest(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS i
+               FROM toks),
+        l2 AS (SELECT doc_id, i,
+                      array_to_string(
+                        t[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
+                      || (CASE CAST((doc_id + i) % 4 AS INT)
+                            WHEN 0 THEN '.' WHEN 1 THEN '!'
+                            WHEN 2 THEN '?' ELSE '' END) AS line
+               FROM ln),
+        c0 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+               FROM l2 GROUP BY 1),
+        c AS (SELECT doc_id, text
+              || CASE WHEN doc_id % 41 = 0
+                   THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                   ELSE '' END
+              || CASE WHEN doc_id % 43 = 0
+                   THEN chr(10) || 'see the { spec here.'
+                   ELSE '' END AS text
+              FROM c0)
+"""
+
+
+def _q_c4_filters(spark, sf_dir):
+    """Engine addition: C4-style heuristic cleaning (Raffel et al. 2020
+    §2.2) — terminal-punctuation / min-words / 'javascript' line rules +
+    lorem-ipsum / curly-brace page rules — over the deterministically
+    punctuated pseudo-line corpus (textfilters.py:c4_filters). Zero
+    shuffle; kept content pinned by md5."""
+    from see_spark.operators.textfilters import c4_filters
+
+    return c4_filters(_c4_corpus(spark, sf_dir))
+
+
+def _q_ltr_features(spark, sf_dir):
+    """Engine addition: learning-to-rank feature assembly for the pinned
+    query — text-match signals (postings) joined with link-graph
+    degrees (search.py:ltr_features); all integer-exact."""
+    from see_spark.operators.linkgraph import synthetic_edges
+    from see_spark.operators.search import ltr_features
+
+    docs = _documents(spark, sf_dir)
+    return ltr_features(
+        _doc_postings(spark, sf_dir), synthetic_edges(docs), _SEARCH_WORDS
+    )
+
+
+QUERIES_EXTRA.update(
+    {
+        "c4_filters": _q_c4_filters,
+        "ltr_features": _q_ltr_features,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        # Replays _c4_corpus construction + the c4_filters rules
+        # term-for-term (same trim, regex word split, terminal-char set).
+        "c4_filters": f"""
+        WITH {_C4_CORPUS_SQL},
+        l AS (SELECT doc_id, text,
+                     list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)) AS ls
+              FROM c),
+        k AS (SELECT doc_id, text, ls,
+                     list_filter(ls, x -> x <> ''
+                       AND right(x, 1) IN ('.', '!', '?', '"')
+                       AND len(string_split_regex(x, ' +')) >= 5
+                       AND NOT contains(lower(x), 'javascript')) AS kept
+              FROM l)
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS kept_lines,
+               CAST(COALESCE(list_aggregate(
+                 list_transform(kept,
+                   x -> len(string_split_regex(x, ' +'))), 'sum'), 0)
+                 AS BIGINT) AS kept_words,
+               contains(text, '{{') AS has_brace,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               (len(kept) >= 3 AND NOT contains(text, '{{')
+                AND NOT contains(lower(text), 'lorem ipsum')) AS keep,
+               md5(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_md5
+        FROM k
+    """,
+        # Postings + link-graph degree assembly, all BIGINT.
+        "ltr_features": f"""
+        WITH p AS ({_POSTINGS_SQL}),
+        {_LINKGRAPH_SQL},
+        m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     COUNT(DISTINCT word) AS n_match,
+                     SUM(term_count) AS tf_sum,
+                     MAX(doc_len) AS doc_len
+              FROM p WHERE word IN ('table', 'join', 'query')
+              GROUP BY 1),
+        ind AS (SELECT dst AS doc_id, COUNT(*) AS in_deg
+                FROM edges GROUP BY 1),
+        outd AS (SELECT src AS doc_id, COUNT(*) AS out_deg
+                 FROM edges GROUP BY 1)
+        SELECT m.doc_id,
+               CAST(n_match AS BIGINT) AS n_match,
+               CAST(tf_sum AS BIGINT) AS tf_sum,
+               CAST(doc_len AS BIGINT) AS doc_len,
+               CAST((1000 * tf_sum) // doc_len AS BIGINT) AS tf_norm_milli,
+               CAST(COALESCE(ind.in_deg, 0) AS BIGINT) AS in_deg,
+               CAST(COALESCE(outd.out_deg, 0) AS BIGINT) AS out_deg
+        FROM m
+        LEFT JOIN ind USING (doc_id)
+        LEFT JOIN outd USING (doc_id)
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -852,3 +852,60 @@ def more_like_this(
         .limit(k)
         .select("doc_id", "n_shared", F.round("__score", round_dp).alias("score"))
     )
+
+
+def ltr_features(
+    postings: DataFrame,
+    edges: DataFrame,
+    query_words: list[str],
+) -> DataFrame:
+    """Learning-to-rank feature assembly — the per-(query, doc) feature
+    vector export a ranking-model training pipeline sits on (the
+    LETOR/MSLR feature-file shape, all integer-exact): for every
+    document matching >= 1 query word, joins the text-match signals from
+    the postings relation (distinct matched words, summed term
+    frequency, doc length, milli-normalized tf) with the link-graph
+    signals (in/out-degree from the edge table). The reference ranks
+    with one hand-coded tf-idf (see_db_ranking.erl); exporting the raw
+    feature matrix instead is what lets a trained ranker replace the
+    formula without touching the index.
+
+    Scale shape: the query-word filter is a BROADCAST isin (postings
+    never shuffles for it), the per-doc aggregate is map-side
+    combinable on doc_id, degrees are two combinable edge aggregates,
+    and the final assembly is doc_id-keyed joins — no all-pairs
+    anything. Returns (doc_id, n_match, tf_sum, doc_len,
+    tf_norm_milli, in_deg, out_deg).
+    """
+    words = sorted(set(query_words))
+    matched = (
+        postings.where(F.col("word").isin(words))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("word").cast("long").alias("n_match"),
+            F.sum("term_count").cast("long").alias("tf_sum"),
+            F.max("doc_len").cast("long").alias("doc_len"),
+        )
+        .withColumn(
+            "tf_norm_milli", F.expr("(1000 * tf_sum) div doc_len").cast("long")
+        )
+    )
+    indeg = edges.groupBy(F.col("dst").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("in_deg")
+    )
+    outdeg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("out_deg")
+    )
+    return (
+        matched.join(indeg, "doc_id", "left")
+        .join(outdeg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_match",
+            "tf_sum",
+            "doc_len",
+            "tf_norm_milli",
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+        )
+    )

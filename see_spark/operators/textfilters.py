@@ -406,3 +406,58 @@ def weighted_sample(
     return out.select(
         "id", "weight", F.round("__key", 9).alias("ws_key")
     )
+
+
+def c4_filters(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al. 2020 §2.2, the
+    deterministic line rules): a line (split on newline, trimmed) is
+    KEPT iff it ends in a terminal punctuation mark ('.', '!', '?', or a
+    closing double quote), has >= ``min_words`` whitespace words, and
+    does not mention 'javascript' (case-insensitive); the DOCUMENT is
+    kept iff >= ``min_kept_lines`` lines survive and the raw text
+    contains neither a curly brace nor the phrase 'lorem ipsum' (the C4
+    page-level drops). Returns per-doc counters + the md5 of the kept
+    lines joined by newline (order preserved) so the gate pins content,
+    not just counts.
+
+    Scale shape: pure Catalyst array HOFs (split/transform/filter/
+    aggregate) inside whole-stage codegen — ZERO shuffle; at 100 TB this
+    is a map-only pass, the cheapest possible filter stage.
+    """
+    nl = "\n"
+    lines = F.transform(F.split(F.col(text_col), nl), lambda x: F.trim(x))
+
+    def _wc(x):
+        return F.size(F.split(x, " +"))
+
+    def _keep_line(x):
+        return (
+            (x != "")
+            & x.substr(F.length(x), F.lit(1)).isin(".", "!", "?", '"')
+            & (_wc(x) >= min_words)
+            & ~F.lower(x).contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep_line)
+    has_brace = F.col(text_col).contains("{")
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        F.aggregate(
+            kept, F.lit(0), lambda acc, x: acc + _wc(x)
+        ).cast("long").alias("kept_words"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        (
+            (F.size(kept) >= min_kept_lines) & ~has_brace & ~has_lorem
+        ).alias("keep"),
+        F.md5(F.array_join(kept, nl)).alias("kept_md5"),
+    )
