@@ -8474,6 +8474,220 @@ ORACLES_EXTRA.update(
 )
 
 
+def _snapshot_spans(spark, sf_dir, new: bool):
+    """Deterministic interleaved span snapshot (input_hint shape, one row
+    per span): 8-token text chunks + a media span wherever
+    (doc_id + chunk#) % 3 == 0. The NEW snapshot perturbs it: every 7th
+    doc loses its first text span and gains one media ref (content
+    change + media churn), every 11th doc duplicates its second chunk
+    (exercises multiset multiplicity). Built identically in SQL."""
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("pos"), F.array_join(F.slice(toks, i * 8 + 1, 8), " ").alias("line")
+        ),
+    )
+    ex = d.select("doc_id", F.explode(lines).alias("s")).select(
+        "doc_id",
+        F.col("s.pos").cast("long").alias("pos"),
+        F.col("s.line").alias("line"),
+    )
+    text_rows = ex.select(
+        "doc_id",
+        F.lit("text").alias("kind"),
+        F.col("line").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.col("pos").alias("offset"),
+    )
+    media_rows = ex.where((F.col("doc_id") + F.col("pos")) % 3 == 0).select(
+        "doc_id",
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(
+            F.lit("img://"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            F.col("pos").cast("string"),
+        ).alias("media_ref"),
+        F.col("pos").alias("offset"),
+    )
+    if not new:
+        return text_rows.unionByName(media_rows)
+    kept_text = text_rows.where(
+        ~((F.col("doc_id") % 7 == 0) & (F.col("offset") == 0))
+    )
+    dup = text_rows.where((F.col("doc_id") % 11 == 0) & (F.col("offset") == 1))
+    extra_media = d.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("img://new/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.lit(999).cast("long").alias("offset"),
+    )
+    return kept_text.unionByName(dup).unionByName(media_rows).unionByName(
+        extra_media
+    )
+
+
+def _q_span_diff(spark, sf_dir):
+    """Engine addition: span-level recrawl change audit over interleaved
+    documents (operators/spandiff.py) — per-doc multiset diff of two
+    snapshots; raw span text never shuffles (60-bit hashes)."""
+    from see_spark.operators.spandiff import span_diff
+
+    return span_diff(
+        _snapshot_spans(spark, sf_dir, new=False),
+        _snapshot_spans(spark, sf_dir, new=True),
+    )
+
+
+def _q_index_tiers(spark, sf_dir):
+    """Engine addition: tiered-index assignment + first-tier-sufficiency
+    audit (Risvik et al. 2003; operators/indexstats.py:index_tiers) —
+    closed-form ntile over a DISTRIBUTED rank, integer static scores,
+    exact top-20 coverage per tier."""
+    from see_spark.operators.indexstats import index_tiers
+
+    return index_tiers(_doc_postings(spark, sf_dir), _SEARCH_WORDS)
+
+
+QUERIES_EXTRA.update(
+    {
+        "span_diff": _q_span_diff,
+        "index_tiers": _q_index_tiers,
+    }
+)
+
+
+_CHUNKS_SQL = """
+        toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                        string_split(text, ' ') AS t FROM documents),
+        ch AS (SELECT doc_id, t,
+                      unnest(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS i
+               FROM toks),
+        l2 AS (SELECT doc_id, i,
+                      array_to_string(
+                        t[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
+                        AS line
+               FROM ch)
+"""
+
+
+ORACLES_EXTRA.update(
+    {
+        # Rebuilds both snapshots then diffs (kind, text, media_ref)
+        # multisets per doc — hash-free equality, same semantics as the
+        # 60-bit-hash Spark path.
+        "span_diff": f"""
+        WITH {_CHUNKS_SQL},
+        sp_old AS (
+          SELECT doc_id, 'text' AS kind, line AS text,
+                 CAST(NULL AS VARCHAR) AS media_ref FROM l2
+          UNION ALL
+          SELECT doc_id, 'media', NULL,
+                 'img://' || CAST(doc_id AS VARCHAR) || '/'
+                          || CAST(i AS VARCHAR)
+          FROM l2 WHERE (doc_id + i) % 3 = 0),
+        sp_new AS (
+          SELECT doc_id, 'text' AS kind, line AS text,
+                 CAST(NULL AS VARCHAR) AS media_ref
+          FROM l2 WHERE NOT (doc_id % 7 = 0 AND i = 0)
+          UNION ALL
+          SELECT doc_id, 'text', line, NULL
+          FROM l2 WHERE doc_id % 11 = 0 AND i = 1
+          UNION ALL
+          SELECT doc_id, 'media', NULL,
+                 'img://' || CAST(doc_id AS VARCHAR) || '/'
+                          || CAST(i AS VARCHAR)
+          FROM l2 WHERE (doc_id + i) % 3 = 0
+          UNION ALL
+          SELECT DISTINCT doc_id, 'media', NULL,
+                 'img://new/' || CAST(doc_id AS VARCHAR)
+          FROM l2 WHERE doc_id % 7 = 0),
+        oc AS (SELECT doc_id, kind, text, media_ref, COUNT(*) AS c
+               FROM sp_old GROUP BY 1, 2, 3, 4),
+        nc AS (SELECT doc_id, kind, text, media_ref, COUNT(*) AS c
+               FROM sp_new GROUP BY 1, 2, 3, 4),
+        m AS (SELECT COALESCE(oc.doc_id, nc.doc_id) AS doc_id,
+                     COALESCE(oc.kind, nc.kind) AS kind,
+                     COALESCE(oc.c, 0) AS c_old,
+                     COALESCE(nc.c, 0) AS c_new
+              FROM oc FULL OUTER JOIN nc
+                ON oc.doc_id = nc.doc_id AND oc.kind = nc.kind
+               AND COALESCE(oc.text, chr(1)) = COALESCE(nc.text, chr(1))
+               AND COALESCE(oc.media_ref, chr(1))
+                   = COALESCE(nc.media_ref, chr(1)))
+        SELECT doc_id,
+               CAST(SUM(c_old) AS BIGINT) AS n_old_spans,
+               CAST(SUM(c_new) AS BIGINT) AS n_new_spans,
+               CAST(SUM(GREATEST(c_new - c_old, 0)) AS BIGINT) AS added,
+               CAST(SUM(GREATEST(c_old - c_new, 0)) AS BIGINT) AS removed,
+               CAST(SUM(LEAST(c_old, c_new)) AS BIGINT) AS unchanged,
+               CAST(SUM(CASE WHEN kind = 'media'
+                        THEN GREATEST(c_new - c_old, 0) ELSE 0 END)
+                    AS BIGINT) AS media_added,
+               CAST(SUM(CASE WHEN kind = 'media'
+                        THEN GREATEST(c_old - c_new, 0) ELSE 0 END)
+                    AS BIGINT) AS media_removed,
+               SUM(GREATEST(c_new - c_old, 0))
+                 + SUM(GREATEST(c_old - c_new, 0)) > 0 AS changed
+        FROM m GROUP BY doc_id
+    """,
+        # Same closed-form ntile rule (never SQL NTILE — pinning the
+        # formula keeps the Spark distributed-rank path checkable).
+        "index_tiers": f"""
+        WITH p AS ({_POSTINGS_SQL}),
+        pd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      COUNT(DISTINCT word) AS nd, MAX(doc_len) AS dl
+               FROM p GROUP BY 1),
+        sc AS (SELECT doc_id, (1000 * nd) // dl AS score FROM pd),
+        nn AS (SELECT COUNT(*) AS n FROM sc),
+        rk AS (SELECT doc_id, score,
+                      row_number() OVER (ORDER BY score DESC, doc_id) - 1
+                        AS r
+               FROM sc),
+        ti AS (SELECT doc_id, score,
+                      CASE WHEN r < ((SELECT n FROM nn) // 3 + 1)
+                                    * ((SELECT n FROM nn) % 3)
+                           THEN r // ((SELECT n FROM nn) // 3 + 1)
+                           ELSE CASE WHEN (SELECT n FROM nn) // 3 > 0
+                                THEN (r - (SELECT n FROM nn) % 3)
+                                     // ((SELECT n FROM nn) // 3)
+                                ELSE r END
+                      END AS tier
+               FROM rk),
+        tk AS (SELECT doc_id FROM (
+                 SELECT doc_id, SUM(term_count) AS tf
+                 FROM p WHERE word IN ('table', 'join', 'query')
+                 GROUP BY 1 ORDER BY tf DESC, doc_id LIMIT 20)),
+        tot AS (SELECT COUNT(*) AS c FROM tk),
+        h AS (SELECT tier, COUNT(*) AS topk_hits
+              FROM ti JOIN tk USING (doc_id) GROUP BY 1),
+        pt AS (SELECT tier, COUNT(*) AS n_docs,
+                      MIN(score) AS min_score, MAX(score) AS max_score
+               FROM ti GROUP BY 1)
+        SELECT CAST(pt.tier AS BIGINT) AS tier,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(min_score AS BIGINT) AS min_score,
+               CAST(max_score AS BIGINT) AS max_score,
+               CAST(COALESCE(h.topk_hits, 0) AS BIGINT) AS topk_hits,
+               CAST(SUM(COALESCE(h.topk_hits, 0))
+                    OVER (ORDER BY pt.tier) AS BIGINT) AS cum_hits,
+               SUM(COALESCE(h.topk_hits, 0)) OVER (ORDER BY pt.tier)
+                 >= (SELECT c FROM tot) AS covers_topk
+        FROM pt LEFT JOIN h USING (tier)
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -137,3 +137,101 @@ def hot_term_cache_plan(
             ).alias("is_hot"),
         )
     )
+
+
+def index_tiers(
+    postings: DataFrame,
+    query_words: list[str],
+    n_tiers: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Tiered-index assignment + first-tier-sufficiency audit (Risvik,
+    Aasheim & Lidal 2003, "Multi-tier architecture for web search
+    engines"): documents are ranked by a static quality key — here the
+    repetition-penalized distinct-token rate, (1000 * n_distinct_terms)
+    div doc_len, integer-exact — and split into ``n_tiers`` tiers of
+    ntile sizes (first ``n mod t`` tiers one doc larger). The audit then
+    asks THE tiered-index question: how much of the pinned query's
+    exact top-``k`` (by summed term frequency, doc_id tie-break) lives
+    in each tier, cumulatively — i.e. could serving tier 0 alone have
+    answered the query?
+
+    Tier boundaries use the closed-form ntile rule on a DISTRIBUTED
+    dense rank (functions/seq.py), never a global ntile window — at
+    10^10 docs a single-partition window is the difference between a
+    plan that runs and one that doesn't. The final per-tier cumulation
+    is over ``n_tiers`` metadata rows (a broadcast-sized relation).
+
+    Returns one row per tier: (tier, n_docs, min_score, max_score,
+    topk_hits, cum_hits, covers_topk).
+    """
+    from ..functions.seq import with_dense_sequence
+
+    per_doc = postings.groupBy("doc_id").agg(
+        F.countDistinct("word").cast("long").alias("n_distinct"),
+        F.max("doc_len").cast("long").alias("doc_len"),
+    )
+    scored = per_doc.select(
+        "doc_id",
+        F.expr("(1000 * n_distinct) div doc_len").cast("long").alias("score"),
+    )
+    ranked = with_dense_sequence(
+        scored.withColumn("__neg", -F.col("score")),
+        order_cols=["__neg", "doc_id"],
+        out_col="__r",
+        start=0,
+    )
+    nn = ranked.agg(F.count("*").cast("long").alias("__n"))
+    t = F.lit(int(n_tiers))
+    # closed-form ntile: q = n div t, m = n mod t; ranks < m*(q+1) land in
+    # the first m (larger) tiers, the rest in size-q tiers.
+    tiers = ranked.crossJoin(F.broadcast(nn)).select(
+        "doc_id",
+        "score",
+        F.when(
+            F.col("__r") < (F.expr(f"__n div {int(n_tiers)}") + 1) * (F.col("__n") % t),
+            F.expr(f"__r div ((__n div {int(n_tiers)}) + 1)"),
+        )
+        .otherwise(
+            F.when(
+                F.expr(f"__n div {int(n_tiers)}") > 0,
+                F.expr(
+                    f"(__r - (__n % {int(n_tiers)})) div (__n div {int(n_tiers)})"
+                ),
+            ).otherwise(F.col("__r"))  # n < t: one doc per tier
+        )
+        .cast("long")
+        .alias("tier"),
+    )
+    words = sorted(set(query_words))
+    topk = (
+        postings.where(F.col("word").isin(words))
+        .groupBy("doc_id")
+        .agg(F.sum("term_count").cast("long").alias("__tf"))
+        .orderBy(F.col("__tf").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id")
+    )
+    hits = tiers.join(topk, "doc_id", "left_semi").groupBy("tier").agg(
+        F.count("*").cast("long").alias("topk_hits")
+    )
+    per_tier = (
+        tiers.groupBy("tier")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+        .join(hits, "tier", "left")
+        .withColumn("topk_hits", F.coalesce("topk_hits", F.lit(0)).cast("long"))
+    )
+    w = Window.orderBy("tier").rowsBetween(Window.unboundedPreceding, 0)
+    total = topk.count()
+    return per_tier.select(
+        "tier",
+        "n_docs",
+        "min_score",
+        "max_score",
+        "topk_hits",
+        F.sum("topk_hits").over(w).cast("long").alias("cum_hits"),
+    ).withColumn("covers_topk", F.col("cum_hits") >= F.lit(int(total)))
