@@ -8688,6 +8688,125 @@ ORACLES_EXTRA.update(
 )
 
 
+def _q_cocitation(spark, sf_dir):
+    """Engine addition: co-citation relatedness (Small 1973) over the
+    synthetic expander — pages co-linked by a shared source, hub-capped
+    self-join (linkgraph.py:cocitation_pairs)."""
+    from see_spark.operators.linkgraph import cocitation_pairs, synthetic_edges
+
+    return cocitation_pairs(synthetic_edges(_documents(spark, sf_dir)))
+
+
+def _q_coupling(spark, sf_dir):
+    """Engine addition: bibliographic coupling (Kessler 1963), the dual
+    signal — pages sharing outlink targets, in-degree-capped
+    (linkgraph.py:coupling_pairs)."""
+    from see_spark.operators.linkgraph import coupling_pairs, synthetic_edges
+
+    return coupling_pairs(synthetic_edges(_documents(spark, sf_dir)))
+
+
+def _q_host_graph(spark, sf_dir):
+    """Engine addition: host-graph condensation (linkgraph.py:
+    host_condense) — the page graph collapsed to host edges with link
+    multiplicity + distinct endpoint counts; hosts = doc_id % 19."""
+    from see_spark.operators.linkgraph import host_condense, synthetic_edges
+
+    edges = synthetic_edges(_documents(spark, sf_dir))
+    host = lambda c: F.concat(F.lit("h"), (F.col(c) % 19).cast("string"))
+    return host_condense(edges, host("src"), host("dst"))
+
+
+def _q_query_chains(spark, sf_dir):
+    """Engine addition: next-query suggestion mining (query-flow-graph
+    count core) from a deterministic query log derived from events —
+    session gap 1800 s, top-3 per query (lexicon.py:query_chains)."""
+    from see_spark.operators.lexicon import query_chains
+
+    ev = _events(spark, sf_dir)
+    q = ev.select(
+        "user_id",
+        # unix_micros on the session-TZ-cast timestamp matches DuckDB
+        # epoch_us on the naive value (pinned convention, _events)
+        F.expr("unix_micros(ts) div 1000000").alias("ts"),
+        F.concat(F.lit("q"), (F.col("event_id") % 23).cast("string")).alias(
+            "query"
+        ),
+    )
+    return query_chains(q)
+
+
+QUERIES_EXTRA.update(
+    {
+        "cocitation": _q_cocitation,
+        "coupling": _q_coupling,
+        "host_graph": _q_host_graph,
+        "query_chains": _q_query_chains,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "cocitation": f"""
+        WITH {_LINKGRAPH_SQL},
+        dg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+        e AS (SELECT edges.src, edges.dst FROM edges
+              JOIN dg ON dg.src = edges.src AND dg.d <= 64)
+        SELECT a.dst AS doc_a, b.dst AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS cocite
+        FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY 1, 2
+    """,
+        "coupling": f"""
+        WITH {_LINKGRAPH_SQL},
+        dg AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY 1),
+        e AS (SELECT edges.src, edges.dst FROM edges
+              JOIN dg ON dg.dst = edges.dst AND dg.d <= 64)
+        SELECT a.src AS doc_a, b.src AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS coupling
+        FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+        GROUP BY 1, 2
+    """,
+        "host_graph": f"""
+        WITH {_LINKGRAPH_SQL}
+        SELECT 'h' || CAST(src % 19 AS VARCHAR) AS src_host,
+               'h' || CAST(dst % 19 AS VARCHAR) AS dst_host,
+               CAST(COUNT(*) AS BIGINT) AS n_links,
+               CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src_pages,
+               CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst_pages,
+               ('h' || CAST(src % 19 AS VARCHAR))
+                 = ('h' || CAST(dst % 19 AS VARCHAR)) AS self_loop
+        FROM edges GROUP BY 1, 2
+    """,
+        # lead() pairing over (ts-seconds, query) is a total order for
+        # distinct queries; identical rows pair invariantly (see
+        # lexicon.query_chains docstring).
+        "query_chains": """
+        WITH q AS (SELECT user_id, epoch_ms(ts) // 1000 AS ts,
+                          'q' || CAST(event_id % 23 AS VARCHAR) AS query
+                   FROM events),
+        nx AS (SELECT user_id, ts, query,
+                      lead(query) OVER (PARTITION BY user_id
+                                        ORDER BY ts, query) AS nq,
+                      lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, query) AS nts
+               FROM q),
+        p AS (SELECT query, nq AS next_query, COUNT(*) AS n_obs
+              FROM nx
+              WHERE nq IS NOT NULL AND nts - ts <= 1800 AND nq <> query
+              GROUP BY 1, 2)
+        SELECT query, next_query, n_obs, rank FROM (
+          SELECT query, next_query, CAST(n_obs AS BIGINT) AS n_obs,
+                 CAST(row_number() OVER (PARTITION BY query
+                        ORDER BY n_obs DESC, next_query) AS BIGINT) AS rank
+          FROM p)
+        WHERE rank <= 3
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

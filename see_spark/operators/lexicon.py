@@ -391,3 +391,51 @@ def related_terms(
             "expansion_rank",
         )
     )
+
+
+def query_chains(
+    queries: DataFrame,
+    session_gap_s: int = 1800,
+    top_n: int = 3,
+) -> DataFrame:
+    """Next-query suggestion mining from a query log — the
+    session-co-occurrence signal behind "searches related to ..."
+    (Boldi et al. 2008 query-flow-graph shape, the count-based core):
+    within a user session (same user, inter-query gap <= ``session_gap_s``
+    seconds), every ADJACENT ordered pair (q, next_q) with q != next_q
+    is a reformulation observation; suggestions per query are the
+    top-``top_n`` next-queries by (count DESC, next_q ASC).
+
+    Input: (user_id, ts, query) — ts a timestamp, ties broken by query
+    string so the order is total. Scale shape: ONE user-keyed shuffle
+    (lag window for both the gap test and the successor), one
+    combinable (q, next_q) count, one q-keyed window for the top-n cut.
+    The reference has no query log; this is the standard engine addition
+    a serving stack mines from its own search traffic.
+
+    Returns (query, next_query, n_obs, rank).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "query")
+    pairs = (
+        queries.select(
+            "user_id",
+            F.col("ts").cast("long").alias("ts"),
+            F.col("query"),
+        )
+        .withColumn("__next_q", F.lead("query").over(w))
+        .withColumn("__next_ts", F.lead("ts").over(w))
+        .where(
+            F.col("__next_q").isNotNull()
+            & (F.col("__next_ts") - F.col("ts") <= session_gap_s)
+            & (F.col("__next_q") != F.col("query"))
+        )
+        .groupBy(F.col("query"), F.col("__next_q").alias("next_query"))
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    rk = Window.partitionBy("query").orderBy(
+        F.col("n_obs").desc(), F.col("next_query").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .where(F.col("rank") <= top_n)
+    )

@@ -839,3 +839,103 @@ def label_propagation(
         )
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("community_size"))
     return labels.join(sizes, "label").select("node", "label", "community_size")
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_count: int = 1,
+    max_out_deg: int = 64,
+) -> DataFrame:
+    """Co-citation relatedness (Small 1973): pages (a, b) are related in
+    proportion to how many pages link to BOTH — the classic link-based
+    "related pages" signal (it needs no text, so it works on the crawl
+    frontier before content arrives). Counts pairs (dst_a < dst_b)
+    sharing a source, keeping pairs seen >= ``min_count`` times.
+
+    The self-join's fan-out is quadratic in SOURCE out-degree, so
+    sources with out-degree > ``max_out_deg`` are dropped first — the
+    standard hub-cap (a directory page linking 10^4 pages asserts
+    little relatedness and would alone emit 10^8 pairs). With the cap,
+    work is bounded by E * max_out_deg — linear in edges for fixed cap.
+    Returns (doc_a, doc_b, cocite).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("__d"))
+    e = (
+        edges.join(deg.where(F.col("__d") <= max_out_deg), "src", "left_semi")
+        .select("src", "dst")
+        .distinct()
+    )
+    a = e.select("src", F.col("dst").alias("doc_a"))
+    b = e.select("src", F.col("dst").alias("doc_b"))
+    return (
+        a.join(b, "src")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("cocite"))
+        .where(F.col("cocite") >= min_count)
+    )
+
+
+def coupling_pairs(
+    edges: DataFrame,
+    min_count: int = 1,
+    max_in_deg: int = 64,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963), the dual of co-citation:
+    pages (a, b) are related in proportion to how many pages they BOTH
+    link to. Same shape mirrored — the self-join keys on dst, and the
+    cap is on IN-degree (a page everyone links to, e.g. a homepage,
+    asserts nothing). Returns (doc_a, doc_b, coupling)."""
+    deg = edges.groupBy("dst").agg(F.count("*").alias("__d"))
+    e = (
+        edges.join(deg.where(F.col("__d") <= max_in_deg), "dst", "left_semi")
+        .select("src", "dst")
+        .distinct()
+    )
+    a = e.select("dst", F.col("src").alias("doc_a"))
+    b = e.select("dst", F.col("src").alias("doc_b"))
+    return (
+        a.join(b, "dst")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("coupling"))
+        .where(F.col("coupling") >= min_count)
+    )
+
+
+def host_condense(
+    edges: DataFrame,
+    src_host: "F.Column",
+    dst_host: "F.Column",
+) -> DataFrame:
+    """Host-graph condensation: collapse the page-level link graph to
+    the HOST graph — the coarsening every web-scale link analysis runs
+    first, because host-level PageRank/TrustRank over 10^7 hosts is
+    tractable where page-level over 10^10 pages needs the full budget,
+    and inter-host edges are the ones that carry endorsement (intra-host
+    links are navigation). ``src_host``/``dst_host`` are column
+    expressions mapping page ids to hosts (URL parse or a dimension
+    join, caller's choice). Self-loops (intra-host links) are reported
+    per host separately rather than dropped silently.
+
+    One combinable aggregate on (src_host, dst_host). Returns
+    (src_host, dst_host, n_links, n_src_pages, n_dst_pages,
+    self_loop) — n_*_pages are the distinct page endpoints behind the
+    condensed edge, the multiplicity signal host-level algorithms
+    weight by.
+    """
+    return (
+        edges.select(
+            src_host.alias("src_host"),
+            dst_host.alias("dst_host"),
+            F.col("src").alias("__s"),
+            F.col("dst").alias("__t"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.countDistinct("__s").cast("long").alias("n_src_pages"),
+            F.countDistinct("__t").cast("long").alias("n_dst_pages"),
+        )
+        .withColumn("self_loop", F.col("src_host") == F.col("dst_host"))
+    )
