@@ -8807,6 +8807,142 @@ ORACLES_EXTRA.update(
 )
 
 
+def _q_hyperball(spark, sf_dir):
+    """Engine addition: HyperBall 2-hop neighborhood-size estimation
+    (Boldi & Vigna 2013; linkgraph.py:hyperball) over the synthetic
+    expander, p=8 portable-HLL sketches — audited against the exact
+    2-hop ball size computed inline (sketch-union idempotence makes the
+    oracle a direct HLL over the exact member set)."""
+    from see_spark.operators.linkgraph import hyperball, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    e = synthetic_edges(docs)
+    m0 = nodes.select("node", F.col("node").alias("member"))
+    m1 = e.select(F.col("src").alias("node"), F.col("dst").alias("member"))
+    m2 = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("node"), F.col("b.dst").alias("member"))
+    )
+    exact = (
+        m0.unionByName(m1)
+        .unionByName(m2)
+        .distinct()
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+    )
+    return hyperball(nodes, e, n_iter=2, p=8).join(exact, "node").select(
+        "node", "n_exact", "ball_estimate"
+    )
+
+
+def _q_skew_audit(spark, sf_dir):
+    """Engine addition: shuffle-key skew audit + salting recommendation
+    (sharding.py:skew_audit) over the synthetic frontier's host key —
+    integer-exact share/Gini/salt-factor, top-10 heavy hitters."""
+    from see_spark.operators.sharding import skew_audit
+
+    return skew_audit(
+        _orders_frontier(spark, sf_dir), "host", top_k=10,
+        target_share_milli=50,
+    )
+
+
+QUERIES_EXTRA.update(
+    {
+        "hyperball": _q_hyperball,
+        "skew_audit": _q_skew_audit,
+    }
+)
+
+# alpha * m^2 evaluated in Python once (hll_estimate does the same), so
+# the SQL literal is the identical double
+_HB_ALPHA_MM = 0.7213 / (1 + 1.079 / 256) * 256 * 256
+
+ORACLES_EXTRA.update(
+    {
+        # Exact 2-hop member sets -> portable-HLL registers (same md5
+        # bucket / leading-zero CASE rank as host_distinct_hll, m=256)
+        # -> same harmonic estimate with the Python-literal alpha*m^2.
+        "hyperball": f"""
+        WITH {_LINKGRAPH_SQL},
+        m0 AS (SELECT node, node AS member FROM nodes),
+        m1 AS (SELECT src AS node, dst AS member FROM edges),
+        m2 AS (SELECT a.src AS node, b.dst AS member
+               FROM edges a JOIN edges b ON a.dst = b.src),
+        mem AS (SELECT DISTINCT node, member FROM (
+                  SELECT * FROM m0 UNION ALL
+                  SELECT * FROM m1 UNION ALL
+                  SELECT * FROM m2)),
+        r AS (SELECT node,
+                     ('0x' || substr(md5(CAST(member AS VARCHAR)), 1, 3))
+                       ::BIGINT % 256 AS bucket,
+                     ltrim(substr(md5(CAST(member AS VARCHAR)), 4, 15), '0')
+                       AS stripped
+              FROM mem),
+        ranks AS (SELECT node, bucket,
+                 CASE WHEN strlen(stripped) = 0 THEN 61
+                      ELSE (15 - strlen(stripped)) * 4 +
+                           CASE WHEN ('0x' || substr(stripped,1,1))::INT >= 8
+                                  THEN 0
+                                WHEN ('0x' || substr(stripped,1,1))::INT >= 4
+                                  THEN 1
+                                WHEN ('0x' || substr(stripped,1,1))::INT >= 2
+                                  THEN 2
+                                ELSE 3 END + 1
+                 END AS rank
+                 FROM r),
+        sk AS (SELECT node, bucket, MAX(rank) AS register
+               FROM ranks GROUP BY 1, 2),
+        agg AS (SELECT node, COUNT(*) AS nb,
+                       SUM(pow(2.0, -register)) AS obs
+                FROM sk GROUP BY node),
+        est AS (SELECT node,
+                       CASE WHEN raw <= 2.5 * 256 AND (256 - nb) > 0
+                            THEN 256.0 * ln(256.0 / (256 - nb))
+                            ELSE raw END AS e
+                FROM (SELECT node, nb,
+                             {_HB_ALPHA_MM!r} / (obs + (256 - nb)) AS raw
+                      FROM agg)),
+        exact AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_exact
+                  FROM mem GROUP BY node)
+        SELECT est.node, exact.n_exact, ROUND(est.e, 4) AS ball_estimate
+        FROM est JOIN exact USING (node)
+    """,
+        # Exact-integer skew measures replayed: rank-formula Gini over
+        # counts sorted (n, key), floor-div shares, ceil-div salt.
+        "skew_audit": f"""
+        WITH frontier AS ({_FRONTIER_SQL}),
+        c AS (SELECT host AS key, COUNT(*) AS n FROM frontier GROUP BY 1),
+        rk AS (SELECT key, n,
+                      row_number() OVER (ORDER BY n, key) AS r
+               FROM c),
+        scal AS (SELECT COUNT(*) AS k, SUM(n) AS tot,
+                        SUM(r * n) AS sumrx, MAX(n) AS maxn
+                 FROM rk)
+        SELECT key, CAST(n AS BIGINT) AS n,
+               CAST((1000 * n) // (SELECT tot FROM scal) AS BIGINT)
+                 AS share_milli,
+               CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT)
+                 AS rank,
+               CAST((SELECT k FROM scal) AS BIGINT) AS n_keys,
+               CAST((SELECT tot FROM scal) AS BIGINT) AS total,
+               CAST((2000 * (SELECT sumrx FROM scal)
+                     - 1000 * ((SELECT k FROM scal) + 1)
+                       * (SELECT tot FROM scal))
+                    // ((SELECT k FROM scal) * (SELECT tot FROM scal))
+                    AS BIGINT) AS gini_milli,
+               CAST(GREATEST(
+                 (((1000 * (SELECT maxn FROM scal))
+                   // (SELECT tot FROM scal)) + 49) // 50, 1) AS BIGINT)
+                 AS salt_k
+        FROM c ORDER BY n DESC, key LIMIT 10
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -939,3 +939,54 @@ def host_condense(
         )
         .withColumn("self_loop", F.col("src_host") == F.col("dst_host"))
     )
+
+
+def hyperball(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 2,
+    p: int = 8,
+    id_col: str = "node",
+    round_dp: int = 4,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): estimate every node's
+    ``n_iter``-hop out-neighborhood ("ball") size by iterating the
+    engine-portable HyperLogLog (functions/sketches.py) along edges —
+    B(v, r+1) = B(v, r) ∪ ⋃_{v→w} B(w, r), with each ball held as
+    mergeable (bucket, max-rank) sketch rows instead of a node set.
+    This is THE public technique for neighborhood functions /
+    centralities on 10^10-node graphs: exact balls explode
+    combinatorially, while the sketch caps per-node state at 2^p rows
+    (256 here) no matter the ball size.
+
+    Per iteration: ONE edge-volume shuffle (edges join sketches on dst,
+    re-key to src) + a map-side-combinable max-merge — the same Pregel
+    shape as pagerank/opic; lineage cut per round. Because sketch-union
+    is an idempotent max-merge, the DuckDB oracle needn't iterate: the
+    sketch of the r-ball equals the HLL computed directly over the
+    exact member set, which is what makes the gate check exact.
+
+    Returns (node, ball_estimate) — the HLL estimate of
+    |{u : dist(v, u) <= n_iter}| rounded to ``round_dp``.
+    """
+    from ..functions.sketches import hll_estimate, hll_sketch
+
+    base = nodes.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(id_col).cast("long").cast("string").alias("__v"),
+    )
+    sk = hll_sketch(base, ["node"], "__v", p)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        prop = e.join(
+            sk.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "hll_bucket", "register")
+        sk = (
+            sk.unionByName(prop)
+            .groupBy("node", "hll_bucket")
+            .agg(F.max("register").alias("register"))
+            .localCheckpoint(eager=False)
+        )
+    return hll_estimate(sk, ["node"], p).select(
+        "node", F.round("hll_estimate", round_dp).alias("ball_estimate")
+    )

@@ -169,3 +169,87 @@ def redde_shard_ranks(
     return est.withColumn(
         "rank", F.row_number().over(wr).cast("long")
     )
+
+
+def skew_audit(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    target_share_milli: int = 50,
+) -> DataFrame:
+    """Shuffle-key skew audit + salting recommendation — the
+    before-you-shuffle diagnostic the north rule's "skew handled
+    explicitly" clause asks for: for any would-be shuffle key (host on
+    the frontier, word in the index build), measure how unevenly rows
+    distribute over it, surface the heavy hitters, and recommend the
+    salt factor that brings the heaviest key down to
+    ``target_share_milli`` (in thousandths of the total).
+
+    Integer-exact measures (engine-portable, no float percentiles):
+      share_milli — per-key 1000*n div total
+      gini_milli  — Gini coefficient of the key-count distribution via
+                    the exact rank formula
+                    (2*Σ r·x(r) - (K+1)*Σx) * 1000 div (K*Σx)
+                    over counts sorted ascending (ties key-ascending)
+      salt_k      — ceil(max_share_milli / target_share_milli), min 1:
+                    splitting the heaviest key into salt_k subkeys puts
+                    every subkey at or under the target share
+
+    Scale shape: one combinable key count, then rank + prefix sums via
+    the DISTRIBUTED dense-sequence/scan helpers (functions/seq.py) over
+    the KEY dimension — never a global single-partition window — and
+    two scalar aggregates broadcast back. Returns the ``top_k``
+    heaviest keys (count desc, key asc), each row carrying the global
+    stats: (key, n, share_milli, rank, n_keys, total, gini_milli,
+    salt_k).
+    """
+    from ..functions.seq import with_prefix_sum
+
+    counts = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    counts = counts.localCheckpoint(eager=False)
+    ranked = with_dense_sequence(
+        counts, order_cols=["n", "key"], out_col="__r", start=1
+    ).withColumn("__rx", F.col("__r") * F.col("n"))
+    ranked = with_prefix_sum(
+        ranked, "__rx", order_cols=["n", "key"], out_col="__srx"
+    )
+    scal = ranked.agg(
+        F.count("*").cast("long").alias("__k"),
+        F.sum("n").cast("long").alias("__tot"),
+        F.max("__srx").cast("long").alias("__sumrx"),
+        F.max("n").cast("long").alias("__maxn"),
+    )
+    t = int(target_share_milli)
+    out = (
+        counts.crossJoin(F.broadcast(scal))
+        .select(
+            "key",
+            "n",
+            F.expr("(1000 * n) div __tot").cast("long").alias("share_milli"),
+            F.col("__k").alias("n_keys"),
+            F.col("__tot").alias("total"),
+            F.expr("(2000 * __sumrx - 1000 * (__k + 1) * __tot)"
+                   " div (__k * __tot)")
+            .cast("long")
+            .alias("gini_milli"),
+            F.greatest(
+                F.expr(f"(((1000 * __maxn) div __tot) + {t} - 1) div {t}"),
+                F.lit(1),
+            )
+            .cast("long")
+            .alias("salt_k"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    return out.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "key", "n", "share_milli", "rank", "n_keys", "total",
+        "gini_milli", "salt_k",
+    )
