@@ -88,6 +88,7 @@ def crawl(
     reputation_min_avg_milli: int = 10,
     dust_gate: bool = False,
     dust_min_support: int = 2,
+    meta_robots: bool = False,
 ) -> OracleResult:
     robots = robots or {}
 
@@ -443,16 +444,21 @@ def crawl(
                 title = next((s[1] for s in spans if s[0] == "title"), None)
                 entry.state = "visited"
                 docs[entry.url] = {"title": title, "spans": spans}
-                words = extract_words(
-                    " ".join(s[1] for s in spans if s[0] == "text")
-                )
-                # re-index: drop old postings for this doc (ets :145-175)
-                for word_docs in postings.values():
-                    word_docs.pop(entry.url, None)
-                doc_len[entry.url] = len(words)
-                for word in words:
-                    postings.setdefault(word, {}).setdefault(entry.url, 0)
-                    postings[word][entry.url] += 1
+                noindex = nofollow_pg = False
+                if meta_robots:
+                    tree = htmlx.parse(outcome.body or "")
+                    noindex, nofollow_pg = htmlx.robots_meta(tree)
+                if not noindex:
+                    words = extract_words(
+                        " ".join(s[1] for s in spans if s[0] == "text")
+                    )
+                    # re-index: drop old postings (ets :145-175)
+                    for word_docs in postings.values():
+                        word_docs.pop(entry.url, None)
+                    doc_len[entry.url] = len(words)
+                    for word in words:
+                        postings.setdefault(word, {}).setdefault(entry.url, 0)
+                        postings[word][entry.url] += 1
                 if reputation_gate:
                     pending_q.append((
                         entry.host,
@@ -460,7 +466,13 @@ def crawl(
                     ))
                 if dust_gate:
                     pending_fp.append((entry.url, _span_fp(spans)))
-                links = [s[2] for s in spans if s[0] == "link"]
+                if meta_robots:
+                    links = (
+                        [] if nofollow_pg
+                        else htmlx.links_follow(htmlx.parse(outcome.body or ""))
+                    )
+                else:
+                    links = [s[2] for s in spans if s[0] == "link"]
                 for link in links:
                     queue(
                         absolute_link(entry.url, link),

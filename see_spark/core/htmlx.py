@@ -275,3 +275,76 @@ def blocks(content: str) -> List[Tuple[int, str, int, int]]:
     walk(tree, False)
     flush()
     return [(i, t, c, lc) for i, (t, c, lc) in enumerate(out)]
+
+
+# page-level robots directives (engine addition) --------------------------
+
+def robots_meta(tree: Node) -> Tuple[bool, bool]:
+    """Page-level robots directives ``(noindex, nofollow)`` from
+    ``<meta name="robots" content="...">`` tags — the REP page-level
+    layer (Google/Bing documented semantics; robots.txt is the
+    host-level layer, core/robotstxt.py). Name match is
+    case-insensitive; content is a comma-separated token list, tokens
+    trimmed and casefolded; ``none`` means both directives; multiple
+    robots metas OR together (the restrictive union, the documented
+    conflict rule). ``index``/``follow``/``all`` tokens are the default
+    and carry no information. Valueless attrs (parser maps them to
+    value==name) contribute nothing."""
+    noindex = False
+    nofollow = False
+
+    def _scan(node) -> None:
+        nonlocal noindex, nofollow
+        if isinstance(node, str):
+            return
+        if node.tag == "meta":
+            attrs = {}
+            for k, v in node.attrs:
+                if k not in attrs:
+                    attrs[k] = v
+            if attrs.get("name", "").strip().lower() == "robots":
+                toks = [
+                    t.strip().lower()
+                    for t in (attrs.get("content") or "").split(",")
+                ]
+                if "noindex" in toks or "none" in toks:
+                    noindex = True
+                if "nofollow" in toks or "none" in toks:
+                    nofollow = True
+        for child in node.children:
+            _scan(child)
+
+    _scan(tree)
+    return noindex, nofollow
+
+
+def links_follow(tree: Node) -> List[str]:
+    """Pre-order hrefs like ``links()`` (same first-href-attr /
+    valueless-attr rules, nested anchors still scanned), but anchors
+    whose ``rel`` attribute contains the ``nofollow`` token
+    (space-separated, case-insensitive — the HTML rel token-list rule)
+    are excluded. This is the page's FOLLOWABLE outlink list, what a
+    meta-robots-aware crawler enqueues."""
+    out: List[str] = []
+    _collect_links_follow(tree, out)
+    return out
+
+
+def _collect_links_follow(node: Node, out: List[str]) -> None:
+    if isinstance(node, str):
+        return
+    if node.tag == "a":
+        href = None
+        href_seen = False
+        rel = None
+        for name, value in node.attrs:
+            if name == "href" and not href_seen:
+                href_seen = True
+                if value != "href":  # valueless attr -> skipped
+                    href = value
+            elif name == "rel" and rel is None:
+                rel = value
+        if href is not None and "nofollow" not in (rel or "").lower().split():
+            out.append(href)
+    for child in node.children:
+        _collect_links_follow(child, out)

@@ -96,13 +96,20 @@ PARSED_TYPE = T.StructType(
             )
         )),
         T.StructField("links", T.ArrayType(T.StringType())),
+        # page-level robots directives (htmlx.robots_meta): noindex flag
+        # + the followable outlink subset (empty when the page declares
+        # nofollow; rel=nofollow anchors excluded). `links` stays the
+        # FULL reference-semantics list (see_html.erl:54-78) — consumers
+        # opt into the directive-aware subset via CrawlConfig.meta_robots.
+        T.StructField("noindex", T.BooleanType()),
+        T.StructField("follow_links", T.ArrayType(T.StringType())),
     ]
 )
 
 
 def _parse_one(body: Optional[str]):
     if body is None:
-        return (None, [], [])
+        return (None, [], [], False, [])
     spans = htmlx.to_spans(body)
     title = next((s[1] for s in spans if s[0] == "title"), None)
     links = [s[2] for s in spans if s[0] == "link"]
@@ -110,14 +117,21 @@ def _parse_one(body: Optional[str]):
         {"kind": k, "text": t, "media_ref": m, "offset": o}
         for (k, t, m, o) in spans
     ]
-    return (title, rows, links)
+    tree = htmlx.parse(body)
+    noindex, nofollow = htmlx.robots_meta(tree)
+    follow = [] if nofollow else htmlx.links_follow(tree)
+    return (title, rows, links, noindex, follow)
 
 
 @pandas_udf(PARSED_TYPE)
 def parse_html_udf(bodies: pd.Series) -> pd.DataFrame:
-    """O18-O21: tolerant HTML parse -> (title, interleaved spans, links)."""
+    """O18-O21: tolerant HTML parse -> (title, interleaved spans, links)
+    + page-level robots directives (noindex, followable links)."""
     parsed = [_parse_one(b) for b in bodies]
-    return pd.DataFrame(parsed, columns=["title", "spans", "links"])
+    return pd.DataFrame(
+        parsed,
+        columns=["title", "spans", "links", "noindex", "follow_links"],
+    )
 
 
 ROUTED_TYPE = T.StructType(

@@ -185,6 +185,16 @@ class CrawlConfig:
     # tests/test_crawl_dust.py.
     dust_gate: bool = False
     dust_min_support: int = 2
+    # Page-level robots directives (htmlx.robots_meta, the REP meta
+    # layer): with meta_robots on, a page declaring noindex is fetched
+    # and stored in docs but EXCLUDED from postings/word_stats (the
+    # documented "store, don't serve" semantic), and outlink enqueue
+    # reads the followable subset — rel=nofollow anchors dropped, all
+    # links dropped on a nofollow page. Off by default: `parsed.links`
+    # keeps the reference's full-list semantics (see_html.erl:54-78).
+    # Parity with the oracle crawler's identical rules is pinned by
+    # tests/test_crawl_meta_robots.py.
+    meta_robots: bool = False
 
 
 @dataclass
@@ -454,9 +464,15 @@ def fetch_route_parse(fetcher, batch: DataFrame) -> Optional[DataFrame]:
                 locs.append(oc.location)
                 errs.append(oc.error)
                 if oc.kind == KIND_TEXT:
-                    title, spans, links = _parse_one(oc.body)
+                    title, spans, links, noindex, follow = _parse_one(oc.body)
                     parsed.append(
-                        {"title": title, "spans": spans, "links": links}
+                        {
+                            "title": title,
+                            "spans": spans,
+                            "links": links,
+                            "noindex": noindex,
+                            "follow_links": follow,
+                        }
                     )
                 else:
                     parsed.append(None)
@@ -861,20 +877,34 @@ def run_round(
     # lazy localCheckpoint: materialized by the postings commit's write job,
     # then the word_stats increment reuses the checkpointed blocks instead
     # of re-tokenizing the round's docs (no extra eager barrier).
+    if config.meta_robots:
+        # noindex pages are stored but never indexed (REP meta layer)
+        index_docs = parsed.filter(
+            (F.col("kind") == "text")
+            & ~F.coalesce(F.col("parsed.noindex"), F.lit(False))
+        ).select(
+            F.col("url").alias("doc_id"),
+            F.col("parsed.title").alias("title"),
+            F.col("parsed.spans").alias("spans"),
+            F.lit(round_no).cast("int").alias("fetched_in_round"),
+        )
+    else:
+        index_docs = text_docs
     fresh_postings = (
-        indexer.postings_from_docs(text_docs).localCheckpoint(eager=False)
+        indexer.postings_from_docs(index_docs).localCheckpoint(eager=False)
         if config.build_index
         else None
     )
 
     # ---- new links (O22 -> O15 -> O16 -> O2) ----------------------------
+    link_field = "parsed.follow_links" if config.meta_robots else "parsed.links"
     page_links = parsed.filter(
-        (F.col("kind") == "text") & (F.size("parsed.links") > 0)
+        (F.col("kind") == "text") & (F.size(link_field) > 0)
     ).select(
         F.col("url").alias("base_url"),
         F.col("depth").alias("parent_depth"),
         F.col("fetch_order").alias("parent_order"),
-        F.posexplode("parsed.links").alias("link_pos", "raw_link"),
+        F.posexplode(link_field).alias("link_pos", "raw_link"),
     )
     redirect_links = parsed.filter(
         (F.col("kind") == "redirect") & F.col("location").isNotNull()
