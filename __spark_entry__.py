@@ -8943,6 +8943,155 @@ ORACLES_EXTRA.update(
 )
 
 
+def _q_content_novelty(spark, sf_dir):
+    """Engine addition: content-level crawl yield curve — per synthetic
+    round (doc_id % 5), the fraction of distinct 3-word shingles never
+    seen in earlier rounds (discovery.py:content_novelty)."""
+    from see_spark.operators.discovery import content_novelty
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        (F.col("doc_id").cast("long") % 5).alias("round"),
+    )
+    return content_novelty(docs, n=3)
+
+
+def _q_padding_waste(spark, sf_dir):
+    """Engine addition: length-bucketed batching waste audit
+    (packing.py:padding_waste) — pad-to-boundary token waste per bucket,
+    integer-exact."""
+    from see_spark.operators.packing import padding_waste
+
+    return padding_waste(_documents(spark, sf_dir))
+
+
+def _q_cloaking_audit(spark, sf_dir):
+    """Engine addition: dual-UA cloaking detection (Wu & Davison 2005;
+    reputation.py:cloaking_audit) over a deterministic probe log — user
+    variant differs on a per-host modulus, every 17th URL lacks the
+    user probe (evidence-floor path)."""
+    from see_spark.operators.reputation import cloaking_audit
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 19).cast("string")).alias(
+            "host"
+        ),
+        "text",
+        (F.lit(3) + (F.col("doc_id") % 19) % 4).alias("__div"),
+    )
+    bot = base.select(
+        "url", "host", F.lit("bot").alias("ua"), F.md5("text").alias("content_hash")
+    )
+    usr = base.where(F.col("doc_id") % 17 != 0).select(
+        "url",
+        "host",
+        F.lit("user").alias("ua"),
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % F.col("__div") == 0, F.lit("AD"))
+                .otherwise(F.lit("")),
+            )
+        ).alias("content_hash"),
+    )
+    return cloaking_audit(bot.unionByName(usr))
+
+
+QUERIES_EXTRA.update(
+    {
+        "content_novelty": _q_content_novelty,
+        "padding_waste": _q_padding_waste,
+        "cloaking_audit": _q_cloaking_audit,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        # Same distinct-shingle rounds: min round per shingle = novelty.
+        "content_novelty": f"""
+        WITH {_SHINGLES3_SQL},
+        rs AS (SELECT DISTINCT (doc_id % 5) AS round, shingle FROM sh),
+        fr AS (SELECT shingle, MIN(round) AS first_round
+               FROM rs GROUP BY 1),
+        pr AS (SELECT rs.round,
+                      COUNT(*) AS n_shingles,
+                      SUM(CASE WHEN rs.round = fr.first_round
+                          THEN 1 ELSE 0 END) AS n_novel
+               FROM rs JOIN fr USING (shingle) GROUP BY 1),
+        dr AS (SELECT (CAST(doc_id AS BIGINT) % 5) AS round,
+                      COUNT(*) AS n_docs
+               FROM documents GROUP BY 1)
+        SELECT dr.round, CAST(dr.n_docs AS BIGINT) AS n_docs,
+               CAST(COALESCE(pr.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(pr.n_novel, 0) AS BIGINT) AS n_novel,
+               CAST(CASE WHEN COALESCE(pr.n_shingles, 0) > 0
+                    THEN (1000 * pr.n_novel) // pr.n_shingles
+                    ELSE 0 END AS BIGINT) AS novelty_milli
+        FROM dr LEFT JOIN pr USING (round)
+    """,
+        "padding_waste": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          len(string_split(text, ' ')) AS n
+                   FROM documents),
+        b AS (SELECT doc_id, n,
+                     CASE WHEN n <= 64 THEN '64'
+                          WHEN n <= 128 THEN '128'
+                          WHEN n <= 256 THEN '256'
+                          WHEN n <= 512 THEN '512'
+                          ELSE 'overflow' END AS bucket,
+                     CASE WHEN n <= 64 THEN 64 - n
+                          WHEN n <= 128 THEN 128 - n
+                          WHEN n <= 256 THEN 256 - n
+                          WHEN n <= 512 THEN 512 - n
+                          ELSE 0 END AS pad
+              FROM d)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(pad) AS BIGINT) AS total_padding,
+               CAST((1000 * SUM(pad)) // (SUM(pad) + SUM(n)) AS BIGINT)
+                 AS padding_milli
+        FROM b GROUP BY 1
+    """,
+        "cloaking_audit": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                          'u' || CAST(doc_id AS VARCHAR) AS url,
+                          'h' || CAST(CAST(doc_id AS BIGINT) % 19 AS VARCHAR)
+                            AS host,
+                          3 + (CAST(doc_id AS BIGINT) % 19) % 4 AS dv
+                   FROM documents),
+        probes AS (SELECT url, host, md5(text) AS bot_h,
+                          CASE WHEN doc_id % 17 <> 0
+                               THEN md5(text || CASE WHEN doc_id % dv = 0
+                                                THEN 'AD' ELSE '' END)
+                               END AS usr_h
+                   FROM d),
+        per AS (SELECT host, COUNT(*) AS n_probed,
+                       SUM(CASE WHEN usr_h IS NOT NULL THEN 1 ELSE 0 END)
+                         AS n_both,
+                       SUM(CASE WHEN usr_h IS NOT NULL AND usr_h <> bot_h
+                           THEN 1 ELSE 0 END) AS n_diff
+                FROM probes GROUP BY 1)
+        SELECT host, CAST(n_probed AS BIGINT) AS n_probed,
+               CAST(n_both AS BIGINT) AS n_both,
+               CAST(n_diff AS BIGINT) AS n_diff,
+               CAST(CASE WHEN n_both > 0 THEN (1000 * n_diff) // n_both
+                    ELSE 0 END AS BIGINT) AS cloak_milli,
+               (n_both >= 3 AND CASE WHEN n_both > 0
+                  THEN (1000 * n_diff) // n_both ELSE 0 END >= 300)
+                 AS flagged
+        FROM per
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -122,3 +122,66 @@ def iqr_outlier_flags(
         (v < F.col("q1") - fence).cast("long").alias("is_low"),
         (v > F.col("q3") + fence).cast("long").alias("is_high"),
     )
+
+
+def content_novelty(
+    docs_with_round: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_col: str = "round",
+) -> DataFrame:
+    """Crawl yield curve at CONTENT granularity: per crawl round, what
+    fraction of the round's distinct word shingles had never been seen
+    in any earlier round — the "is the crawl still finding new text"
+    signal (URL-level novelty is operators/discovery.unseen_mass; this
+    is its content-level sibling, robust to URL churn serving duplicate
+    text). A shingle is NOVEL in the round where it first appears
+    (min round over all docs containing it).
+
+    Scale shape: distinct (round, shingle-hash) projection -> one
+    shingle-keyed combinable min-aggregate -> join back on the same key
+    (co-partitioned) -> per-round counts. Raw shingles are hashed to 60
+    bits before any shuffle (~16 B keys). Returns per round:
+    (round, n_docs, n_shingles, n_novel, novelty_milli).
+    """
+    from .dedup import hash60, word_shingles
+
+    base = docs_with_round.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(round_col).cast("long").alias("round"),
+        F.col(text_col).alias("text"),
+    )
+    sh = (
+        word_shingles(base, n=n)
+        .join(base.select("doc_id", "round"), "doc_id")
+        .select("round", hash60(F.col("shingle")).alias("sh_h"))
+        .distinct()
+    )
+    first = sh.groupBy("sh_h").agg(F.min("round").alias("first_round"))
+    per_round = (
+        sh.join(first, "sh_h")
+        .groupBy("round")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                (F.col("round") == F.col("first_round")).cast("long")
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    docs_per_round = base.groupBy("round").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return (
+        docs_per_round.join(per_round, "round", "left")
+        .select(
+            "round",
+            "n_docs",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.expr("(1000 * n_novel) div n_shingles"),
+            ).otherwise(F.lit(0)).cast("long").alias("novelty_milli"),
+        )
+    )

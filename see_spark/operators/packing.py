@@ -317,3 +317,53 @@ def _interleave_buckets(bucketed: DataFrame, seed: str) -> DataFrame:
     return out.select(
         "doc_id", "bucket", F.col("pos").cast("long").alias("pos")
     )
+
+
+def padding_waste(
+    docs: DataFrame,
+    buckets: tuple = (64, 128, 256, 512),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batching waste audit — the pre-packing question a
+    training pipeline answers before choosing between padded batches and
+    sequence packing (operators/packing.pack_sequences): if documents
+    are padded up to the smallest bucket boundary that fits them, how
+    many pad tokens does each bucket burn? Documents longer than the
+    largest bucket are reported in the 'overflow' row (they need
+    chunking, operators/packing.chunk_documents). Whitespace token
+    counts, integer-exact.
+
+    Zero-shuffle token count + ONE combinable bucket aggregate. Returns
+    (bucket, n_docs, total_tokens, total_padding, padding_milli) where
+    padding_milli = 1000*padding div (padding + tokens), bucket is the
+    boundary as a string ('overflow' for too-long docs, padding 0).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    bounds = sorted(buckets)
+    bucket = F.lit("overflow")
+    for b in reversed(bounds):
+        bucket = F.when(n_tok <= b, F.lit(str(b))).otherwise(bucket)
+    pad = F.lit(0).cast("long")
+    for b in reversed(bounds):
+        pad = F.when(n_tok <= b, F.lit(b) - n_tok).otherwise(pad)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            bucket.alias("bucket"),
+            n_tok.alias("__n"),
+            pad.cast("long").alias("__pad"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+            F.sum("__pad").cast("long").alias("total_padding"),
+        )
+        .withColumn(
+            "padding_milli",
+            F.expr(
+                "(1000 * total_padding) div (total_padding + total_tokens)"
+            ).cast("long"),
+        )
+    )

@@ -110,3 +110,65 @@ def host_quality_agg(df: DataFrame) -> DataFrame:
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("sum_q_milli").cast("long").alias("sum_q_milli"),
     )
+
+
+def cloaking_audit(
+    fetches: DataFrame,
+    bot_ua: str = "bot",
+    user_ua: str = "user",
+    min_both: int = 3,
+    flag_milli: int = 300,
+) -> DataFrame:
+    """Cloaking detection by dual-user-agent probing — the standard
+    anti-spam audit (Wu & Davison, WWW 2005 "Cloaking and Redirection"):
+    fetch a sample of each host's URLs under the crawler UA and a
+    browser-like UA and compare content hashes; a host serving different
+    bytes to the crawler at scale is cloaking (UA-conditional serving),
+    the spam signal robots.txt can't express and link analysis can't
+    see. Input is the probe log: (url, host, ua, content_hash), one row
+    per (url, ua) fetch.
+
+    Per host over URLs probed under BOTH UAs: n_both, n_diff (hash
+    mismatch), cloak_milli = 1000*n_diff div n_both, flagged when
+    evidence >= ``min_both`` URLs and the rate >= ``flag_milli``.
+    Dynamic content causes sporadic mismatches on legitimate hosts —
+    hence rate + evidence floor, not any-mismatch.
+
+    Scale shape: one url-keyed pivot join (the two UA relations meet on
+    url) + one combinable host aggregate. Returns
+    (host, n_probed, n_both, n_diff, cloak_milli, flagged).
+    """
+    bot = fetches.where(F.col("ua") == bot_ua).select(
+        "url", "host", F.col("content_hash").alias("__bot_h")
+    )
+    usr = fetches.where(F.col("ua") == user_ua).select(
+        "url", F.col("content_hash").alias("__usr_h")
+    )
+    j = bot.join(usr, "url", "left")
+    per_host = j.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_probed"),
+        F.sum(F.col("__usr_h").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(
+            (
+                F.col("__usr_h").isNotNull()
+                & (F.col("__usr_h") != F.col("__bot_h"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_diff"),
+    )
+    return per_host.select(
+        "host",
+        "n_probed",
+        "n_both",
+        "n_diff",
+        F.when(
+            F.col("n_both") > 0, F.expr("(1000 * n_diff) div n_both")
+        ).otherwise(F.lit(0)).cast("long").alias("cloak_milli"),
+        (
+            (F.col("n_both") >= min_both)
+            & (F.expr("(1000 * n_diff) div n_both") >= flag_milli)
+        ).alias("flagged"),
+    )
