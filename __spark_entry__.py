@@ -9092,6 +9092,64 @@ ORACLES_EXTRA.update(
 )
 
 
+def _q_media_reuse(spark, sf_dir):
+    """Engine addition: hotlink/shared-asset audit over interleaved media
+    spans (multimodal.py:media_reuse) — every even-position media slot
+    points at a shared asset (doc_id % 7 pool), odd slots are unique."""
+    from see_spark.operators.multimodal import media_reuse
+
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    ex = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("pos")
+    ).where((F.col("doc_id") + F.col("pos")) % 3 == 0)
+    spans = ex.select(
+        "doc_id",
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.when(
+            F.col("pos") % 2 == 0,
+            F.concat(F.lit("img://shared/"), (F.col("doc_id") % 7).cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("img://"),
+                F.col("doc_id").cast("string"),
+                F.lit("/"),
+                F.col("pos").cast("string"),
+            )
+        )
+        .alias("media_ref"),
+        F.col("pos").cast("long").alias("offset"),
+    )
+    return media_reuse(spans)
+
+
+QUERIES_EXTRA.update({"media_reuse": _q_media_reuse})
+
+
+ORACLES_EXTRA.update(
+    {
+        "media_reuse": f"""
+        WITH {_CHUNKS_SQL},
+        sp AS (SELECT doc_id,
+                      CASE WHEN i % 2 = 0
+                           THEN 'img://shared/' || CAST(doc_id % 7 AS VARCHAR)
+                           ELSE 'img://' || CAST(doc_id AS VARCHAR) || '/'
+                                || CAST(i AS VARCHAR) END AS media_ref
+               FROM l2 WHERE (doc_id + i) % 3 = 0)
+        SELECT media_ref, CAST(COUNT(*) AS BIGINT) AS n_refs,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               COUNT(DISTINCT doc_id) > 1 AS shared
+        FROM sp GROUP BY 1
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

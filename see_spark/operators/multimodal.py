@@ -282,3 +282,23 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 50, stride: int = 3) -> 
         media.filter(F.col("kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_no"))
     )
+
+
+def media_reuse(spans: DataFrame) -> DataFrame:
+    """Hotlink / shared-asset audit over interleaved span rows
+    (doc_id, kind, text, media_ref, offset): how many documents embed
+    each media ref, and how often — the dedup-before-fetch signal for
+    the media pipeline (a ref embedded by 10^4 pages is fetched once
+    and cached, not 10^4 times; the media fetch queue orders by reuse
+    the way the URL frontier orders by in-degree). One combinable
+    aggregate on media_ref. Returns (media_ref, n_refs, n_docs,
+    shared)."""
+    return (
+        spans.where(F.col("kind") == "media")
+        .groupBy("media_ref")
+        .agg(
+            F.count("*").cast("long").alias("n_refs"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .withColumn("shared", F.col("n_docs") > 1)
+    )
