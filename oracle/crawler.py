@@ -55,6 +55,7 @@ class OracleResult:
     postings: Dict[str, Dict[str, int]]  # word -> {url: term_count}
     doc_len: Dict[str, int]
     rounds: int
+    canonical_aliases: List[tuple] = None  # (url, canonical, round)
 
     @property
     def seen_urls(self) -> Set[str]:
@@ -89,6 +90,7 @@ def crawl(
     dust_gate: bool = False,
     dust_min_support: int = 2,
     meta_robots: bool = False,
+    follow_canonical: bool = False,
 ) -> OracleResult:
     robots = robots or {}
 
@@ -162,6 +164,8 @@ def crawl(
     pages_fp: Dict[str, str] = {}
     pending_fp: list = []
     dust_rules: set = set()
+    # rel=canonical alias ledger (engine: canonical_aliases table)
+    canonical_aliases: list = []
 
     def _span_fp(spans) -> str:
         """crawl._span_fingerprint replica: md5 over (kind, text,
@@ -478,6 +482,18 @@ def crawl(
                         absolute_link(entry.url, link),
                         entry.depth + 1, round_no, gate=True,
                     )
+                if follow_canonical:
+                    canon = htmlx.canonical_href(
+                        htmlx.parse(outcome.body or "")
+                    )
+                    if canon is not None:
+                        # page metadata, enqueued LAST within the page's
+                        # discoveries (crawl.py canonical_links link_pos)
+                        target = absolute_link(entry.url, canon)
+                        canonical_aliases.append(
+                            (entry.url, target, round_no)
+                        )
+                        queue(target, entry.depth + 1, round_no, gate=True)
             elif outcome.kind == "binary":
                 entry.state = "binary"
                 docs[entry.url] = {
@@ -518,4 +534,5 @@ def crawl(
     return OracleResult(
         frontier=frontier, visit_order=visit_order, docs=docs,
         postings=postings, doc_len=doc_len, rounds=rounds,
+        canonical_aliases=canonical_aliases,
     )

@@ -348,3 +348,35 @@ def _collect_links_follow(node: Node, out: List[str]) -> None:
             out.append(href)
     for child in node.children:
         _collect_links_follow(child, out)
+
+
+def canonical_href(tree: Node) -> Optional[str]:
+    """First ``<link rel=canonical href=...>`` target (RFC 6596) — the
+    publisher's preferred-URL declaration, pre-order first-wins like
+    ``links()``; the rel attribute is an HTML token list (space
+    separated, case-insensitive), valueless href attrs are skipped.
+    Returns None when the page declares no canonical."""
+    found: List[str] = []
+
+    def _scan(node) -> None:
+        if isinstance(node, str) or found:
+            return
+        if node.tag == "link":
+            href = None
+            href_seen = False
+            rel = None
+            for name, value in node.attrs:
+                if name == "href" and not href_seen:
+                    href_seen = True
+                    if value != "href":
+                        href = value
+                elif name == "rel" and rel is None:
+                    rel = value
+            if href is not None and "canonical" in (rel or "").lower().split():
+                found.append(href)
+                return
+        for child in node.children:
+            _scan(child)
+
+    _scan(tree)
+    return found[0] if found else None

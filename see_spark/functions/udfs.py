@@ -103,13 +103,15 @@ PARSED_TYPE = T.StructType(
         # opt into the directive-aware subset via CrawlConfig.meta_robots.
         T.StructField("noindex", T.BooleanType()),
         T.StructField("follow_links", T.ArrayType(T.StringType())),
+        # rel=canonical declaration (htmlx.canonical_href, RFC 6596)
+        T.StructField("canonical", T.StringType()),
     ]
 )
 
 
 def _parse_one(body: Optional[str]):
     if body is None:
-        return (None, [], [], False, [])
+        return (None, [], [], False, [], None)
     spans = htmlx.to_spans(body)
     title = next((s[1] for s in spans if s[0] == "title"), None)
     links = [s[2] for s in spans if s[0] == "link"]
@@ -120,7 +122,7 @@ def _parse_one(body: Optional[str]):
     tree = htmlx.parse(body)
     noindex, nofollow = htmlx.robots_meta(tree)
     follow = [] if nofollow else htmlx.links_follow(tree)
-    return (title, rows, links, noindex, follow)
+    return (title, rows, links, noindex, follow, htmlx.canonical_href(tree))
 
 
 @pandas_udf(PARSED_TYPE)
@@ -130,7 +132,9 @@ def parse_html_udf(bodies: pd.Series) -> pd.DataFrame:
     parsed = [_parse_one(b) for b in bodies]
     return pd.DataFrame(
         parsed,
-        columns=["title", "spans", "links", "noindex", "follow_links"],
+        columns=[
+            "title", "spans", "links", "noindex", "follow_links", "canonical"
+        ],
     )
 
 

@@ -195,6 +195,17 @@ class CrawlConfig:
     # Parity with the oracle crawler's identical rules is pinned by
     # tests/test_crawl_meta_robots.py.
     meta_robots: bool = False
+    # rel=canonical discovery (RFC 6596, htmlx.canonical_href): with
+    # follow_canonical on, a fetched page's declared canonical target is
+    # (a) enqueued like a link — resolved against the page, ordered LAST
+    # within the page's discoveries (link_pos 2^20-1) so anchors keep
+    # their positions — and (b) recorded in the append-only
+    # canonical_aliases ledger (url, canonical, round), the alias-edge
+    # input of operators/urlalias.py and SERP dup-collapse. The
+    # canonical is page METADATA, not an anchor: meta-robots nofollow
+    # does not suppress it. Parity with the oracle crawler's identical
+    # rules is pinned by tests/test_crawl_canonical.py.
+    follow_canonical: bool = False
 
 
 @dataclass
@@ -464,7 +475,8 @@ def fetch_route_parse(fetcher, batch: DataFrame) -> Optional[DataFrame]:
                 locs.append(oc.location)
                 errs.append(oc.error)
                 if oc.kind == KIND_TEXT:
-                    title, spans, links, noindex, follow = _parse_one(oc.body)
+                    (title, spans, links, noindex, follow,
+                     canonical) = _parse_one(oc.body)
                     parsed.append(
                         {
                             "title": title,
@@ -472,6 +484,7 @@ def fetch_route_parse(fetcher, batch: DataFrame) -> Optional[DataFrame]:
                             "links": links,
                             "noindex": noindex,
                             "follow_links": follow,
+                            "canonical": canonical,
                         }
                     )
                 else:
@@ -915,6 +928,20 @@ def run_round(
         F.lit(0).alias("link_pos"),
         F.col("location").alias("raw_link"),
     )
+    if config.follow_canonical:
+        # canonical target enqueues LAST within the page's discoveries
+        # (anchors keep their positions); page metadata, so meta-robots
+        # nofollow does not suppress it
+        canonical_links = parsed.filter(
+            (F.col("kind") == "text") & F.col("parsed.canonical").isNotNull()
+        ).select(
+            F.col("url").alias("base_url"),
+            F.col("depth").alias("parent_depth"),
+            F.col("fetch_order").alias("parent_order"),
+            F.lit((1 << _LINK_POS_BITS) - 1).alias("link_pos"),
+            F.col("parsed.canonical").alias("raw_link"),
+        )
+        page_links = page_links.unionByName(canonical_links)
     all_links = page_links.unionByName(redirect_links).withColumn(
         # already-absolute links pass through verbatim in the kernel
         # (see_crawler_worker.erl:92, pattern "[^/]+://" searched) — the
@@ -1120,12 +1147,26 @@ def run_round(
             compact_agg=hoststats_agg,
         )
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    def _commit_canonical():
+        if not config.follow_canonical:
+            return
+        ledger = all_links.where(
+            F.col("link_pos") == (1 << _LINK_POS_BITS) - 1
+        ).select(
+            F.col("base_url").alias("url"),
+            F.col("abs_link").alias("canonical"),
+            F.lit(round_no).cast("int").alias("declared_in_round"),
+        )
+        catalog.commit_delta(
+            "canonical_aliases", appended=ledger, meta={"round": round_no}
+        )
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
         futures = [
             pool.submit(fn)
             for fn in (
                 _commit_docs, _commit_postings, _commit_hoststats,
-                _commit_host_quality,
+                _commit_host_quality, _commit_canonical,
             )
         ]
         for fut in futures:

@@ -155,6 +155,14 @@ HOST_QUALITY_SCHEMA = T.StructType(
     ]
 )
 
+CANONICAL_ALIASES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("canonical", T.StringType(), True),
+        T.StructField("declared_in_round", T.IntegerType(), False),
+    ]
+)
+
 SCHEMAS = {
     "frontier": FRONTIER_SCHEMA,
     "docs": DOCS_SCHEMA,
@@ -165,6 +173,7 @@ SCHEMAS = {
     "robots": ROBOTS_SCHEMA,
     "robots_rfc": ROBOTS_RFC_SCHEMA,
     "sitemaps_fetched": SITEMAPS_FETCHED_SCHEMA,
+    "canonical_aliases": CANONICAL_ALIASES_SCHEMA,
 }
 
 
