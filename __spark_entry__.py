@@ -9150,6 +9150,70 @@ ORACLES_EXTRA.update(
 )
 
 
+def _q_nepotism_audit(spark, sf_dir):
+    """Engine addition: nepotistic-link audit (Davison 2000) over the
+    condensed host graph — hosts 's{doc%3}.org{doc%7}.com' share PLDs in
+    triples, so same-PLD cross-host edges are real
+    (pld.py:nepotism_audit over linkgraph.host_condense)."""
+    from see_spark.operators.linkgraph import host_condense, synthetic_edges
+    from see_spark.operators.pld import nepotism_audit
+
+    edges = synthetic_edges(_documents(spark, sf_dir))
+    host = lambda c: F.concat(
+        F.lit("s"), (F.col(c) % 3).cast("string"),
+        F.lit(".org"), (F.col(c) % 7).cast("string"), F.lit(".com"),
+    )
+    return nepotism_audit(host_condense(edges, host("src"), host("dst")))
+
+
+QUERIES_EXTRA.update({"nepotism_audit": _q_nepotism_audit})
+
+
+ORACLES_EXTRA.update(
+    {
+        # PLD of 's{a}.org{b}.com' is the last two labels (suffix 'com'
+        # + one label) — the pld_expr rule specialized to this shape.
+        "nepotism_audit": f"""
+        WITH {_LINKGRAPH_SQL},
+        he AS (SELECT 's' || CAST(src % 3 AS VARCHAR) || '.org'
+                        || CAST(src % 7 AS VARCHAR) || '.com' AS src_host,
+                      's' || CAST(dst % 3 AS VARCHAR) || '.org'
+                        || CAST(dst % 7 AS VARCHAR) || '.com' AS dst_host,
+                      COUNT(*) AS n_links
+               FROM edges GROUP BY 1, 2),
+        p AS (SELECT src_host, dst_host, n_links,
+                     'org' || string_split(src_host, '.')[2][4:]
+                       || '.com' AS pld,
+                     'org' || string_split(dst_host, '.')[2][4:]
+                       || '.com' AS dst_pld
+              FROM he),
+        agg AS (SELECT pld,
+                       COUNT(DISTINCT src_host) AS n_hosts,
+                       SUM(CASE WHEN src_host = dst_host
+                           THEN n_links ELSE 0 END) AS intra_links,
+                       SUM(CASE WHEN src_host <> dst_host AND pld = dst_pld
+                           THEN n_links ELSE 0 END) AS nepotistic_links,
+                       SUM(CASE WHEN pld <> dst_pld
+                           THEN n_links ELSE 0 END) AS external_links
+                FROM p GROUP BY 1)
+        SELECT pld, CAST(n_hosts AS BIGINT) AS n_hosts,
+               CAST(intra_links AS BIGINT) AS intra_links,
+               CAST(nepotistic_links AS BIGINT) AS nepotistic_links,
+               CAST(external_links AS BIGINT) AS external_links,
+               CAST(CASE WHEN nepotistic_links + external_links > 0
+                    THEN (1000 * nepotistic_links)
+                         // (nepotistic_links + external_links)
+                    ELSE 0 END AS BIGINT) AS nepotism_milli,
+               (CASE WHEN nepotistic_links + external_links > 0
+                 THEN (1000 * nepotistic_links)
+                      // (nepotistic_links + external_links)
+                 ELSE 0 END >= 500 AND nepotistic_links >= 3) AS flagged
+        FROM agg
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -149,3 +149,69 @@ def allocate_budget_by_pld(
             ).cast("long").alias("budget"),
         )
     )
+
+
+def nepotism_audit(
+    host_edges: DataFrame,
+    suffixes: Sequence[str] = DEFAULT_SUFFIXES,
+    min_links: int = 3,
+    flag_milli: int = 500,
+) -> DataFrame:
+    """Nepotistic-link audit (Davison 2000, "Recognizing nepotistic links
+    on the Web"): links between DIFFERENT hosts under the SAME
+    registrable domain are one organization talking to itself — they
+    inflate host-level link signals (host in-degree, host PageRank,
+    TrustRank propagation) without independent endorsement, the classic
+    subdomain-farm shape. Input is the condensed host graph
+    (operators/linkgraph.host_condense rows: src_host, dst_host,
+    n_links); per source PLD this audits where its links point:
+
+      intra_links      — same host (navigation; excluded from the rate)
+      nepotistic_links — different host, same PLD
+      external_links   — different PLD (the only real endorsement)
+      nepotism_milli   — 1000*nepotistic div (nepotistic+external)
+      flagged          — rate >= ``flag_milli`` with >= ``min_links``
+                         cross-host evidence
+
+    One PLD projection + one combinable aggregate over the HOST-graph
+    dimension (already condensed — never page-scale). Returns
+    (pld, n_hosts, intra_links, nepotistic_links, external_links,
+    nepotism_milli, flagged).
+    """
+    e = host_edges.select(
+        pld_expr(F.lower(F.col("src_host")), suffixes).alias("pld"),
+        pld_expr(F.lower(F.col("dst_host")), suffixes).alias("__dst_pld"),
+        F.col("src_host"),
+        F.col("dst_host"),
+        F.col("n_links").cast("long").alias("n_links"),
+    )
+    agg = e.groupBy("pld").agg(
+        F.countDistinct("src_host").cast("long").alias("n_hosts"),
+        F.sum(
+            F.when(F.col("src_host") == F.col("dst_host"), F.col("n_links"))
+            .otherwise(0)
+        ).cast("long").alias("intra_links"),
+        F.sum(
+            F.when(
+                (F.col("src_host") != F.col("dst_host"))
+                & (F.col("pld") == F.col("__dst_pld")),
+                F.col("n_links"),
+            ).otherwise(0)
+        ).cast("long").alias("nepotistic_links"),
+        F.sum(
+            F.when(F.col("pld") != F.col("__dst_pld"), F.col("n_links"))
+            .otherwise(0)
+        ).cast("long").alias("external_links"),
+    )
+    rate = F.when(
+        F.col("nepotistic_links") + F.col("external_links") > 0,
+        F.expr(
+            "(1000 * nepotistic_links)"
+            " div (nepotistic_links + external_links)"
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    return agg.withColumn("nepotism_milli", rate).withColumn(
+        "flagged",
+        (F.col("nepotism_milli") >= flag_milli)
+        & (F.col("nepotistic_links") >= min_links),
+    )

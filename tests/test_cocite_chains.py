@@ -113,3 +113,29 @@ def test_query_chains_topn_cut(spark):
         (2, "n1"),
         (3, "n2"),
     ]
+
+
+def test_nepotism_audit(spark):
+    from see_spark.operators.pld import nepotism_audit
+
+    # one org with two subdomains exchanging links + one external link;
+    # an independent org receiving real endorsement
+    he = spark.createDataFrame(
+        [
+            ("a.corp.com", "b.corp.com", 6),   # nepotistic
+            ("a.corp.com", "a.corp.com", 9),   # intra (navigation)
+            ("a.corp.com", "other.org", 2),    # external
+            ("b.corp.com", "a.corp.com", 4),   # nepotistic
+            ("other.org", "a.corp.com", 1),    # external from other pld
+        ],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r["pld"]: r for r in nepotism_audit(he).collect()}
+    corp = got["corp.com"]
+    assert corp["n_hosts"] == 2
+    assert (corp["intra_links"], corp["nepotistic_links"]) == (9, 10)
+    assert corp["external_links"] == 2
+    assert corp["nepotism_milli"] == (1000 * 10) // 12
+    assert corp["flagged"] is True
+    other = got["other.org"]
+    assert other["nepotistic_links"] == 0 and other["flagged"] is False
