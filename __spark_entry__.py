@@ -9214,6 +9214,92 @@ ORACLES_EXTRA.update(
 )
 
 
+def _q_click_attribution(spark, sf_dir):
+    """Engine addition: click-to-impression attribution — the
+    stream-stream interval join's batch twin on static frames
+    (streaming/joins.py:click_attribution, same function; stream==batch
+    pinned by tests/test_stream_join.py). 2-hour window, inclusive."""
+    from see_spark.streaming.joins import click_attribution
+
+    ev = _events(spark, sf_dir)
+    imps = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("imp_id")
+    )
+    clks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return click_attribution(imps, clks, window_s=7200)
+
+
+def _q_anchor_diversity(spark, sf_dir):
+    """Engine addition: anchor-text diversity audit (exact-match anchor
+    concentration, the over-optimization signal) over a deterministic
+    inlink log (linkgraph.py:anchor_diversity)."""
+    from see_spark.operators.linkgraph import anchor_diversity
+
+    d = _documents(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    anchors = d.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 37).cast("string")).alias("href"),
+        F.concat(
+            F.lit("text"),
+            (F.col("doc_id") % (2 + (F.col("doc_id") % 37) % 3)).cast("string"),
+        ).alias("anchor"),
+    )
+    return anchor_diversity(anchors)
+
+
+QUERIES_EXTRA.update(
+    {
+        "click_attribution": _q_click_attribution,
+        "anchor_diversity": _q_anchor_diversity,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "click_attribution": """
+        WITH imps AS (SELECT user_id, ts AS imp_ts, event_id AS imp_id
+                      FROM events WHERE event_type = 'view'),
+        clks AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+                 FROM events WHERE event_type = 'click')
+        SELECT i.user_id, CAST(i.imp_id AS BIGINT) AS imp_id,
+               CAST(c.click_id AS BIGINT) AS click_id,
+               i.imp_ts, c.click_ts,
+               (epoch_us(c.click_ts) - epoch_us(i.imp_ts)) // 1000000
+                 AS lag_s
+        FROM imps i JOIN clks c
+          ON i.user_id = c.user_id
+         AND c.click_ts >= i.imp_ts
+         AND c.click_ts <= i.imp_ts + INTERVAL 7200 SECONDS
+    """,
+        "anchor_diversity": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+        a AS (SELECT 'u' || CAST(doc_id % 37 AS VARCHAR) AS href,
+                     'text' || CAST(doc_id % (2 + (doc_id % 37) % 3)
+                                    AS VARCHAR) AS anchor
+              FROM d),
+        c AS (SELECT href, anchor, COUNT(*) AS cnt FROM a GROUP BY 1, 2),
+        t AS (SELECT href, anchor AS top_anchor, cnt AS top_cnt FROM (
+                SELECT href, anchor, cnt,
+                       row_number() OVER (PARTITION BY href
+                         ORDER BY cnt DESC, anchor ASC) AS rn
+                FROM c) WHERE rn = 1),
+        p AS (SELECT href, SUM(cnt) AS n_anchors, COUNT(*) AS n_distinct
+              FROM c GROUP BY 1)
+        SELECT p.href, CAST(n_anchors AS BIGINT) AS n_anchors,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               t.top_anchor,
+               CAST((1000 * t.top_cnt) // n_anchors AS BIGINT)
+                 AS top_share_milli,
+               (n_anchors >= 5 AND (1000 * t.top_cnt) // n_anchors >= 900)
+                 AS flagged
+        FROM p JOIN t USING (href)
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

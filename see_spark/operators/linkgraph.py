@@ -990,3 +990,58 @@ def hyperball(
     return hll_estimate(sk, ["node"], p).select(
         "node", F.round("hll_estimate", round_dp).alias("ball_estimate")
     )
+
+
+def anchor_diversity(
+    anchors: DataFrame,
+    min_anchors: int = 5,
+    flag_milli: int = 900,
+) -> DataFrame:
+    """Anchor-text diversity audit — the SEO-manipulation signal dual to
+    link farms: organic inlinks describe a page many ways, while bought
+    or farmed links repeat one exact-match phrase, so a target whose top
+    anchor text covers ~all its inlinks with enough evidence is suspect
+    (the signal behind classic over-optimization demotions). Input: one
+    row per inlink (href, anchor).
+
+    Per target: n_anchors, n_distinct texts, top_share_milli (most
+    frequent text's share, ties by smallest text), flagged when
+    n_anchors >= ``min_anchors`` and top share >= ``flag_milli``.
+
+    Two combinable aggregates on (href[, anchor]) + one href-keyed
+    window for the argmax. Returns (href, n_anchors, n_distinct,
+    top_anchor, top_share_milli, flagged).
+    """
+    from pyspark.sql import Window
+
+    counts = anchors.groupBy("href", "anchor").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("href").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc()
+    )
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("href", F.col("anchor").alias("top_anchor"), F.col("cnt").alias("__top"))
+    )
+    per = counts.groupBy("href").agg(
+        F.sum("cnt").cast("long").alias("n_anchors"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    return (
+        per.join(top, "href")
+        .withColumn(
+            "top_share_milli",
+            F.expr("(1000 * __top) div n_anchors").cast("long"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("n_anchors") >= min_anchors)
+            & (F.col("top_share_milli") >= flag_milli),
+        )
+        .select(
+            "href", "n_anchors", "n_distinct", "top_anchor",
+            "top_share_milli", "flagged",
+        )
+    )
