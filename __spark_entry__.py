@@ -9300,6 +9300,98 @@ ORACLES_EXTRA.update(
 )
 
 
+def _q_grouped_split(spark, sf_dir):
+    """Engine addition: leakage-safe GROUP-wise train/val/test split
+    (selection.py:grouped_split) — the split hashes the host, so a
+    site's near-duplicate pages can never straddle splits."""
+    from see_spark.operators.selection import grouped_split
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 19).cast("string")).alias(
+            "host"
+        ),
+    )
+    return grouped_split(docs)
+
+
+def _q_pagerank_residuals(spark, sf_dir):
+    """Engine addition: PageRank convergence audit — per-iteration L1
+    residual + max delta over the synthetic expander
+    (linkgraph.py:pagerank_residuals); oracle unrolls the identical
+    power method and residual sums, 9dp."""
+    from see_spark.operators.linkgraph import pagerank_residuals, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return pagerank_residuals(nodes, synthetic_edges(docs), n_iter=5)
+
+
+QUERIES_EXTRA.update(
+    {
+        "grouped_split": _q_grouped_split,
+        "pagerank_residuals": _q_pagerank_residuals,
+    }
+)
+
+
+def _pagerank_residuals_oracle_sql(n_iter: int = 5, d: float = 0.85) -> str:
+    """The _pagerank_oracle_sql unroll, emitting per-iteration L1/max
+    residuals instead of final ranks."""
+    ctes = [
+        _LINKGRAPH_SQL,
+        "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dang FROM {p} r"
+            f" LEFT JOIN outdeg o ON o.src = r.node WHERE o.src IS NULL)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.rank / o.deg) AS contrib"
+            f" FROM edges e JOIN {p} r ON e.src = r.node"
+            f" JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT b.node,"
+            f" (1.0 - {d})/(SELECT n FROM nn)"
+            f" + {d} * (COALESCE(c.contrib, 0.0)"
+            f" + (SELECT dang FROM d{i})/(SELECT n FROM nn)) AS rank"
+            f" FROM nodes b LEFT JOIN c{i} c ON c.node = b.node)"
+        )
+        ctes.append(
+            f"res{i} AS (SELECT CAST({i} AS BIGINT) AS iteration,"
+            f" ROUND(SUM(ABS(a.rank - b.rank)), 9) AS l1_residual,"
+            f" ROUND(MAX(ABS(a.rank - b.rank)), 9) AS max_delta"
+            f" FROM r{i} a JOIN r{i-1} b USING (node))"
+        )
+    union = "\n    UNION ALL ".join(f"SELECT * FROM res{i}" for i in range(1, n_iter + 1))
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+ORACLES_EXTRA.update(
+    {
+        "grouped_split": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          'h' || CAST(CAST(doc_id AS BIGINT) % 19 AS VARCHAR)
+                            AS grp
+                   FROM documents),
+        b AS (SELECT doc_id, grp,
+                     ('0x' || substr(md5(grp), 1, 15))::BIGINT % 1000
+                       AS bucket
+              FROM d)
+        SELECT doc_id, grp AS "group", CAST(bucket AS BIGINT) AS bucket,
+               CASE WHEN bucket < 800 THEN 'train'
+                    WHEN bucket < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
+        "pagerank_residuals": _pagerank_residuals_oracle_sql(),
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -1045,3 +1045,73 @@ def anchor_diversity(
             "top_share_milli", "flagged",
         )
     )
+
+
+def pagerank_residuals(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 5,
+    d: float = 0.85,
+    id_col: str = "node",
+) -> DataFrame:
+    """PageRank convergence audit: per iteration, the L1 residual
+    Σ|r_i - r_{i-1}| and max per-node delta — the numbers that answer
+    "how many iterations does THIS graph need" before committing a
+    10^10-edge production run to a fixed budget (the power method's
+    geometric decay rate ≈ d shows up directly in the L1 column).
+    Same per-iteration plan as ``pagerank`` (one edge shuffle + scalar
+    dangling aggregate) plus one node-keyed join for the delta.
+    Rounded to ROUND_DP like pagerank (9dp headroom analysis in the
+    module docstring). Returns (iteration, l1_residual, max_delta).
+    """
+    n = nodes.count()
+    nodes_n = nodes.select(F.col(id_col).cast("long").alias("node"))
+    edges = edges.localCheckpoint(eager=False)
+    deg = out_degrees(edges)
+    ranks = nodes_n.withColumn("rank", F.lit(1.0 / n))
+    rows = []
+    for i in range(1, n_iter + 1):
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        new_ranks = (
+            nodes_n.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        delta = (
+            ranks.withColumnRenamed("rank", "__prev")
+            .join(new_ranks, "node")
+            .agg(
+                # round JVM-side: Spark HALF_UP matches SQL ROUND (a
+                # Python round() here would be banker's rounding)
+                F.round(
+                    F.sum(F.abs(F.col("rank") - F.col("__prev"))), ROUND_DP
+                ).alias("l1"),
+                F.round(
+                    F.max(F.abs(F.col("rank") - F.col("__prev"))), ROUND_DP
+                ).alias("mx"),
+            )
+            .collect()[0]
+        )
+        rows.append((i, delta["l1"], delta["mx"]))
+        ranks = new_ranks
+    spark = nodes.sparkSession
+    return spark.createDataFrame(
+        rows, "iteration long, l1_residual double, max_delta double"
+    )

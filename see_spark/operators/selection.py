@@ -90,3 +90,39 @@ def dsir_topk(
         .agg(F.sum("score").cast("long").alias("weight"))
     )
     return weights.orderBy(F.desc("weight"), F.asc("doc_id")).limit(k)
+
+
+def grouped_split(
+    docs: DataFrame,
+    group_col: str = "host",
+    id_col: str = "doc_id",
+    train_milli: int = 800,
+    val_milli: int = 100,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split decision hashes the
+    GROUP (host, PLD, source site), not the document — so every document
+    of a group lands in the same split BY CONSTRUCTION. Doc-level splits
+    leak: near-duplicate pages from one site straddle train and val, and
+    the model "generalizes" to text it effectively saw (the standard
+    web-corpus evaluation mistake; group-wise splitting is the published
+    remedy, cf. scikit-learn GroupShuffleSplit semantics). The remaining
+    test split gets 1000 - train - val milli.
+
+    Deterministic + engine-exact: bucket = 60-bit md5 of the group mod
+    1000 (dedup.hash60, the pinned portable hash) against cumulative
+    milli thresholds — reproducible across runs, partitionings, and
+    engines, unlike DataFrame.randomSplit. Zero shuffle (a projection).
+    Returns (doc_id, group, bucket, split).
+    """
+    from .dedup import hash60
+
+    bucket = F.pmod(hash60(F.col(group_col).cast("string")), F.lit(1000))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).cast("string").alias("group"),
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < train_milli, "train")
+        .when(bucket < train_milli + val_milli, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
