@@ -9392,6 +9392,55 @@ ORACLES_EXTRA.update(
 )
 
 
+def _q_search_rrf(spark, sf_dir):
+    """Engine addition: reciprocal-rank fusion (Cormack et al. 2009) of
+    the tf-sum and tf-rate rankers for the pinned query — integer-micro
+    contributions, engine-exact (search.py:search_rrf)."""
+    from see_spark.operators.search import search_rrf
+
+    return search_rrf(_doc_postings(spark, sf_dir), _SEARCH_WORDS)
+
+
+QUERIES_EXTRA.update({"search_rrf": _q_search_rrf})
+
+
+ORACLES_EXTRA.update(
+    {
+        "search_rrf": f"""
+        WITH p AS ({_POSTINGS_SQL}),
+        m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     SUM(term_count) AS tf_sum, MAX(doc_len) AS doc_len
+              FROM p WHERE word IN ('table', 'join', 'query') GROUP BY 1),
+        m2 AS (SELECT doc_id, tf_sum,
+                      (1000 * tf_sum) // doc_len AS tf_norm
+               FROM m),
+        a AS (SELECT doc_id, row_number() OVER
+                (ORDER BY tf_sum DESC, doc_id) AS rank_a
+              FROM m2 ORDER BY tf_sum DESC, doc_id LIMIT 50),
+        b AS (SELECT doc_id, row_number() OVER
+                (ORDER BY tf_norm DESC, doc_id) AS rank_b
+              FROM m2 ORDER BY tf_norm DESC, doc_id LIMIT 50),
+        f AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     COALESCE(rank_a, 0) AS rank_a,
+                     COALESCE(rank_b, 0) AS rank_b
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+        s AS (SELECT doc_id, CAST(rank_a AS BIGINT) AS rank_a,
+                     CAST(rank_b AS BIGINT) AS rank_b,
+                     CAST(CASE WHEN rank_a > 0
+                            THEN 1000000 // (60 + rank_a) ELSE 0 END
+                        + CASE WHEN rank_b > 0
+                            THEN 1000000 // (60 + rank_b) ELSE 0 END
+                        AS BIGINT) AS rrf_micro
+              FROM f)
+        SELECT doc_id, rank_a, rank_b, rrf_micro,
+               CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM s ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -909,3 +909,72 @@ def ltr_features(
             F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
         )
     )
+
+
+def search_rrf(
+    postings: DataFrame,
+    query_words: list[str],
+    k: int = 60,
+    pool: int = 50,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR 2009):
+    combine rankers by summing 1/(k + rank) over each ranker's list —
+    the robust, training-free fusion every hybrid-retrieval stack uses
+    (its headline property: a doc ranked well by several weak rankers
+    beats one ranked first by a single ranker). Fused here: raw summed
+    term frequency (favors long matching docs) and length-normalized
+    term rate (favors focused docs) — both integer-exact, so the fusion
+    is engine-exact too: contribution = 1_000_000 div (k + rank) in
+    integer micro-units, absent-from-list contributes 0.
+
+    Scale shape: the broadcast word filter + per-doc aggregate feed two
+    TakeOrderedAndProject ``pool``-cuts; ranks are windows over POOL
+    rows (metadata-sized after the cut, never the corpus); the fusion
+    is one full-outer join of two pool-sized frames. Returns
+    (doc_id, rank_a, rank_b, rrf_micro, rank) — rank_a/rank_b 0 when
+    the doc missed that ranker's pool.
+    """
+    from pyspark.sql import Window
+
+    words = sorted(set(query_words))
+    m = (
+        postings.where(F.col("word").isin(words))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_count").cast("long").alias("tf_sum"),
+            F.max("doc_len").cast("long").alias("doc_len"),
+        )
+        .withColumn(
+            "tf_norm", F.expr("(1000 * tf_sum) div doc_len").cast("long")
+        )
+    )
+
+    def _ranked(order_col):
+        w = Window.orderBy(F.col(order_col).desc(), F.col("doc_id").asc())
+        return (
+            m.orderBy(F.col(order_col).desc(), F.col("doc_id").asc())
+            .limit(pool)
+            .withColumn("r", F.row_number().over(w).cast("long"))
+            .select("doc_id", "r")
+        )
+
+    a = _ranked("tf_sum").withColumnRenamed("r", "rank_a")
+    b = _ranked("tf_norm").withColumnRenamed("r", "rank_b")
+    fused = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rank_a", F.lit(0)).cast("long").alias("rank_a"),
+        F.coalesce("rank_b", F.lit(0)).cast("long").alias("rank_b"),
+    )
+    contrib = lambda c: F.when(
+        F.col(c) > 0, F.expr(f"1000000 div ({int(k)} + {c})")
+    ).otherwise(F.lit(0))
+    fused = fused.withColumn(
+        "rrf_micro", (contrib("rank_a") + contrib("rank_b")).cast("long")
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+        .limit(topk)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

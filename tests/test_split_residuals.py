@@ -57,3 +57,41 @@ def test_pagerank_residuals_decay(spark):
     l1 = [res[i]["l1_residual"] for i in (1, 2, 3, 4)]
     assert all(l1[i + 1] < l1[i] for i in range(3))
     assert all(res[i]["max_delta"] <= res[i]["l1_residual"] for i in res)
+
+
+def test_search_rrf_hand_case(spark):
+    from see_spark.operators.search import search_rrf
+
+    # doc 1: huge raw tf, terrible rate; doc 2: small tf, perfect rate;
+    # doc 3: good at both -> RRF puts 3 first
+    postings = spark.createDataFrame(
+        [
+            (1, "q", 50, 1000),
+            (2, "q", 2, 2),
+            (3, "q", 40, 50),
+        ],
+        "doc_id long, word string, term_count long, doc_len long",
+    )
+    rows = {r["doc_id"]: r for r in search_rrf(postings, ["q"], k=60).collect()}
+    # ranker A (tf_sum): 1,3,2 ; ranker B (tf_norm): 2(1000),3(800),1(50)
+    assert (rows[1]["rank_a"], rows[1]["rank_b"]) == (1, 3)
+    assert (rows[2]["rank_a"], rows[2]["rank_b"]) == (3, 1)
+    assert (rows[3]["rank_a"], rows[3]["rank_b"]) == (2, 2)
+    assert rows[3]["rrf_micro"] == 2 * (1000000 // 62)
+    assert rows[1]["rrf_micro"] == 1000000 // 61 + 1000000 // 63
+    # 1/(k+1) + 1/(k+3) > 2/(k+2) (convexity): the specialists tie ahead
+    # of the consistent #2, broken by doc_id
+    assert (rows[1]["rank"], rows[2]["rank"], rows[3]["rank"]) == (1, 2, 3)
+
+
+def test_search_rrf_missing_from_one_pool(spark):
+    from see_spark.operators.search import search_rrf
+
+    rows = [(d, "q", 100 - d, 100) for d in range(1, 8)]
+    postings = spark.createDataFrame(
+        rows, "doc_id long, word string, term_count long, doc_len long"
+    )
+    got = search_rrf(postings, ["q"], pool=3, topk=10).collect()
+    # both rankers order identically here; docs 4..7 miss both pools
+    assert {r["doc_id"] for r in got} == {1, 2, 3}
+    assert all(r["rank_a"] == r["rank_b"] for r in got)
