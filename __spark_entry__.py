@@ -9441,6 +9441,84 @@ ORACLES_EXTRA.update(
 )
 
 
+def _q_spam_mass(spark, sf_dir):
+    """Engine addition: relative spam-mass estimation (Gyongyi,
+    Garcia-Molina & Pedersen VLDB 2006) over the synthetic expander —
+    (PageRank - TrustRank)/PageRank with every 10th doc trusted
+    (linkgraph.py:spam_mass). Oracle = BOTH unrolled power methods
+    joined, term-for-term."""
+    from see_spark.operators.linkgraph import spam_mass, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    seeds = nodes.filter(F.col("node") % 10 == 0)
+    return spam_mass(nodes, synthetic_edges(docs), seeds, n_iter=5)
+
+
+QUERIES_EXTRA.update({"spam_mass": _q_spam_mass})
+
+
+def _spam_mass_oracle_sql(n_iter: int = 5, d: float = 0.85) -> str:
+    """Both unrolled power methods (uniform-teleport chain p*, the
+    seed-personalized chain t*) in one statement, each term-for-term the
+    expression the engine evaluates, joined for the mass computation."""
+    ctes = [
+        _LINKGRAPH_SQL,
+        "sm AS (SELECT COUNT(*) AS m FROM nodes WHERE node % 10 = 0)",
+        "tl AS (SELECT node, CASE WHEN node % 10 = 0"
+        " THEN 1.0/(SELECT m FROM sm) ELSE 0.0 END AS tele FROM nodes)",
+        "p0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)",
+        "t0 AS (SELECT node, tele AS rank FROM tl)",
+    ]
+    for i in range(1, n_iter + 1):
+        for pre, base_cte in (("p", "nodes"), ("t", "tl")):
+            prev = f"{pre}{i-1}"
+            ctes.append(
+                f"{pre}d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dang"
+                f" FROM {prev} r LEFT JOIN outdeg o ON o.src = r.node"
+                f" WHERE o.src IS NULL)"
+            )
+            ctes.append(
+                f"{pre}c{i} AS (SELECT e.dst AS node,"
+                f" SUM(r.rank / o.deg) AS contrib"
+                f" FROM edges e JOIN {prev} r ON e.src = r.node"
+                f" JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+            )
+            if pre == "p":
+                rank_expr = (
+                    f"(1.0 - {d})/(SELECT n FROM nn)"
+                    f" + {d} * (COALESCE(c.contrib, 0.0)"
+                    f" + (SELECT dang FROM pd{i})/(SELECT n FROM nn))"
+                )
+            else:
+                rank_expr = (
+                    f"(1.0 - {d}) * b.tele"
+                    f" + {d} * (COALESCE(c.contrib, 0.0)"
+                    f" + (SELECT dang FROM td{i}) * b.tele)"
+                )
+            ctes.append(
+                f"{pre}{i} AS (SELECT b.node, {rank_expr} AS rank"
+                f" FROM {base_cte} b LEFT JOIN {pre}c{i} c ON c.node = b.node)"
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT p.node,
+           ROUND(p.rank, 9) AS rank,
+           ROUND(t.rank, 9) AS trust,
+           ROUND((p.rank - t.rank) / p.rank, 9) AS rel_mass,
+           CAST(CASE WHEN ROUND((p.rank - t.rank) / p.rank, 9) >= 0.98
+                      AND ROUND(p.rank, 9) * (SELECT n FROM nn) >= 1.0
+                 THEN 1 ELSE 0 END AS INT) AS spam_candidate
+    FROM p{n_iter} p JOIN t{n_iter} t USING (node)
+    """
+    )
+
+
+ORACLES_EXTRA.update({"spam_mass": _spam_mass_oracle_sql()})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -1115,3 +1115,74 @@ def pagerank_residuals(
     return spark.createDataFrame(
         rows, "iteration long, l1_residual double, max_delta double"
     )
+
+
+def spam_mass(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    id_col: str = "node",
+    round_dp: Optional[int] = ROUND_DP,
+    mass_threshold: float = 0.98,
+    min_rank_x_n: float = 1.0,
+) -> DataFrame:
+    """Relative spam-mass estimation (Gyongyi, Garcia-Molina & Pedersen,
+    VLDB 2006, "Link Spam Detection Based on Mass Estimation"): the
+    fraction of a page's PageRank that does NOT come through the trusted
+    core.  With p = uniform-teleport PageRank and t = seed-personalized
+    PageRank (trustrank — trust can only flow out of the good core),
+
+        rel_mass(v) = (p(v) - t(v)) / p(v)
+
+    ~1 means essentially all of v's rank is earned from un-trusted
+    regions — the spam-farm signature — while well-linked legitimate
+    pages keep rel_mass low because the core reaches them.  The paper's
+    detector flags v when rel_mass exceeds a threshold AND p(v) is large
+    enough to matter (low-rank pages are statistically meaningless and
+    dominated by the teleport term), mirrored here by ``min_rank_x_n``:
+    keep only p(v)*N >= min_rank_x_n (1.0 = at least the uniform rank).
+
+    The engine complement to ``trustrank`` (demotion score) and
+    ``link_farm_scores`` (structural detector): mass estimation catches
+    farms whose raw PageRank is real but whose support is disjoint from
+    the trusted seeds.
+
+    Scale shape: two fixed-iteration power methods (each per-iteration
+    one edge-volume shuffle — see ``pagerank``), then ONE node-keyed
+    join of the two rank vectors; the seed set joins once at trustrank
+    init (broadcast).  Never materializes anything edge-sized beyond the
+    per-iteration contributions.
+
+    Determinism: rel_mass is computed on RAW doubles (identical IEEE op
+    order in both engines) and rounded to ``round_dp``; the candidate
+    flag compares the ROUNDED mass so the cut is engine-exact.  Returns
+    (node, rank, trust, rel_mass, spam_candidate:int 0/1).
+    """
+    n = nodes.count()
+    p = pagerank(
+        nodes, edges, n_iter=n_iter, damping=damping,
+        id_col=id_col, round_dp=None,
+    )
+    t = trustrank(
+        nodes, edges, seeds, n_iter=n_iter, damping=damping,
+        id_col=id_col, round_dp=None,
+    ).withColumnRenamed("rank", "trust")
+    out = p.join(t, "node").withColumn(
+        "rel_mass", (F.col("rank") - F.col("trust")) / F.col("rank")
+    )
+    if round_dp is not None:
+        out = out.select(
+            "node",
+            F.round("rank", round_dp).alias("rank"),
+            F.round("trust", round_dp).alias("trust"),
+            F.round("rel_mass", round_dp).alias("rel_mass"),
+        )
+    return out.withColumn(
+        "spam_candidate",
+        (
+            (F.col("rel_mass") >= F.lit(mass_threshold))
+            & (F.col("rank") * F.lit(float(n)) >= F.lit(min_rank_x_n))
+        ).cast("int"),
+    )

@@ -496,3 +496,41 @@ def test_kcore_fixpoint_extra_rounds_noop(spark):
     a = sorted((r["node"], r["degree"]) for r in kcore(mixed, k=8, n_iter=6).collect())
     b = sorted((r["node"], r["degree"]) for r in kcore(mixed, k=8, n_iter=9).collect())
     assert a == b and len(a) > 0
+
+
+def test_spam_mass_flags_farm_not_trusted_region(spark):
+    """Gyongyi 2006 hand case: a dense farm disjoint from the trusted
+    core gets rel_mass exactly 1.0 (its trustrank is 0 — no path from any
+    seed) and is flagged when its rank clears the uniform floor; pages
+    reached by the core keep rel_mass well below the threshold."""
+    from see_spark.operators.linkgraph import spam_mass
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node long")
+    # trusted region: 0 (seed) <-> 1 <-> 2 ; farm: 3,4,5 all boost 6,
+    # interlinked; 7 isolated (dangling, rank ~ base only)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0),
+         (3, 4), (4, 3), (3, 6), (4, 6), (5, 6), (6, 3), (6, 4), (6, 5),
+         (5, 3)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    rows = {
+        r["node"]: r
+        for r in spam_mass(nodes, edges, seeds, n_iter=20).collect()
+    }
+    # farm target and members: zero trust -> full relative mass
+    for v in (3, 4, 5, 6):
+        assert rows[v]["trust"] == 0.0
+        assert rows[v]["rel_mass"] == 1.0
+    # the boosted target accumulates above-uniform rank -> flagged
+    assert rows[6]["rank"] * 8 >= 1.0
+    assert rows[6]["spam_candidate"] == 1
+    # trusted region: core reaches them, mass stays far from 1
+    for v in (0, 1, 2):
+        assert rows[v]["trust"] > 0.0
+        assert rows[v]["rel_mass"] < 0.9
+        assert rows[v]["spam_candidate"] == 0
+    # isolated dangling page: pure teleport rank, below the floor ->
+    # never flagged even though its rel_mass is high
+    assert rows[7]["spam_candidate"] == 0
