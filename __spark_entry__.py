@@ -9519,6 +9519,111 @@ def _spam_mass_oracle_sql(n_iter: int = 5, d: float = 0.85) -> str:
 ORACLES_EXTRA.update({"spam_mass": _spam_mass_oracle_sql()})
 
 
+def _q_search_bm25f(spark, sf_dir):
+    """Engine addition: BM25F multi-field ranking (Robertson, Zaragoza &
+    Taylor CIKM 2004 — saturation AFTER field combination;
+    search.py:search_bm25f). Title field = first-60-chars prefix, the same
+    deterministic convention as search_title_boost; field length rides
+    the postings rows. Score rounded to 6dp (ln rule)."""
+    from see_spark.functions.udfs import tokenize_expr
+    from see_spark.operators.search import search_bm25f
+
+    docs = _documents(spark, sf_dir)
+    title_counts = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(
+                tokenize_expr(F.substring(F.col("text"), 1, 60))
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("term_count"))
+    )
+    title_postings = title_counts.withColumn(
+        "title_len",
+        F.sum("term_count")
+        .over(Window.partitionBy("doc_id"))
+        .cast("long"),
+    )
+    res = search_bm25f(
+        spark,
+        " ".join(_SEARCH_WORDS),
+        _doc_postings(spark, sf_dir),
+        title_postings,
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source").alias("title"),
+        ),
+        docs.count(),
+    )
+    return res.select(F.col("url").alias("doc_id"), "title", "score")
+
+
+QUERIES_EXTRA.update({"search_bm25f": _q_search_bm25f})
+
+
+ORACLES_EXTRA.update(
+    {
+        # BM25F, term-for-term search_bm25f's IEEE expression: per-field
+        # weighted tf over the field-length norm, summed per (doc, word)
+        # BEFORE the k1 saturation; df over docs matching in ANY field.
+        "search_bm25f": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        q AS (SELECT unnest(['table','join','query']) AS word),
+        ttoks AS (
+          SELECT doc_id, lower(tok) AS word
+          FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(
+                     regexp_replace(substr(text, 1, 60), '{_SEP_SQL}', ' ', 'g'),
+                     '[ \t\n\r]')) AS tok
+            FROM documents)
+          WHERE strlen(tok) >= 2),
+        tcounts AS (SELECT doc_id, word, COUNT(*) AS term_count
+                    FROM ttoks GROUP BY doc_id, word),
+        tpost AS (SELECT doc_id, word, term_count,
+                         CAST(SUM(term_count) OVER (PARTITION BY doc_id)
+                              AS BIGINT) AS title_len
+                  FROM tcounts),
+        ab AS (SELECT AVG(doc_len) AS a
+               FROM (SELECT DISTINCT doc_id, doc_len FROM postings)),
+        at AS (SELECT AVG(title_len) AS a
+               FROM (SELECT DISTINCT doc_id, title_len FROM tpost)),
+        fields AS (
+          SELECT doc_id, word,
+                 (1.0 * term_count)
+                 / ((1.0 - 0.75) + 0.75 * doc_len / (SELECT a FROM ab)) AS wtf
+          FROM postings JOIN q USING (word)
+          UNION ALL
+          SELECT doc_id, word,
+                 (3.0 * term_count)
+                 / ((1.0 - 0.6) + 0.6 * title_len / (SELECT a FROM at)) AS wtf
+          FROM tpost JOIN q USING (word)),
+        per_word AS (
+          SELECT doc_id, word, SUM(wtf) AS tfn
+          FROM fields GROUP BY doc_id, word),
+        dfs AS (
+          SELECT word, COUNT(DISTINCT doc_id) AS df
+          FROM (SELECT word, doc_id FROM postings JOIN q USING (word)
+                UNION ALL
+                SELECT word, doc_id FROM tpost JOIN q USING (word))
+          GROUP BY word),
+        scored AS (
+          SELECT doc_id, COUNT(*) AS n_words,
+                 SUM(ln(1.0 + ((SELECT n_docs FROM n) - df + 0.5)
+                              / (df + 0.5))
+                     * tfn / (1.2 + tfn)) AS score
+          FROM per_word JOIN dfs USING (word) GROUP BY doc_id),
+        top AS (SELECT doc_id, score FROM scored WHERE n_words = 3
+                ORDER BY score DESC, doc_id ASC LIMIT 100)
+        SELECT t.doc_id, d.source AS title, ROUND(t.score, 6) AS score
+        FROM top t JOIN documents d USING (doc_id)
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

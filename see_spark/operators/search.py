@@ -978,3 +978,123 @@ def search_rrf(
         .limit(topk)
         .withColumn("rank", F.row_number().over(w).cast("long"))
     )
+
+
+def search_bm25f(
+    spark: SparkSession,
+    query: str,
+    body_postings: DataFrame,
+    title_postings: DataFrame,
+    docs: DataFrame,
+    page_count: int,
+    k: int = MAX_RESULTS,
+    k1: float = 1.2,
+    b_body: float = 0.75,
+    b_title: float = 0.6,
+    w_body: float = 1.0,
+    w_title: float = 3.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """BM25F (Robertson, Zaragoza & Taylor, CIKM 2004 "Simple BM25
+    extension to multiple weighted fields"): the principled multi-field
+    BM25. The paper's key point — and what separates this from
+    ``search_fielded``'s weighted score sum — is that term-frequency
+    saturation is applied AFTER combining fields, so a term occurring in
+    both title and body keeps counting (a weighted-sum-of-BM25s saturates
+    each field separately and over-rewards duplicated occurrences):
+
+      B_f(d)     = 1 - b_f + b_f * len_f(d) / avglen_f
+      tfn(w,d)   = sum over fields f of  w_f * tc_f(w,d) / B_f(d)
+      idf(w)     = ln(1 + (N - df + 0.5)/(df + 0.5))   (RSJ, df = docs
+                   containing w in ANY field)
+      score(d)   = sum over query words of qcount * idf * tfn/(k1 + tfn)
+
+    Conjunctive like the reference's scorer: a doc must match every
+    distinct query word in at least one field.
+
+    Contract: ``body_postings`` (doc_id, word, term_count, doc_len),
+    ``title_postings`` (doc_id, word, term_count, title_len) — field
+    lengths ride the postings rows exactly like the body's ``doc_len``
+    (precomputed at index time; see indexer.py, reference tf analogue
+    see_rank_tfidf.erl). Per-field average lengths are one distinct-doc
+    aggregate each.
+
+    Plan shape: each field semi-joins the broadcast query words, the two
+    relations UNION into one (doc_id, word)-grouped combine (the per-pair
+    sum has <= 2 addends — commutative, engine-exact), df restricted to
+    query words over the union, one doc_id shuffle for the score
+    aggregate, TakeOrderedAndProject top-k, post-cut title join. Never
+    touches postings rows for non-query words.
+    """
+    words = extract_words(query)
+    if not words:
+        return spark.createDataFrame([], "url string, title string, score double")
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    qdf = _query_multiset(spark, counts)
+    n_distinct = len(counts)
+
+    body = body_postings.join(qdf.select("word"), "word", "left_semi")
+    title = title_postings.join(qdf.select("word"), "word", "left_semi")
+
+    avg_body = (
+        body_postings.select("doc_id", "doc_len").distinct()
+        .agg(F.avg("doc_len")).collect()[0][0]
+    )
+    avg_title = (
+        title_postings.select("doc_id", "title_len").distinct()
+        .agg(F.avg("title_len")).collect()[0][0]
+    )
+
+    def _field(rel, len_col, avg_len, b_f, w_f):
+        norm = (
+            F.lit(1.0 - b_f)
+            + F.lit(b_f) * F.col(len_col) / F.lit(float(avg_len))
+        )
+        return rel.select(
+            "doc_id",
+            "word",
+            (F.lit(float(w_f)) * F.col("term_count") / norm).alias("wtf"),
+        )
+
+    u = _field(body, "doc_len", avg_body, b_body, w_body).unionByName(
+        _field(title, "title_len", avg_title, b_title, w_title)
+    )
+    per_word = u.groupBy("doc_id", "word").agg(F.sum("wtf").alias("tfn"))
+
+    df_by_word = (
+        body.select("word", "doc_id")
+        .unionByName(title.select("word", "doc_id"))
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(page_count)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        per_word.join(qdf, "word")
+        .join(F.broadcast(df_by_word), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(
+                F.col("qcount") * idf * F.col("tfn")
+                / (F.lit(float(k1)) + F.col("tfn"))
+            ).alias("score"),
+        )
+        .filter(F.col("n_words") == n_distinct)
+        .drop("n_words")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        top.join(docs.select("doc_id", "title"), "doc_id")
+        .select(
+            F.col("doc_id").alias("url"),
+            "title",
+            F.round("score", round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("url"))
+    )

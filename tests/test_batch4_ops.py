@@ -393,3 +393,54 @@ def test_sitemap_coverage_three_ratio_arms(spark):
     r = sitemap_coverage(declared, frontier).collect()[0]
     assert (r["n_declared"], r["n_discovered"], r["n_fetched"]) == (4, 3, 2)
     assert r["discovered_milli"] == 750 and r["fetched_milli"] == 500
+
+
+def test_search_bm25f_saturates_after_field_combination(spark):
+    """The CIKM'04 headline property: occurrences in a SECOND field keep
+    counting because saturation applies to the combined tfn — plus the
+    hand-computed score and cross-field conjunctive matching."""
+    import math
+
+    from see_spark.operators.search import search_bm25f
+
+    body, docs = _mini_corpus(spark)
+    # identical bodies for docs 1 and 2 on 'cat'; doc 2 also titles it
+    title = spark.createDataFrame(
+        [(2, "cat", 1, 2), (2, "owl", 1, 2)],
+        "doc_id long, word string, term_count long, title_len long",
+    )
+    out = {
+        r["url"]: r["score"]
+        for r in search_bm25f(
+            spark, "cat", body, title, docs, 3,
+            k1=1.2, b_body=0.75, b_title=0.6, w_body=1.0, w_title=3.0,
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[2] > out[1]
+    # hand computation for doc 2: avg body len = (4+2+3)/3 = 3, avg title
+    # len = 2; body wtf = 1*1/(0.25 + 0.75*2/3), title wtf = 3*1/(0.4 +
+    # 0.6*2/2); df(cat) = 2 (docs 1, 2 in either field), N = 3
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    tfn2 = 1.0 / (0.25 + 0.75 * 2 / 3) + 3.0 / (0.4 + 0.6)
+    tfn1 = 2.0 / (0.25 + 0.75 * 4 / 3)
+    assert out[2] == pytest.approx(idf * tfn2 / (1.2 + tfn2), abs=1e-6)
+    assert out[1] == pytest.approx(idf * tfn1 / (1.2 + tfn1), abs=1e-6)
+
+
+def test_search_bm25f_conjunctive_across_fields(spark):
+    """A doc matching one query word only in its TITLE still satisfies
+    the conjunctive gate; docs missing a word in both fields drop."""
+    from see_spark.operators.search import search_bm25f
+
+    body, docs = _mini_corpus(spark)
+    title = spark.createDataFrame(
+        [(1, "fox", 1, 1)],
+        "doc_id long, word string, term_count long, title_len long",
+    )
+    got = {
+        r["url"]
+        for r in search_bm25f(spark, "cat fox", body, title, docs, 3).collect()
+    }
+    # doc 1: cat in body + fox in title; doc 2: both in body; doc 3: fox only
+    assert got == {1, 2}
