@@ -9624,6 +9624,107 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_distance_distribution(spark, sf_dir):
+    """Engine addition: neighborhood function + effective diameter from
+    HyperBall (Boldi & Vigna 2013; linkgraph.py:distance_distribution)
+    over the synthetic expander, p=8 — per-radius integer-e4 estimate
+    sums and milli-hop interpolated 90th-percentile diameter; oracle =
+    direct HLL over the exact r-ball member sets per radius (sketch-union
+    idempotence), same integer pipeline."""
+    from see_spark.operators.linkgraph import (
+        distance_distribution, synthetic_edges,
+    )
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return distance_distribution(
+        nodes, synthetic_edges(docs), n_iter=2, p=8, percentile_milli=900
+    )
+
+
+QUERIES_EXTRA.update({"distance_distribution": _q_distance_distribution})
+
+
+ORACLES_EXTRA.update(
+    {
+        # Exact member sets at radius 0/1/2 -> the hyperball oracle's
+        # register pipeline keyed by (radius, node) -> per-node estimate
+        # -> integer-e4 sums -> integer milli-hop interpolation.
+        "distance_distribution": f"""
+        WITH {_LINKGRAPH_SQL},
+        m0 AS (SELECT node, node AS member FROM nodes),
+        m1 AS (SELECT src AS node, dst AS member FROM edges),
+        m2 AS (SELECT a.src AS node, b.dst AS member
+               FROM edges a JOIN edges b ON a.dst = b.src),
+        allmem AS (
+          SELECT 0 AS radius, node, member FROM m0
+          UNION ALL
+          SELECT 1, node, member FROM (
+            SELECT DISTINCT node, member FROM (
+              SELECT * FROM m0 UNION ALL SELECT * FROM m1))
+          UNION ALL
+          SELECT 2, node, member FROM (
+            SELECT DISTINCT node, member FROM (
+              SELECT * FROM m0 UNION ALL SELECT * FROM m1
+              UNION ALL SELECT * FROM m2))),
+        r AS (SELECT radius, node,
+                     ('0x' || substr(md5(CAST(member AS VARCHAR)), 1, 3))
+                       ::BIGINT % 256 AS bucket,
+                     ltrim(substr(md5(CAST(member AS VARCHAR)), 4, 15), '0')
+                       AS stripped
+              FROM allmem),
+        ranks AS (SELECT radius, node, bucket,
+                 CASE WHEN strlen(stripped) = 0 THEN 61
+                      ELSE (15 - strlen(stripped)) * 4 +
+                           CASE WHEN ('0x' || substr(stripped,1,1))::INT >= 8
+                                  THEN 0
+                                WHEN ('0x' || substr(stripped,1,1))::INT >= 4
+                                  THEN 1
+                                WHEN ('0x' || substr(stripped,1,1))::INT >= 2
+                                  THEN 2
+                                ELSE 3 END + 1
+                 END AS rank
+                 FROM r),
+        sk AS (SELECT radius, node, bucket, MAX(rank) AS register
+               FROM ranks GROUP BY 1, 2, 3),
+        agg AS (SELECT radius, node, COUNT(*) AS nb,
+                       SUM(pow(2.0, -register)) AS obs
+                FROM sk GROUP BY 1, 2),
+        est AS (SELECT radius, node,
+                       CASE WHEN raw <= 2.5 * 256 AND (256 - nb) > 0
+                            THEN 256.0 * ln(256.0 / (256 - nb))
+                            ELSE raw END AS e
+                FROM (SELECT radius, node, nb,
+                             {_HB_ALPHA_MM!r} / (obs + (256 - nb)) AS raw
+                      FROM agg)),
+        nf AS (SELECT radius,
+                      CAST(SUM(CAST(ROUND(e * 10000, 0) AS BIGINT))
+                           AS BIGINT) AS nf_e4
+               FROM est GROUP BY radius),
+        tgt AS (SELECT (900 * nf_e4) // 1000 AS t FROM nf WHERE radius = 2),
+        crs AS (SELECT MIN(radius) AS r FROM nf
+                WHERE nf_e4 >= (SELECT t FROM tgt)),
+        effc AS (SELECT (SELECT r FROM crs) AS r, (SELECT t FROM tgt) AS t,
+                        (SELECT nf_e4 FROM nf
+                          WHERE radius = (SELECT r FROM crs)) AS cur,
+                        COALESCE((SELECT nf_e4 FROM nf
+                          WHERE radius = (SELECT r FROM crs) - 1), 0) AS prev),
+        eff AS (SELECT CASE WHEN r = 0 THEN 0
+                       ELSE (r - 1) * 1000
+                            + ((t - prev) * 1000) // (cur - prev)
+                       END AS e FROM effc)
+        SELECT CAST(radius AS INT) AS radius, nf_e4,
+               CAST(nf_e4 - COALESCE(lag(nf_e4) OVER (ORDER BY radius), 0)
+                    AS BIGINT) AS delta_e4,
+               CAST((SELECT e FROM eff) AS BIGINT) AS eff_diameter_milli
+        FROM nf ORDER BY radius
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

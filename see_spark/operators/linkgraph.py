@@ -1186,3 +1186,83 @@ def spam_mass(
             & (F.col("rank") * F.lit(float(n)) >= F.lit(min_rank_x_n))
         ).cast("int"),
     )
+
+
+def distance_distribution(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 2,
+    p: int = 8,
+    percentile_milli: int = 900,
+    id_col: str = "node",
+) -> DataFrame:
+    """Distance distribution + effective diameter from HyperBall (Boldi &
+    Vigna 2013 — the technique behind the "four degrees of separation"
+    measurements): iterate the portable-HLL ball sketch exactly like
+    ``hyperball`` and, at each radius r, take the NEIGHBORHOOD FUNCTION
+    N(r) = sum over v of |B(v, r)| — the estimated number of reachable
+    pairs within distance r. N(r) - N(r-1) is the mass at distance
+    exactly r, and the effective diameter is the (interpolated) radius
+    where N first reaches ``percentile_milli``/1000 of its final value.
+
+    Determinism: per-node HLL estimates are converted to INTEGER 1e-4
+    units (round half-up) BEFORE summing, so the per-radius totals are
+    exact integer sums — no cross-engine / cross-parallelism double
+    summation-order sensitivity — and the interpolation is pure integer
+    arithmetic in milli-hops.
+
+    Scale shape: per radius one edge-volume shuffle + a max-merge (the
+    hyperball loop) plus ONE scalar aggregate; the driver holds only
+    ``n_iter + 1`` integers (the N(r) sums), never per-node data. Returns
+    one row per radius: (radius, nf_e4, delta_e4, eff_diameter_milli) —
+    eff_diameter_milli repeated on every row (a scalar of the run).
+    """
+    from ..functions.sketches import hll_estimate, hll_sketch
+
+    base = nodes.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(id_col).cast("long").cast("string").alias("__v"),
+    )
+    sk = hll_sketch(base, ["node"], "__v", p)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+
+    def _nf(sketch: DataFrame) -> int:
+        return (
+            hll_estimate(sketch, ["node"], p)
+            .agg(
+                F.sum(
+                    F.round(F.col("hll_estimate") * 10000, 0).cast("long")
+                ).alias("s")
+            )
+            .collect()[0][0]
+        )
+
+    sums = [_nf(sk)]
+    for _ in range(n_iter):
+        prop = e.join(
+            sk.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "hll_bucket", "register")
+        sk = (
+            sk.unionByName(prop)
+            .groupBy("node", "hll_bucket")
+            .agg(F.max("register").alias("register"))
+            .localCheckpoint(eager=False)
+        )
+        sums.append(_nf(sk))
+
+    target = (percentile_milli * sums[-1]) // 1000
+    eff = 0
+    for r, cur in enumerate(sums):
+        if cur >= target:
+            if r > 0:
+                prev = sums[r - 1]
+                eff = (r - 1) * 1000 + ((target - prev) * 1000) // (cur - prev)
+            break
+    rows = [
+        (r, v, v - (sums[r - 1] if r else 0), eff)
+        for r, v in enumerate(sums)
+    ]
+    return nodes.sparkSession.createDataFrame(
+        rows,
+        "radius int, nf_e4 long, delta_e4 long, eff_diameter_milli long",
+    )

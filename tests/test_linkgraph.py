@@ -534,3 +534,31 @@ def test_spam_mass_flags_farm_not_trusted_region(spark):
     # isolated dangling page: pure teleport rank, below the floor ->
     # never flagged even though its rel_mass is high
     assert rows[7]["spam_candidate"] == 0
+
+
+def test_distance_distribution_star_saturates_at_radius_one(spark):
+    """Star (hub -> all leaves): every ball stops growing after r=1, so
+    the neighborhood function is flat from there, the distance-2 mass is
+    exactly zero, and the effective diameter lands within radius 1."""
+    from see_spark.operators.linkgraph import distance_distribution
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, n)], "src long, dst long"
+    )
+    rows = {
+        r["radius"]: r
+        for r in distance_distribution(nodes, edges, n_iter=2, p=8).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    nf = [rows[r]["nf_e4"] for r in (0, 1, 2)]
+    assert nf[0] < nf[1] == nf[2]          # growth only at radius 1
+    assert rows[2]["delta_e4"] == 0
+    assert rows[1]["delta_e4"] == nf[1] - nf[0]
+    eff = rows[0]["eff_diameter_milli"]
+    assert all(rows[r]["eff_diameter_milli"] == eff for r in rows)
+    assert 0 < eff <= 1000
+    # the interpolation target is genuinely crossed at the found radius
+    target = (900 * nf[2]) // 1000
+    assert nf[1] >= target > nf[0]
