@@ -9725,6 +9725,88 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_bowtie_classify(spark, sf_dir):
+    """Engine addition: bow-tie decomposition relative to the seed's SCC
+    (Broder et al. WWW 2000; linkgraph.py:bowtie_classify) over the
+    deterministic bow-tie fixture graph (linkgraph.py:
+    synthetic_bowtie_edges) — three delta-frontier BFS reachabilities,
+    seed = doc 0 inside the core. Oracle = recursive-CTE reachability,
+    set-exact."""
+    from see_spark.operators.linkgraph import (
+        bowtie_classify, synthetic_bowtie_edges,
+    )
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return bowtie_classify(
+        nodes, synthetic_bowtie_edges(docs), seed=0, max_iters=60
+    )
+
+
+QUERIES_EXTRA.update({"bowtie_classify": _q_bowtie_classify})
+
+
+ORACLES_EXTRA.update(
+    {
+        # The same bow-tie fixture graph, then WITH RECURSIVE forward /
+        # backward / undirected reachability from node 0.
+        "bowtie_classify": """
+        WITH RECURSIVE
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        lm AS (SELECT n - n // 10 AS l FROM nn),
+        mm AS (SELECT ((SELECT l FROM lm) + 3) // 4 AS m),
+        ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+                WHERE doc_id < (SELECT l FROM lm)),
+        eraw AS (
+          SELECT id AS src,
+                 ((id // 4 + 1) % (SELECT m FROM mm)) * 4 AS dst
+          FROM ids WHERE id % 4 = 0
+          UNION ALL
+          SELECT id, ((id // 4 + 5) % (SELECT m FROM mm)) * 4
+          FROM ids WHERE id % 4 = 0
+          UNION ALL
+          SELECT id, ((id // 4 + 25) % (SELECT m FROM mm)) * 4
+          FROM ids WHERE id % 4 = 0
+          UNION ALL
+          SELECT id, id - 1 FROM ids WHERE id % 4 = 1
+          UNION ALL
+          SELECT id, id + 2 FROM ids
+          WHERE id % 4 = 0 AND id + 2 < (SELECT l FROM lm)
+          UNION ALL
+          SELECT id, id + 2 FROM ids
+          WHERE id % 4 = 1 AND id + 2 < (SELECT l FROM lm)),
+        e AS (SELECT src, dst FROM eraw WHERE src <> dst),
+        und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        fwd(node) AS (
+          SELECT CAST(0 AS BIGINT)
+          UNION
+          SELECT e.dst FROM fwd, e WHERE e.src = fwd.node),
+        bwd(node) AS (
+          SELECT CAST(0 AS BIGINT)
+          UNION
+          SELECT e.src FROM bwd, e WHERE e.dst = bwd.node),
+        wk(node) AS (
+          SELECT CAST(0 AS BIGINT)
+          UNION
+          SELECT und.dst FROM wk, und WHERE und.src = wk.node)
+        SELECT b.node,
+               CASE WHEN f.node IS NOT NULL AND bb.node IS NOT NULL
+                      THEN 'scc'
+                    WHEN bb.node IS NOT NULL THEN 'in'
+                    WHEN f.node IS NOT NULL THEN 'out'
+                    WHEN w.node IS NOT NULL THEN 'tendril'
+                    ELSE 'disconnected' END AS component
+        FROM (SELECT CAST(doc_id AS BIGINT) AS node FROM documents) b
+        LEFT JOIN fwd f ON f.node = b.node
+        LEFT JOIN bwd bb ON bb.node = b.node
+        LEFT JOIN wk w ON w.node = b.node
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -1266,3 +1266,129 @@ def distance_distribution(
         rows,
         "radius int, nf_e4 long, delta_e4 long, eff_diameter_milli long",
     )
+
+
+def synthetic_bowtie_edges(
+    docs: DataFrame, id_col: str = "doc_id", n_nodes: Optional[int] = None
+) -> DataFrame:
+    """Deterministic directed graph with the web's bow-tie anatomy
+    (Broder et al., WWW 2000) over any keyed table, for gate queries and
+    tests — no external data:
+
+    with lim = N - N//10 and m = number of multiples of 4 below lim,
+    - CORE (id % 4 == 0, id < lim): a circulant strongly-connected
+      component — core index k links to (k+1), (k+5), (k+25) mod m
+      (strides keep the SCC diameter ~a dozen hops at test sizes);
+    - IN   (id % 4 == 1, id < lim): one link INTO the core (id -> id-1);
+    - OUT  (id % 4 == 2, id < lim): fed FROM the core (id-2 -> id);
+    - TENDRIL (id % 4 == 3, id < lim): hangs off IN (id-2 -> id) —
+      reachable from IN without passing through the core;
+    - ids >= lim get no edges at all (the DISCONNECTED component).
+    """
+    n = n_nodes if n_nodes is not None else docs.count()
+    lim = n - n // 10
+    m = (lim + 3) // 4
+    ids = docs.select(F.col(id_col).cast("long").alias("id")).where(
+        F.col("id") < lim
+    )
+    k = F.expr("id div 4")
+    core = ids.where(F.col("id") % 4 == 0)
+    parts = [
+        core.select(
+            F.col("id").alias("src"),
+            (((k + s) % m) * 4).alias("dst"),
+        )
+        for s in (1, 5, 25)
+    ]
+    parts.append(
+        ids.where(F.col("id") % 4 == 1).select(
+            F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+        )
+    )
+    parts.append(
+        core.where(F.col("id") + 2 < lim).select(
+            F.col("id").alias("src"), (F.col("id") + 2).alias("dst")
+        )
+    )
+    parts.append(
+        ids.where((F.col("id") % 4 == 1) & (F.col("id") + 2 < lim)).select(
+            F.col("id").alias("src"), (F.col("id") + 2).alias("dst")
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.where(F.col("src") != F.col("dst"))
+
+
+def bowtie_classify(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seed: int,
+    max_iters: int = 20,
+    id_col: str = "node",
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph relative to a seed's
+    strongly connected component (Broder et al., WWW 2000 "Graph
+    structure in the Web" — the famous SCC/IN/OUT/TENDRILS/DISCONNECTED
+    anatomy). Full SCC decomposition is iteration-unbounded at web scale;
+    the bow-tie paper's own method — and this operator — instead takes a
+    seed inside the (giant) core and classifies every node by three BFS
+    reachabilities:
+
+      fwd  = reachable FROM the seed          (seed's forward cone)
+      bwd  = reaches the seed                 (backward cone, reversed edges)
+      weak = in the seed's WEAKLY connected component (undirected BFS)
+
+      scc          : fwd and bwd        (the seed's SCC, by definition)
+      in           : bwd only           (reaches the core, not reached)
+      out          : fwd only           (reached from the core)
+      tendril      : weak only          (attached to IN/OUT, bypasses core)
+      disconnected : none of the above
+
+    Scale shape: three delta-frontier BFS runs (``bfs_depths`` — each
+    iteration shuffles only the frontier-adjacent edge slice, early-stops
+    on fixpoint) + one node-keyed 3-way left join; everything integer /
+    set-membership, so output is bit-identical at any parallelism.
+    Returns (node, component).
+    """
+    spark = nodes.sparkSession
+    seeds = spark.createDataFrame([(int(seed),)], "url long")
+    # Materialize the edge list ONCE before the three BFS loops: each loop
+    # re-joins the edge table up to max_iters times, so re-executing a
+    # derived edge plan (e.g. a union-of-selects fixture or a parse->resolve
+    # pipeline) per iteration multiplies its cost by 3*max_iters — and deep
+    # re-codegen of the same nested plan inside the loop is what broke the
+    # broadcast build here. One localCheckpoint (MEMORY_AND_DISK) is the
+    # same trade a 100 TB run wants: pay the edge scan once, iterate on the
+    # materialized form.
+    base = edges.select("src", "dst").localCheckpoint(eager=True)
+    rev = base.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    und = base.unionByName(rev)
+
+    def _reach(e, flag):
+        return bfs_depths(e, seeds, max_iters=max_iters).select(
+            F.col("url").alias("node"), F.lit(1).alias(flag)
+        )
+
+    fwd = _reach(base, "__f")
+    bwd = _reach(rev, "__b")
+    weak = _reach(und, "__w")
+    base = nodes.select(F.col(id_col).cast("long").alias("node"))
+    joined = (
+        base.join(fwd, "node", "left")
+        .join(bwd, "node", "left")
+        .join(weak, "node", "left")
+    )
+    f, b, w = (F.col(c).isNotNull() for c in ("__f", "__b", "__w"))
+    return joined.select(
+        "node",
+        F.when(f & b, F.lit("scc"))
+        .when(b, F.lit("in"))
+        .when(f, F.lit("out"))
+        .when(w, F.lit("tendril"))
+        .otherwise(F.lit("disconnected"))
+        .alias("component"),
+    )

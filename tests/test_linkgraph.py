@@ -562,3 +562,45 @@ def test_distance_distribution_star_saturates_at_radius_one(spark):
     # the interpolation target is genuinely crossed at the found radius
     target = (900 * nf[2]) // 1000
     assert nf[1] >= target > nf[0]
+
+
+def test_bowtie_classify_hand_anatomy(spark):
+    """Hand graph with every Broder component: core cycle 0<->1, 2 links
+    in, core links out to 3, tendril 4 hangs off the in-node, 5 isolated."""
+    from see_spark.operators.linkgraph import bowtie_classify
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 0), (0, 3), (2, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in bowtie_classify(nodes, edges, seed=0).collect()
+    }
+    assert got == {
+        0: "scc", 1: "scc", 2: "in", 3: "out", 4: "tendril",
+        5: "disconnected",
+    }
+
+
+def test_synthetic_bowtie_fixture_counts(spark):
+    """The fixture graph's anatomy at N=100: lim=90, m=23 core nodes,
+    23 in, 22 out, 22 tendrils, 10 disconnected — and classification is
+    insensitive to which core node seeds it."""
+    from see_spark.operators.linkgraph import (
+        bowtie_classify, synthetic_bowtie_edges,
+    )
+
+    docs = spark.range(100).withColumnRenamed("id", "doc_id")
+    nodes = docs.selectExpr("doc_id AS node")
+    edges = synthetic_bowtie_edges(docs, n_nodes=100)
+    for seed in (0, 44):  # two different core nodes
+        counts = {
+            r["component"]: r["n"]
+            for r in bowtie_classify(nodes, edges, seed=seed, max_iters=40)
+            .groupBy("component").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {
+            "scc": 23, "in": 23, "out": 22, "tendril": 22,
+            "disconnected": 10,
+        }
