@@ -9807,6 +9807,72 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_salsa_synth(spark, sf_dir):
+    """Engine addition: 3-iteration SALSA (Lempel & Moran WWW 2000 — the
+    stochastic hub/authority walks; linkgraph.py:salsa) over the
+    deterministic synthetic expander on documents doc_ids. Oracle = the
+    unrolled backward/forward bipartite walk in SQL, term-for-term."""
+    from see_spark.operators.linkgraph import salsa, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return salsa(nodes, synthetic_edges(docs), n_iter=3)
+
+
+QUERIES_EXTRA.update({"salsa_synth": _q_salsa_synth})
+
+
+def _salsa_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled SALSA, term-for-term the salsa() evaluation: each
+    iteration is a backward half-step (authority mass to hubs across
+    in-links, divided by the target's in-degree) then a forward half-step
+    (hub mass to authorities across out-links, divided by the source's
+    out-degree), and the mirror pair for the hub walk. No normalizers —
+    both half-steps are stochastic."""
+    ctes = [
+        _LINKGRAPH_SQL,
+        "indeg AS (SELECT dst, COUNT(*) AS deg FROM edges GROUP BY dst)",
+        "an AS (SELECT DISTINCT dst AS node FROM edges)",
+        "hn AS (SELECT DISTINCT src AS node FROM edges)",
+        "a0 AS (SELECT node, 1.0/(SELECT COUNT(*) FROM an) AS authority FROM an)",
+        "h0 AS (SELECT node, 1.0/(SELECT COUNT(*) FROM hn) AS hub FROM hn)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"hm{i} AS (SELECT e.src AS node, SUM(a.authority / ind.deg) AS mass"
+            f" FROM edges e JOIN a{i-1} a ON e.dst = a.node"
+            f" JOIN indeg ind ON ind.dst = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT e.dst AS node, SUM(m.mass / o.deg) AS authority"
+            f" FROM edges e JOIN hm{i} m ON e.src = m.node"
+            f" JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"am{i} AS (SELECT e.dst AS node, SUM(h.hub / o.deg) AS mass"
+            f" FROM edges e JOIN h{i-1} h ON e.src = h.node"
+            f" JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT e.src AS node, SUM(m.mass / ind.deg) AS hub"
+            f" FROM edges e JOIN am{i} m ON e.dst = m.node"
+            f" JOIN indeg ind ON ind.dst = e.dst GROUP BY e.src)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT n.node, ROUND(COALESCE(h.hub, 0.0), 9) AS hub,"
+        f" ROUND(COALESCE(a.authority, 0.0), 9) AS authority"
+        f" FROM nodes n LEFT JOIN h{n_iter} h ON h.node = n.node"
+        f" LEFT JOIN a{n_iter} a ON a.node = n.node"
+    )
+
+
+ORACLES_EXTRA.update({"salsa_synth": _salsa_oracle_sql()})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

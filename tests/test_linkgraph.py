@@ -604,3 +604,51 @@ def test_synthetic_bowtie_fixture_counts(spark):
             "scc": 23, "in": 23, "out": 22, "tendril": 22,
             "disconnected": 10,
         }
+
+
+def test_salsa_hand_graph_three_iterations(spark):
+    """1->0, 2->0, 2->4: authority side {0,4}, hub side {1,2}. All
+    masses are dyadic rationals, so the expected 3-iteration values are
+    exact in doubles (hand-unrolled backward/forward walk)."""
+    from see_spark.operators.linkgraph import salsa
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (2, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in salsa(nodes, edges, n_iter=3, round_dp=None).collect()
+    }
+    assert got[0] == (0.0, 0.6640625)
+    assert got[4] == (0.0, 0.3359375)
+    assert got[1] == (0.3359375, 0.0)
+    assert got[2] == (0.6640625, 0.0)
+    assert got[3] == (0.0, 0.0)
+    # both walks conserve mass exactly
+    assert sum(v[0] for v in got.values()) == 1.0
+    assert sum(v[1] for v in got.values()) == 1.0
+
+
+def test_salsa_star_is_stationary_and_tkc_resistant(spark):
+    """Star 1,2,3 -> 0 is already stationary (authority 1.0 on the hub
+    target); adding a disjoint 2-clique (5<->6) splits mass by component
+    size per the SALSA stationary form — unlike HITS, the clique cannot
+    absorb ALL the authority mass (the tightly-knit-community effect)."""
+    from see_spark.operators.linkgraph import salsa
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (5, 6), (6, 5)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["authority"]
+        for r in salsa(nodes, edges, n_iter=5).collect()
+    }
+    # authority side = {0, 5, 6}, a_0 = 1/3 each; star target keeps its
+    # third, the clique splits its two-thirds evenly — nonzero for both
+    # communities, which is exactly what HITS does not guarantee.
+    assert got[0] == pytest.approx(1 / 3, abs=1e-9)
+    assert got[5] == pytest.approx(1 / 3, abs=1e-9)
+    assert got[6] == pytest.approx(1 / 3, abs=1e-9)
+    assert got[1] == got[2] == got[3] == 0.0
