@@ -9873,6 +9873,84 @@ def _salsa_oracle_sql(n_iter: int = 3) -> str:
 ORACLES_EXTRA.update({"salsa_synth": _salsa_oracle_sql()})
 
 
+
+
+
+
+
+def _q_degree_assortativity(spark, sf_dir):
+    """Engine addition: the four directed degree-assortativity Pearson
+    coefficients (Foster et al. PNAS 2010; linkgraph.py:
+    degree_assortativity) over the synthetic expander — exact BIGINT
+    moments, fixed-order double formula, so bit-identical to the SQL
+    oracle."""
+    from see_spark.operators.linkgraph import (
+        degree_assortativity, synthetic_edges,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return degree_assortativity(synthetic_edges(docs))
+
+
+QUERIES_EXTRA.update({"degree_assortativity": _q_degree_assortativity})
+
+
+def _assort_case(name, xy, x, x2, y, y2):
+    """One directed-assortativity CASE arm, same double op order and
+    zero-variance NULL guard as linkgraph.degree_assortativity."""
+    md = "CAST(m AS DOUBLE)"
+    vx = f"({md}*CAST({x2} AS DOUBLE) - CAST({x} AS DOUBLE)*CAST({x} AS DOUBLE))"
+    vy = f"({md}*CAST({y2} AS DOUBLE) - CAST({y} AS DOUBLE)*CAST({y} AS DOUBLE))"
+    num = f"({md}*CAST({xy} AS DOUBLE) - CAST({x} AS DOUBLE)*CAST({y} AS DOUBLE))"
+    return (
+        f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+        f"ROUND({num} / (SQRT({vx}) * SQRT({vy})), 9) END AS {name}"
+    )
+
+
+_ASSORT_CASES = ", ".join(
+    _assort_case(*args)
+    for args in [
+        ("r_out_out", "s_oo", "sx_o", "sx_o2", "sy_o", "sy_o2"),
+        ("r_out_in", "s_oi", "sx_o", "sx_o2", "sy_i", "sy_i2"),
+        ("r_in_out", "s_io", "sx_i", "sx_i2", "sy_o", "sy_o2"),
+        ("r_in_in", "s_ii", "sx_i", "sx_i2", "sy_i", "sy_i2"),
+    ]
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        # Same exact-integer moment sums over the expander edge list, same
+        # double formula and op order, same zero-variance NULL guard.
+        "degree_assortativity": f"""
+        WITH {_LINKGRAPH_SQL},
+        ideg AS (SELECT dst, COUNT(*) AS deg FROM edges GROUP BY dst),
+        deg AS (
+          SELECT COALESCE(o.src, i.dst) AS node,
+                 COALESCE(o.deg, 0) AS out_deg, COALESCE(i.deg, 0) AS in_deg
+          FROM outdeg o FULL OUTER JOIN ideg i ON o.src = i.dst),
+        ed AS (
+          SELECT s.out_deg AS s_out, s.in_deg AS s_in,
+                 d.out_deg AS d_out, d.in_deg AS d_in
+          FROM edges e JOIN deg s ON s.node = e.src
+                       JOIN deg d ON d.node = e.dst),
+        sums AS (
+          SELECT COUNT(*) AS m,
+                 SUM(s_out) AS sx_o, SUM(s_out*s_out) AS sx_o2,
+                 SUM(s_in)  AS sx_i, SUM(s_in*s_in)   AS sx_i2,
+                 SUM(d_out) AS sy_o, SUM(d_out*d_out) AS sy_o2,
+                 SUM(d_in)  AS sy_i, SUM(d_in*d_in)   AS sy_i2,
+                 SUM(s_out*d_out) AS s_oo, SUM(s_out*d_in) AS s_oi,
+                 SUM(s_in*d_out)  AS s_io, SUM(s_in*d_in)  AS s_ii
+          FROM ed)
+        SELECT CAST(m AS BIGINT) AS m, {_ASSORT_CASES}
+        FROM sums
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -1487,3 +1487,93 @@ def salsa(
             F.round("authority", round_dp).alias("authority"),
         )
     return out
+
+
+def degree_assortativity(
+    edges: DataFrame, round_dp: Optional[int] = ROUND_DP
+) -> DataFrame:
+    """Directed degree assortativity (Newman, PRL 2002; the four directed
+    variants per Foster, Foster, Grassberger & Paczuski, PNAS 2010 "Edge
+    direction and the structure of networks"): over the edge list, the
+    Pearson correlation between a chosen degree of the source and a
+    chosen degree of the target — (out,out), (out,in), (in,out), (in,in).
+    The web graph is famously DISassortative (high-out-degree hubs link
+    to low-in-degree pages, r < 0); a strongly assortative subgraph is a
+    link-farm signature, which makes this a one-row audit worth running
+    before trusting PageRank/TrustRank priorities on a new crawl.
+
+    Numeric determinism: every moment is accumulated as an exact BIGINT
+    sum of integer degrees (no double accumulation, so partition order
+    cannot perturb it); the four r values are then a fixed-order double
+    formula over those exact scalars — bit-identical at any parallelism
+    and term-for-term mirrorable in ANSI SQL. Degrees and edge counts up
+    to ~2^26 keep every product inside the 2^63 long range (comfortable
+    at 10^10 edges only after per-host condensation; run it on the host
+    graph at full crawl scale).
+
+    Scale shape: two node-keyed joins to attach (out,in) degrees to each
+    edge endpoint, then ONE map-side-combinable aggregate over the edge
+    volume. Returns a single row (m, r_out_out, r_out_in, r_in_out,
+    r_in_in).
+    """
+    deg = degree_stats(edges)
+    ed = (
+        edges.select("src", "dst")
+        .join(
+            deg.select(
+                F.col("node").alias("src"),
+                F.col("out_deg").alias("s_out"),
+                F.col("in_deg").alias("s_in"),
+            ),
+            "src",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("dst"),
+                F.col("out_deg").alias("d_out"),
+                F.col("in_deg").alias("d_in"),
+            ),
+            "dst",
+        )
+    )
+    sums = ed.agg(
+        F.count("*").alias("m"),
+        F.sum("s_out").alias("sx_o"),
+        F.sum(F.col("s_out") * F.col("s_out")).alias("sx_o2"),
+        F.sum("s_in").alias("sx_i"),
+        F.sum(F.col("s_in") * F.col("s_in")).alias("sx_i2"),
+        F.sum("d_out").alias("sy_o"),
+        F.sum(F.col("d_out") * F.col("d_out")).alias("sy_o2"),
+        F.sum("d_in").alias("sy_i"),
+        F.sum(F.col("d_in") * F.col("d_in")).alias("sy_i2"),
+        F.sum(F.col("s_out") * F.col("d_out")).alias("s_oo"),
+        F.sum(F.col("s_out") * F.col("d_in")).alias("s_oi"),
+        F.sum(F.col("s_in") * F.col("d_out")).alias("s_io"),
+        F.sum(F.col("s_in") * F.col("d_in")).alias("s_ii"),
+    )
+
+    def _r(sxy, sx, sx2, sy, sy2):
+        m = F.col("m").cast("double")
+        num = m * F.col(sxy).cast("double") - F.col(sx).cast(
+            "double"
+        ) * F.col(sy).cast("double")
+        vx = m * F.col(sx2).cast("double") - F.col(sx).cast(
+            "double"
+        ) * F.col(sx).cast("double")
+        vy = m * F.col(sy2).cast("double") - F.col(sy).cast(
+            "double"
+        ) * F.col(sy).cast("double")
+        # zero variance on either endpoint (regular graph) -> undefined
+        # correlation; NULL, not a divide-by-zero (ANSI mode errors)
+        r = F.when(
+            (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
+        )
+        return F.round(r, round_dp) if round_dp is not None else r
+
+    return sums.select(
+        F.col("m").cast("long").alias("m"),
+        _r("s_oo", "sx_o", "sx_o2", "sy_o", "sy_o2").alias("r_out_out"),
+        _r("s_oi", "sx_o", "sx_o2", "sy_i", "sy_i2").alias("r_out_in"),
+        _r("s_io", "sx_i", "sx_i2", "sy_o", "sy_o2").alias("r_in_out"),
+        _r("s_ii", "sx_i", "sx_i2", "sy_i", "sy_i2").alias("r_in_in"),
+    )

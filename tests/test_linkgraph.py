@@ -652,3 +652,48 @@ def test_salsa_star_is_stationary_and_tkc_resistant(spark):
     assert got[5] == pytest.approx(1 / 3, abs=1e-9)
     assert got[6] == pytest.approx(1 / 3, abs=1e-9)
     assert got[1] == got[2] == got[3] == 0.0
+
+
+def test_degree_assortativity_matches_numpy(spark):
+    """All four directed coefficients vs an independent numpy Pearson on
+    the same per-edge endpoint-degree pairs (Foster et al. 2010)."""
+    import numpy as np
+
+    from see_spark.operators.linkgraph import degree_assortativity
+
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (3, 0), (3, 1), (4, 0),
+        (1, 0),  # breaks in-degree regularity so every variance is > 0
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = degree_assortativity(df, round_dp=None).collect()[0]
+    out = {s: 0 for s, _ in edges} | {d: 0 for _, d in edges}
+    inn = dict(out)
+    for s, d in edges:
+        out[s] += 1
+        inn[d] += 1
+    for name, fx, fy in [
+        ("r_out_out", out, out), ("r_out_in", out, inn),
+        ("r_in_out", inn, out), ("r_in_in", inn, inn),
+    ]:
+        x = np.array([fx[s] for s, _ in edges], dtype=float)
+        y = np.array([fy[d] for _, d in edges], dtype=float)
+        expect = np.corrcoef(x, y)[0, 1]
+        assert row[name] == pytest.approx(expect, abs=1e-12), name
+    assert row["m"] == len(edges)
+
+
+def test_degree_assortativity_regular_graph_is_null(spark):
+    """A directed cycle is degree-regular — all variances 0, so every
+    coefficient is NULL (undefined), never a divide-by-zero error."""
+    from see_spark.operators.linkgraph import degree_assortativity
+
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "src long, dst long"
+    )
+    row = degree_assortativity(cyc).collect()[0]
+    assert row["m"] == 4
+    assert all(
+        row[c] is None
+        for c in ("r_out_out", "r_out_in", "r_in_out", "r_in_in")
+    )
