@@ -9951,6 +9951,47 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_token_entropy(spark, sf_dir):
+    """Engine addition: per-document Shannon entropy of the
+    whitespace-token distribution (textstats.py:token_entropy) — the
+    unigram-diversity quality signal next to quality_score and the Gopher
+    repetition rules."""
+    from see_spark.operators.textstats import token_entropy
+
+    return token_entropy(_documents(spark, sf_dir))
+
+
+QUERIES_EXTRA.update({"token_entropy": _q_token_entropy})
+
+
+ORACLES_EXTRA.update(
+    {
+        # Same whitespace split as the token_counts oracle, same
+        # H = log2(n) - sum(c*log2(c))/n form and 6dp rounding.
+        "token_entropy": """
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+        a AS (SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_types,
+                     SUM(c * log2(c)) AS s
+              FROM c GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_types,
+               ROUND(log2(n_tokens) - s / n_tokens, 6) AS entropy_bits,
+               CASE WHEN n_types > 1
+                    THEN ROUND((log2(n_tokens) - s / n_tokens)
+                               / log2(n_types), 6)
+               END AS norm_entropy
+        FROM a
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

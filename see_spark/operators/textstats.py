@@ -207,3 +207,48 @@ def lang_outliers(
             & (F.col("__host_docs") >= min_docs)
         ).alias("is_outlier"),
     )
+
+
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the whitespace-token distribution
+    (bits) — the classic unigram-diversity quality signal: near-zero
+    entropy flags keyword-stuffed / template / repeated-token spam that
+    length and stopword ratios (quality_score) miss, and the normalized
+    form (entropy / log2(types)) is scale-free across document lengths.
+    Standard alongside the Gopher repetition rules (Rae et al. 2021 use
+    duplicate-n-gram fractions; entropy is the smooth version).
+
+    H = log2(n) - (Σ_w c_w·log2(c_w)) / n   over token counts c_w.
+
+    Scale shape: one explode to token volume, then two MAP-SIDE-COMBINABLE
+    shuffles ((doc_id, token) count, then per-doc aggregate) — no windows,
+    no driver state. The float sum is per-document over magnitude-similar
+    terms; rounded to 6dp it is stable across partition orders (same
+    determinism treatment as tfidf/pagerank).
+
+    Returns (doc_id, n_tokens, n_types, entropy_bits, norm_entropy);
+    norm_entropy is NULL for single-type documents (undefined).
+    """
+    toks = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    counts = (
+        docs.select(F.col(id_col).alias("doc_id"), toks)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.log2("c")).alias("__s"),
+    )
+    ent = F.log2("n_tokens") - F.col("__s") / F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(ent, 6).alias("entropy_bits"),
+        F.round(
+            F.when(F.col("n_types") > 1, ent / F.log2("n_types")), 6
+        ).alias("norm_entropy"),
+    )

@@ -411,3 +411,26 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in streamed_df.collect()
     }
     assert streamed == batch
+
+
+def test_token_entropy_closed_forms(spark):
+    """Uniform 4 distinct tokens -> exactly 2 bits (norm 1.0); all-same
+    -> 0 bits with NULL norm; 'a a b b' -> 1 bit."""
+    import math
+
+    from see_spark.operators.textstats import token_entropy
+
+    d = spark.createDataFrame(
+        [(1, "w x y z"), (2, "s s s s s"), (3, "a a b b"),
+         (4, "a a a b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(d).collect()}
+    assert out[1]["entropy_bits"] == 2.0 and out[1]["norm_entropy"] == 1.0
+    assert out[2]["entropy_bits"] == 0.0 and out[2]["norm_entropy"] is None
+    assert out[3]["entropy_bits"] == 1.0
+    # H(3/4, 1/4) = 2 - 0.75*log2(3)
+    want = round(2 - 0.75 * math.log2(3), 6)
+    assert out[4]["entropy_bits"] == want
+    assert out[1]["n_tokens"] == 4 and out[1]["n_types"] == 4
+    assert out[2]["n_types"] == 1
