@@ -9992,6 +9992,96 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_harmonic_centrality(spark, sf_dir):
+    """Engine addition: n_iter-truncated harmonic centrality from
+    HyperBall in-ball sketches on the transposed expander (Boldi & Vigna
+    2013 §5; linkgraph.py:harmonic_centrality) — integer-e4 estimates,
+    lcm-scaled exact harmonic sum. Oracle = direct HLL over the exact
+    reversed r-ball member sets (sketch-union idempotence), same integer
+    pipeline."""
+    from see_spark.operators.linkgraph import (
+        harmonic_centrality, synthetic_edges,
+    )
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return harmonic_centrality(nodes, synthetic_edges(docs), n_iter=2, p=8)
+
+
+QUERIES_EXTRA.update({"harmonic_centrality": _q_harmonic_centrality})
+
+
+ORACLES_EXTRA.update(
+    {
+        # Exact REVERSED-ball member sets at radius 0/1/2 -> the hyperball
+        # register pipeline keyed by (radius, node) -> per-node integer-e4
+        # estimates -> h = (e1-e0)*2 + (e2-e1), lcm(1,2)=2.
+        "harmonic_centrality": f"""
+        WITH {_LINKGRAPH_SQL},
+        m0 AS (SELECT node, node AS member FROM nodes),
+        m1 AS (SELECT dst AS node, src AS member FROM edges),
+        m2 AS (SELECT b.dst AS node, a.src AS member
+               FROM edges a JOIN edges b ON a.dst = b.src),
+        allmem AS (
+          SELECT 0 AS radius, node, member FROM m0
+          UNION ALL
+          SELECT 1, node, member FROM (
+            SELECT DISTINCT node, member FROM (
+              SELECT * FROM m0 UNION ALL SELECT * FROM m1))
+          UNION ALL
+          SELECT 2, node, member FROM (
+            SELECT DISTINCT node, member FROM (
+              SELECT * FROM m0 UNION ALL SELECT * FROM m1
+              UNION ALL SELECT * FROM m2))),
+        r AS (SELECT radius, node,
+                     ('0x' || substr(md5(CAST(member AS VARCHAR)), 1, 3))
+                       ::BIGINT % 256 AS bucket,
+                     ltrim(substr(md5(CAST(member AS VARCHAR)), 4, 15), '0')
+                       AS stripped
+              FROM allmem),
+        ranks AS (SELECT radius, node, bucket,
+                 CASE WHEN strlen(stripped) = 0 THEN 61
+                      ELSE (15 - strlen(stripped)) * 4 +
+                           CASE WHEN ('0x' || substr(stripped,1,1))::INT >= 8
+                                  THEN 0
+                                WHEN ('0x' || substr(stripped,1,1))::INT >= 4
+                                  THEN 1
+                                WHEN ('0x' || substr(stripped,1,1))::INT >= 2
+                                  THEN 2
+                                ELSE 3 END + 1
+                 END AS rank
+                 FROM r),
+        sk AS (SELECT radius, node, bucket, MAX(rank) AS register
+               FROM ranks GROUP BY 1, 2, 3),
+        agg AS (SELECT radius, node, COUNT(*) AS nb,
+                       SUM(pow(2.0, -register)) AS obs
+                FROM sk GROUP BY 1, 2),
+        est AS (SELECT radius, node,
+                       CAST(ROUND((CASE WHEN raw <= 2.5 * 256
+                                          AND (256 - nb) > 0
+                                   THEN 256.0 * ln(256.0 / (256 - nb))
+                                   ELSE raw END) * 10000, 0) AS BIGINT)
+                         AS e4
+                FROM (SELECT radius, node, nb,
+                             {_HB_ALPHA_MM!r} / (obs + (256 - nb)) AS raw
+                      FROM agg)),
+        piv AS (SELECT n.node,
+                       e0.e4 AS e0, e1.e4 AS e1, e2.e4 AS e2
+                FROM nodes n
+                JOIN est e0 ON e0.node = n.node AND e0.radius = 0
+                JOIN est e1 ON e1.node = n.node AND e1.radius = 1
+                JOIN est e2 ON e2.node = n.node AND e2.radius = 2)
+        SELECT node,
+               CAST((e1 - e0) * 2 + (e2 - e1) AS BIGINT) AS h_lcm_e4,
+               CAST(2 AS BIGINT) AS lcm
+        FROM piv
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -1577,3 +1577,86 @@ def degree_assortativity(
         _r("s_io", "sx_i", "sx_i2", "sy_o", "sy_o2").alias("r_in_out"),
         _r("s_ii", "sx_i", "sx_i2", "sy_i", "sy_i2").alias("r_in_in"),
     )
+
+
+def harmonic_centrality(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 2,
+    p: int = 8,
+    id_col: str = "node",
+) -> DataFrame:
+    """Harmonic centrality, truncated at ``n_iter`` hops, from HyperBall
+    in-ball sketches (Boldi & Vigna 2013 §5 — THE use case HyperBall was
+    built for; the 10^10-node alternative to Brandes-style exact BFS per
+    node):
+
+        H(v) = Σ_{r=1..n_iter} (|B_in(v,r)| - |B_in(v,r-1)|) / r
+
+    where B_in(v,r) is the set of nodes that REACH v within r hops — the
+    loop therefore runs on the transposed edge list (the paper's own
+    trick), and nodes newly appearing at distance r contribute 1/r.
+
+    Determinism: per-(node, radius) HLL estimates become INTEGER 1e-4
+    units first (round half-up, exactly as distance_distribution), and
+    the harmonic sum is kept integer by scaling with L = lcm(1..n_iter):
+    h_lcm_e4 = Σ_r (e4_r - e4_{r-1}) * (L/r) — exact integer arithmetic,
+    bit-identical at any parallelism and in the SQL oracle. Divide by
+    L*1e4 for the float value.
+
+    Scale shape: the hyperball Pregel loop (one edge-volume shuffle + a
+    map-side-combinable max-merge per radius) plus n_iter node-keyed
+    joins of the per-radius estimate tables — per-node state stays at
+    2^p sketch rows. Returns (node, h_lcm_e4, lcm).
+    """
+    from math import lcm
+
+    from ..functions.sketches import hll_estimate, hll_sketch
+
+    scale = lcm(*range(1, n_iter + 1))
+    base = nodes.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(id_col).cast("long").cast("string").alias("__v"),
+    )
+    sk = hll_sketch(base, ["node"], "__v", p)
+    # transposed graph: propagate ball sketches along REVERSED edges
+    e = (
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _e4(sketch: DataFrame, r: int) -> DataFrame:
+        return hll_estimate(sketch, ["node"], p).select(
+            "node",
+            F.round(F.col("hll_estimate") * 10000, 0)
+            .cast("long")
+            .alias(f"__e{r}"),
+        )
+
+    ests = [_e4(sk, 0)]
+    for r in range(1, n_iter + 1):
+        prop = e.join(
+            sk.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "hll_bucket", "register")
+        sk = (
+            sk.unionByName(prop)
+            .groupBy("node", "hll_bucket")
+            .agg(F.max("register").alias("register"))
+            .localCheckpoint(eager=False)
+        )
+        ests.append(_e4(sk, r))
+    joined = ests[0]
+    for t in ests[1:]:
+        joined = joined.join(t, "node")  # balls contain self -> inner safe
+    h = None
+    for r in range(1, n_iter + 1):
+        term = (F.col(f"__e{r}") - F.col(f"__e{r-1}")) * F.lit(scale // r)
+        h = term if h is None else h + term
+    return joined.select(
+        "node",
+        h.cast("long").alias("h_lcm_e4"),
+        F.lit(scale).cast("long").alias("lcm"),
+    )

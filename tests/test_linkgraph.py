@@ -697,3 +697,48 @@ def test_degree_assortativity_regular_graph_is_null(spark):
         row[c] is None
         for c in ("r_out_out", "r_out_in", "r_in_out", "r_in_in")
     )
+
+
+def test_harmonic_centrality_star_and_idempotence(spark):
+    """Star 1,2,3 -> 0: only the hub's in-ball grows (leaves stay h=0),
+    and the hub's value equals the sketch estimate of its exact in-ball
+    computed directly (sketch-union idempotence, the oracle argument)."""
+    from see_spark.functions.sketches import hll_estimate, hll_sketch
+    from see_spark.operators.linkgraph import harmonic_centrality
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["h_lcm_e4"], r["lcm"])
+        for r in harmonic_centrality(nodes, edges, n_iter=2, p=8).collect()
+    }
+    assert got[1] == (0, 2) and got[2] == (0, 2) and got[3] == (0, 2)
+
+    def ball_e4(members):
+        df = spark.createDataFrame(
+            [(0, str(m)) for m in members], "node long, v string"
+        )
+        est = hll_estimate(hll_sketch(df, ["node"], "v", 8), ["node"], 8)
+        return int(round(est.collect()[0]["hll_estimate"] * 10000))
+
+    e0, e1 = ball_e4([0]), ball_e4([0, 1, 2, 3])
+    # B_in(0,1) already full: radius-2 term is zero
+    assert got[0] == ((e1 - e0) * 2, 2)
+
+
+def test_harmonic_centrality_cycle_symmetry(spark):
+    """Directed 5-cycle: every node's truncated harmonic centrality is
+    identical (graph automorphism) and strictly positive."""
+    from see_spark.operators.linkgraph import harmonic_centrality
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    vals = {
+        r["node"]: r["h_lcm_e4"]
+        for r in harmonic_centrality(nodes, edges, n_iter=2, p=8).collect()
+    }
+    assert len(set(vals.values())) == 1 and min(vals.values()) > 0
