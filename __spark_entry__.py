@@ -10082,6 +10082,61 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_modularity(spark, sf_dir):
+    """Engine addition: directed modularity per community (Leicht &
+    Newman PRL 2008; linkgraph.py:modularity) of the node%7 partition of
+    the synthetic expander — exact BIGINT edge/degree counts, fixed-order
+    double contribution."""
+    from see_spark.operators.linkgraph import modularity, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    assign = docs.select(
+        F.col("doc_id").cast("long").alias("node"),
+        (F.col("doc_id") % 7).cast("long").alias("community"),
+    )
+    return modularity(synthetic_edges(docs), assign)
+
+
+QUERIES_EXTRA.update({"modularity": _q_modularity})
+
+
+ORACLES_EXTRA.update(
+    {
+        # Same partition, same exact counts, same double op order.
+        "modularity": f"""
+        WITH {_LINKGRAPH_SQL},
+        a AS (SELECT node, node % 7 AS community FROM nodes),
+        ed AS (SELECT s.community AS sc, d.community AS dc
+               FROM edges e JOIN a s ON s.node = e.src
+                            JOIN a d ON d.node = e.dst),
+        m AS (SELECT COUNT(*) AS m FROM ed),
+        ko AS (SELECT sc AS community, COUNT(*) AS kout FROM ed GROUP BY sc),
+        ki AS (SELECT dc AS community, COUNT(*) AS kin FROM ed GROUP BY dc),
+        intra AS (SELECT sc AS community, COUNT(*) AS intra_edges
+                  FROM ed WHERE sc = dc GROUP BY sc),
+        per AS (SELECT COALESCE(ko.community, ki.community) AS community,
+                       COALESCE(intra_edges, 0) AS intra_edges,
+                       COALESCE(kout, 0) AS kout, COALESCE(kin, 0) AS kin
+                FROM ko FULL OUTER JOIN ki ON ko.community = ki.community
+                LEFT JOIN intra
+                  ON intra.community = COALESCE(ko.community, ki.community))
+        SELECT community,
+               CAST(intra_edges AS BIGINT) AS intra_edges,
+               CAST(kout AS BIGINT) AS kout,
+               CAST(kin AS BIGINT) AS kin,
+               ROUND(CAST(intra_edges AS DOUBLE) / CAST((SELECT m FROM m) AS DOUBLE)
+                     - (CAST(kout AS DOUBLE) * CAST(kin AS DOUBLE))
+                       / (CAST((SELECT m FROM m) AS DOUBLE)
+                          * CAST((SELECT m FROM m) AS DOUBLE)), 9)
+                 AS q_contrib
+        FROM per
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -742,3 +742,32 @@ def test_harmonic_centrality_cycle_symmetry(spark):
         for r in harmonic_centrality(nodes, edges, n_iter=2, p=8).collect()
     }
     assert len(set(vals.values())) == 1 and min(vals.values()) > 0
+
+
+def test_modularity_two_cliques_hand_values(spark):
+    """Two directed 3-cycles joined by one cross edge, communities = the
+    cycles: m=7, each community has intra=3; c0: kout=4,kin=3;
+    c1: kout=3,kin=4. Q contributions hand-computed."""
+    from see_spark.operators.linkgraph import modularity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)],
+        "src long, dst long",
+    )
+    assign = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "node long, community long"
+    )
+    got = {
+        r["community"]: r
+        for r in modularity(edges, assign, round_dp=None).collect()
+    }
+    assert (got[0]["intra_edges"], got[0]["kout"], got[0]["kin"]) == (3, 4, 3)
+    assert (got[1]["intra_edges"], got[1]["kout"], got[1]["kin"]) == (3, 3, 4)
+    assert got[0]["q_contrib"] == pytest.approx(3 / 7 - 12 / 49, abs=1e-12)
+    assert got[1]["q_contrib"] == pytest.approx(3 / 7 - 12 / 49, abs=1e-12)
+    # everything in one community -> Q = 1 - 1 = 0 exactly
+    one = spark.createDataFrame(
+        [(i, 0) for i in range(6)], "node long, community long"
+    )
+    only = modularity(edges, one, round_dp=None).collect()
+    assert len(only) == 1 and only[0]["q_contrib"] == 0.0
