@@ -7238,7 +7238,7 @@ ORACLES_EXTRA.update(
                  AS is_soft404
         FROM dd JOIN sig USING (host)
     """,
-        "backlog_audit": f"""
+        "backlog_audit": rf"""
         WITH frontier AS ({{_F}}),
         unv AS (
           SELECT host, COUNT(*) AS n_unvisited, MIN(seq) AS oldest_seq,
@@ -7666,7 +7666,7 @@ ORACLES_EXTRA.update(
                     END AS half_life_6
         FROM a
     """,
-        "charset_sniff": """
+        "charset_sniff": r"""
         WITH ev AS (
           SELECT CAST(doc_id AS BIGINT) AS doc_id,
                  CASE WHEN doc_id % 5 = 0
