@@ -10137,6 +10137,56 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_kneser_ney(spark, sf_dir):
+    """Engine addition: interpolated Kneser-Ney bigram estimation
+    (Kneser & Ney 1995 / Chen & Goodman 1998; lm.py:kneser_ney_bigram)
+    over the documents corpus — exact BIGINT count aggregates, fixed-order
+    per-row probability, D=0.75."""
+    from see_spark.operators.lm import kneser_ney_bigram
+
+    return kneser_ney_bigram(_documents(spark, sf_dir))
+
+
+QUERIES_EXTRA.update({"kneser_ney_bigram": _q_kneser_ney})
+
+
+ORACLES_EXTRA.update(
+    {
+        # Same tokenization/bigram pipeline as the lm_perplexity oracle,
+        # same count aggregates, same double op order (parens pinned).
+        "kneser_ney_bigram": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '')
+                            AS t
+                   FROM documents),
+        bg AS (SELECT unnest(list_transform(range(1, len(t)),
+                             j -> t[j] || chr(1) || t[j+1])) AS pair
+               FROM d WHERE len(t) >= 2),
+        counts AS (SELECT split_part(pair, chr(1), 1) AS w1,
+                          split_part(pair, chr(1), 2) AS w2,
+                          CAST(COUNT(*) AS BIGINT) AS c12
+                   FROM bg GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                       CAST(COUNT(*) AS BIGINT) AS n1l
+                FROM counts GROUP BY 1),
+        rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r
+                FROM counts GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM counts)
+        SELECT c.w1, c.w2, c.c12,
+               ROUND(GREATEST(CAST(c.c12 AS DOUBLE) - 0.75, 0.0)
+                       / CAST(x.c1 AS DOUBLE)
+                     + (0.75 * CAST(x.n1l AS DOUBLE) / CAST(x.c1 AS DOUBLE))
+                       * (CAST(r.n1r AS DOUBLE)
+                          / CAST((SELECT t FROM tot) AS DOUBLE)), 9)
+                 AS p_kn
+        FROM counts c JOIN ctx x USING (w1) JOIN rgt r USING (w2)
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -166,3 +166,59 @@ def nll_buckets(
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def kneser_ney_bigram(
+    ref_docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram estimation (Kneser & Ney, ICASSP
+    1995; the Chen & Goodman 1998 interpolated form) — the standard
+    smoothing for production n-gram LMs, upgrading ``train_bigram_lm``'s
+    add-1 model: instead of pretending unseen bigrams were seen once, KN
+    discounts every observed count by a fixed D and redistributes the
+    held-out mass through the CONTINUATION probability (how many distinct
+    contexts a word follows), which famously fixes the "San Francisco"
+    problem (frequent word, single context).
+
+        P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1·)
+                   + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(·,·)
+
+    with c(w1·) = Σ_w c(w1,w), N1+ = distinct-bigram-type counts.
+
+    Every input to the formula is an exact BIGINT count (three
+    map-side-combinable shuffles over the bigram-type table: by (w1,w2),
+    by w1, by w2 — bigram volume, never corpus volume); the probability
+    is a fixed-order per-row double formula, so the output is
+    bit-identical at any parallelism and term-for-term mirrorable in SQL.
+    Rows sum to 1 per context over the full vocab (observed part here +
+    the factorized continuation backoff for unseen pairs).
+
+    Returns (w1, w2, c12, p_kn) for every OBSERVED bigram type; the
+    backoff distribution for unseen pairs is D·N1+(w1,·)/c(w1·) times
+    the continuation table, recoverable from the same aggregates.
+    """
+    bg = (
+        _doc_bigrams(ref_docs, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1l"),
+    )
+    rgt = bg.groupBy("w2").agg(F.count("*").cast("long").alias("n1r"))
+    total = bg.count()
+    d = F.lit(float(discount))
+    c12d = F.col("c12").cast("double")
+    c1d = F.col("c1").cast("double")
+    p = F.greatest(c12d - d, F.lit(0.0)) / c1d + (
+        d * F.col("n1l").cast("double") / c1d
+    ) * (F.col("n1r").cast("double") / F.lit(float(total)))
+    return (
+        bg.join(ctx, "w1")
+        .join(rgt, "w2")
+        .select("w1", "w2", "c12", F.round(p, 9).alias("p_kn"))
+    )

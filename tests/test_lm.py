@@ -131,3 +131,76 @@ def test_nll_buckets_partitioning_invariance(spark):
         map(tuple, nll_buckets(_df(spark, SCORE, 5), _df(spark, REF, 3)).collect())
     )
     assert got == base
+
+
+def _kn_ref(texts, d=0.75):
+    """Driver-side interpolated KN bigram reference, the exact formula."""
+    from collections import Counter
+
+    bg = Counter()
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        bg.update(zip(toks, toks[1:]))
+    c1, n1l, n1r = Counter(), Counter(), Counter()
+    for (w1, w2), c in bg.items():
+        c1[w1] += c
+        n1l[w1] += 1
+        n1r[w2] += 1
+    t = len(bg)
+    return {
+        (w1, w2): round(
+            max(c - d, 0.0) / c1[w1] + (d * n1l[w1] / c1[w1]) * (n1r[w2] / t),
+            9,
+        )
+        for (w1, w2), c in bg.items()
+    }
+
+
+def test_kneser_ney_matches_reference(spark):
+    from see_spark.operators.lm import kneser_ney_bigram
+
+    texts = [
+        "a b a b c", "b c a a", "c a b b a", "a  b", "", "c c c b",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): r["p_kn"]
+        for r in kneser_ney_bigram(docs).collect()
+    }
+    assert got == _kn_ref(texts)
+
+
+def test_kneser_ney_sums_to_one_per_context(spark):
+    """Over the FULL vocab (observed pairs + factorized backoff), each
+    context's distribution sums to exactly 1."""
+    from see_spark.operators.lm import kneser_ney_bigram
+
+    texts = ["a b a b c", "b c a a", "c a b b a"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = kneser_ney_bigram(docs, discount=0.5).collect()
+    ref = _kn_ref(texts, d=0.5)
+    # rebuild the aggregates to extend observed rows with backoff-only pairs
+    from collections import Counter
+
+    bg = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        bg.update(zip(toks, toks[1:]))
+    c1, n1l, n1r = Counter(), Counter(), Counter()
+    for (w1, w2), c in bg.items():
+        c1[w1] += c; n1l[w1] += 1; n1r[w2] += 1
+    tot = len(bg)
+    for w1 in c1:
+        s = sum(
+            max(bg.get((w1, w2), 0) - 0.5, 0.0) / c1[w1]
+            + (0.5 * n1l[w1] / c1[w1]) * (n1r[w2] / tot)
+            for w2 in n1r
+        )
+        assert abs(s - 1.0) < 1e-12, (w1, s)
+    # and the Spark rows agree with the reference on the observed part
+    got = {(r["w1"], r["w2"]): r["p_kn"] for r in rows}
+    assert got == ref
