@@ -10187,6 +10187,54 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_wl_refine(spark, sf_dir):
+    """Engine addition: 2-round Weisfeiler-Leman label refinement
+    (Shervashidze et al. JMLR 2011; linkgraph.py:wl_refine) over the
+    synthetic expander — the structural template-clustering fingerprint;
+    oracle = the unrolled relabeling with the shared 60-bit md5-slice
+    hash, bit-exact."""
+    from see_spark.operators.linkgraph import synthetic_edges, wl_refine
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return wl_refine(nodes, synthetic_edges(docs), n_iter=2)
+
+
+QUERIES_EXTRA.update({"wl_refine": _q_wl_refine})
+
+
+ORACLES_EXTRA.update(
+    {
+        # Unrolled 2-iteration WL: same degree seed, same sorted
+        # neighbor-label string, same hash60 convention.
+        "wl_refine": f"""
+        WITH {_LINKGRAPH_SQL},
+        l0 AS (SELECT n.node, CAST(COALESCE(o.deg, 0) AS BIGINT) AS label
+               FROM nodes n LEFT JOIN outdeg o ON o.src = n.node),
+        n1 AS (SELECT e.src AS node,
+                      array_to_string(list_sort(list(l.label)), ',') AS ns
+               FROM edges e JOIN l0 l ON l.node = e.dst GROUP BY e.src),
+        l1 AS (SELECT l.node,
+                      ('0x' || substr(md5(CAST(l.label AS VARCHAR) || '|'
+                                          || COALESCE(n1.ns, '')), 1, 15))
+                        ::BIGINT AS label
+               FROM l0 l LEFT JOIN n1 ON n1.node = l.node),
+        n2 AS (SELECT e.src AS node,
+                      array_to_string(list_sort(list(l.label)), ',') AS ns
+               FROM edges e JOIN l1 l ON l.node = e.dst GROUP BY e.src),
+        l2 AS (SELECT l.node,
+                      ('0x' || substr(md5(CAST(l.label AS VARCHAR) || '|'
+                                          || COALESCE(n2.ns, '')), 1, 15))
+                        ::BIGINT AS label
+               FROM l1 l LEFT JOIN n2 ON n2.node = l.node)
+        SELECT node, label AS wl_label FROM l2
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

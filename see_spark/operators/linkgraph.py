@@ -1746,3 +1746,80 @@ def modularity(
             "q_contrib"
         ),
     )
+
+
+def wl_refine(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "node",
+) -> DataFrame:
+    """Weisfeiler-Leman label refinement (1-WL / color refinement — the
+    procedure behind WL graph kernels, Shervashidze et al. JMLR 2011):
+    iteratively relabel every node with a hash of (its label, the sorted
+    multiset of its out-neighbors' labels). After k rounds, two nodes
+    share a label iff their k-hop out-neighborhood trees are isomorphic —
+    the structural fingerprint that clusters template pages (nav hubs,
+    leaf articles, pagination chains) by LINK SHAPE alone, no content:
+    the graph-side complement of the winnowing/template_mass content
+    detectors.
+
+    label_0 = out-degree; label_{i+1} = hash60 of
+    "<label>|<sorted neighbor labels joined ,>". Unreferenced direction
+    (in-links) is deliberately excluded so the refinement matches the
+    classic rooted-out-tree WL; run on the reversed edge list for
+    in-shape.
+
+    Scale shape per iteration: ONE edge-volume shuffle (labels joined to
+    edges on dst, grouped by src) with `sort_array(collect_list(...))` —
+    per-node list size = out-degree, so degree caps bound the row width
+    (cap hubs upstream like cocitation does). Hashing is the md5-slice
+    convention shared bit-for-bit with the DuckDB oracle (dedup.hash60).
+    Returns (node, wl_label) with wl_label the 60-bit final label.
+    """
+    from .dedup import hash60
+
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    lab = (
+        nodes.select(F.col(id_col).cast("long").alias("node"))
+        .join(deg, "node", "left")
+        .select(
+            "node",
+            F.coalesce("d", F.lit(0)).cast("long").alias("label"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_iter):
+        neigh = (
+            e.join(
+                lab.select(
+                    F.col("node").alias("dst"),
+                    F.col("label").alias("__nl"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.array_join(
+                    F.sort_array(F.collect_list(F.col("__nl"))), ","
+                ).alias("__ns")
+            )
+        )
+        lab = (
+            lab.join(neigh, "node", "left")
+            .select(
+                "node",
+                hash60(
+                    F.concat_ws(
+                        "|",
+                        F.col("label").cast("string"),
+                        F.coalesce("__ns", F.lit("")),
+                    )
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return lab.select("node", F.col("label").alias("wl_label"))

@@ -771,3 +771,42 @@ def test_modularity_two_cliques_hand_values(spark):
     )
     only = modularity(edges, one, round_dp=None).collect()
     assert len(only) == 1 and only[0]["q_contrib"] == 0.0
+
+
+def test_wl_refine_isomorphic_subtrees_and_cycle(spark):
+    """Binary tree: the two internal nodes (and the four leaves) have
+    isomorphic out-trees -> equal WL labels, root unique; a directed
+    cycle is vertex-transitive -> one label for all nodes."""
+    from see_spark.operators.linkgraph import wl_refine
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    tree = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5), (2, 6)],
+        "src long, dst long",
+    )
+    lab = {r["node"]: r["wl_label"] for r in wl_refine(nodes, tree).collect()}
+    assert lab[1] == lab[2] and lab[3] == lab[4] == lab[5] == lab[6]
+    assert len({lab[0], lab[1], lab[3]}) == 3  # root/internal/leaf distinct
+
+    cyc_nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    cl = {r["wl_label"] for r in wl_refine(cyc_nodes, cyc).collect()}
+    assert len(cl) == 1
+
+
+def test_wl_refine_separates_path_positions(spark):
+    """Directed path 0->1->2->3: at 2 iterations WL distinguishes all
+    four positions except none — each node's 2-hop out-tree differs."""
+    from see_spark.operators.linkgraph import wl_refine
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    lab = [
+        r["wl_label"]
+        for r in wl_refine(nodes, path, n_iter=3).collect()
+    ]
+    assert len(set(lab)) == 4
