@@ -10235,6 +10235,57 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_search_facets(spark, sf_dir):
+    """Engine addition: faceted-search counts (search.py:facet_counts)
+    over the gated tfidf top-100 page — lang and source refinement
+    counts, result page broadcast into the metadata join."""
+    from see_spark.operators.search import facet_counts
+
+    results = _q_tfidf_search(spark, sf_dir)
+    return facet_counts(
+        results, _documents(spark, sf_dir), ["lang", "source"]
+    )
+
+
+QUERIES_EXTRA.update({"search_facets": _q_search_facets})
+
+
+ORACLES_EXTRA.update(
+    {
+        # The gated tfidf_search top-100 (same CTE) -> metadata join ->
+        # stacked per-facet counts.
+        "search_facets": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        q AS (SELECT unnest(['table','join','query']) AS word),
+        dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                FROM postings GROUP BY word),
+        matched AS (
+          SELECT p.doc_id, p.term_count, p.doc_len, dfs.df
+          FROM postings p JOIN q USING (word) JOIN dfs USING (word)),
+        scored AS (
+          SELECT doc_id,
+                 COUNT(*) AS n_words,
+                 SUM((term_count / doc_len)
+                     * ln((SELECT n_docs FROM n) / (1.0 + df))) AS score
+          FROM matched GROUP BY doc_id),
+        top AS (SELECT doc_id FROM scored WHERE n_words = 3
+                ORDER BY score DESC, doc_id ASC LIMIT 100),
+        meta AS (SELECT d.* FROM documents d
+                 JOIN top ON top.doc_id = d.doc_id)
+        SELECT 'lang' AS facet, CAST(lang AS VARCHAR) AS value,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM meta GROUP BY 2
+        UNION ALL
+        SELECT 'source', CAST(source AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+        FROM meta GROUP BY 2
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

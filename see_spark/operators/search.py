@@ -1098,3 +1098,37 @@ def search_bm25f(
         )
         .orderBy(F.desc("score"), F.asc("url"))
     )
+
+
+def facet_counts(
+    results: DataFrame,
+    docs: DataFrame,
+    facet_cols: list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Faceted-search counts over a result page: for each facet column,
+    how many of the matched documents carry each value — the standard
+    result-refinement sidebar (language, source/collection, host …)
+    every production search UI layers over the ranked list (the
+    reference's web UI has no facets; engine addition).
+
+    Scale shape: ``results`` is a top-k page (≤ hundreds of rows), so it
+    BROADCASTS into the metadata join — the docs table never shuffles —
+    and the per-facet aggregates run over k rows. One stacked output:
+    (facet, value, n), deterministic integers.
+    """
+    joined = docs.join(
+        F.broadcast(results.select(F.col(id_col).alias("__rid"))),
+        F.col(id_col) == F.col("__rid"),
+    )
+    parts = [
+        joined.groupBy(
+            F.lit(c).alias("facet"),
+            F.col(c).cast("string").alias("value"),
+        ).agg(F.count("*").cast("long").alias("n"))
+        for c in facet_cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -213,3 +213,25 @@ def test_more_like_this_excludes_source_and_ranks_shared_vocab(spark):
     assert 1 not in ids                    # source never returned
     assert ids[0] == 2                     # the near-duplicate ranks first
     assert 4 not in ids or res[-1]["doc_id"] == 4
+
+
+def test_facet_counts_hand_fixture(spark):
+    """Counts per facet value restricted to the result page; facets
+    stacked as (facet, value, n)."""
+    from pyspark.sql import functions as F
+
+    from see_spark.operators.search import facet_counts
+
+    docs = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", "news"), (3, "de", "web"),
+         (4, "de", "web")],
+        "doc_id long, lang string, source string",
+    )
+    results = spark.createDataFrame([(1,), (3,), (4,)], "doc_id long")
+    got = {
+        (r["facet"], r["value"]): r["n"]
+        for r in facet_counts(results, docs, ["lang", "source"]).collect()
+    }
+    assert got == {
+        ("lang", "en"): 1, ("lang", "de"): 2, ("source", "web"): 3,
+    }
