@@ -200,10 +200,14 @@ def kneser_ney_bigram(
     backoff distribution for unseen pairs is D·N1+(w1,·)/c(w1·) times
     the continuation table, recoverable from the same aggregates.
     """
+    # materialize the bigram-type table once: ctx/rgt/total all derive
+    # from it, and without the cut the tokenize+explode corpus pass runs
+    # three times (once per aggregate) — at 100 TB that's the whole cost
     bg = (
         _doc_bigrams(ref_docs, text_col, id_col)
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("c12"))
+        .localCheckpoint(eager=False)
     )
     ctx = bg.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
