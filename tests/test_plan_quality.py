@@ -159,3 +159,19 @@ def test_pagerank_iteration_has_no_python_and_no_cartesian(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_facet_counts_broadcasts_result_page(spark, entry):
+    """facet_counts must broadcast the (small) result page into the
+    metadata join — the docs table shuffling to meet a 100-row top-k
+    would be the backwards plan at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from see_spark.operators.search import facet_counts
+
+    docs = entry._documents(spark, SF)
+    res = spark.range(50).select(F.col("id").alias("doc_id"))
+    plan = _plan(facet_counts(res, docs, ["lang", "source"]))
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+    # the docs side must not hash-exchange before the join
+    assert plan.index("BroadcastHashJoin") < plan.index("FileScan")
