@@ -10286,6 +10286,50 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_budget_select(spark, sf_dir):
+    """Engine addition: token-budget corpus selection (selection.py:
+    budget_select) — "best docs by quality until N tokens" via ONE
+    distributed prefix sum (never a global single-partition window);
+    score = n_chars%101 spread, cost = whitespace token count, budget
+    20k."""
+    from see_spark.operators.selection import budget_select
+
+    docs = _documents(spark, sf_dir)
+    scored = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("n_chars") % 101).cast("long").alias("score"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return budget_select(scored, token_budget=20000)
+
+
+QUERIES_EXTRA.update({"budget_select": _q_budget_select})
+
+
+ORACLES_EXTRA.update(
+    {
+        # Single-window cumulative-sum form of the same prefix cut.
+        "budget_select": """
+        WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          CAST(n_chars % 101 AS BIGINT) AS score,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                            AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, score, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                       ORDER BY score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens
+              FROM s)
+        SELECT doc_id, score, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 20000
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -126,3 +126,47 @@ def grouped_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+def budget_select(
+    scored: DataFrame,
+    token_budget: int,
+    score_col: str = "score",
+    cost_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-scoring documents
+    whose CUMULATIVE token cost fits a global budget — the final assembly
+    step of every pretraining dataset ("best N billion tokens by quality"),
+    which a plain top-k cannot express because the constraint is on the
+    running sum of a second column, not the row count. Greedy
+    score-descending fill is the standard density-1 knapsack
+    approximation used in practice.
+
+    A document is kept iff prefix_sum(cost) in (score DESC, doc_id ASC)
+    order is <= budget — a PREFIX cut with a pinned tie-break: once the
+    running sum crosses the budget every later (lower-scoring) document
+    is out too, with no back-filling of smaller docs (that keeps the cut
+    a single deterministic threshold in rank order rather than a
+    data-order-dependent knapsack walk).
+
+    Scale shape: ONE distributed prefix sum (``seq.with_prefix_sum`` —
+    range-partition on the order key + partition-local window + an
+    O(partitions) offset pass; never a global single-partition window)
+    and a filter. Returns (doc_id, score, n_tokens, cum_tokens) for the
+    kept set.
+    """
+    from ..functions.seq import with_prefix_sum
+
+    base = scored.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(score_col).cast("long").alias("score"),
+        F.col(cost_col).cast("long").alias("n_tokens"),
+        (-F.col(score_col).cast("long")).alias("__neg"),
+    )
+    cum = with_prefix_sum(
+        base, "n_tokens", ["__neg", "doc_id"], out_col="cum_tokens"
+    )
+    return cum.where(F.col("cum_tokens") <= F.lit(int(token_budget))).select(
+        "doc_id", "score", "n_tokens", "cum_tokens"
+    )

@@ -97,3 +97,55 @@ def test_broadcast_and_kcut_plan_shape(spark, corpus):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_budget_select_prefix_cut_and_tiebreak(spark):
+    """Greedy fill in (score desc, doc_id asc) order: the cut is a prefix
+    — the doc that crosses the budget and everything after it is out,
+    even if a later cheaper doc would have fit."""
+    from see_spark.operators.selection import budget_select
+
+    rows = [
+        # (doc_id, score, n_tokens)
+        (1, 50, 400), (2, 90, 300), (3, 70, 300), (4, 70, 200),
+        (5, 10, 50),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, score long, n_tokens long")
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in budget_select(docs, token_budget=800).collect()
+    }
+    # order: 2(300) -> 4(500, ties 3/4 broken by doc_id? score 70 tie ->
+    # doc 3 first by id) => 2(300), 3(600), 4(800), then 1 would hit 1200
+    # and 5 would be 1250 — both out despite 5 alone fitting.
+    assert got == {2: 300, 3: 600, 4: 800}
+
+
+def test_budget_select_matches_sql_window(spark):
+    """Same cut as the single-window SQL form on a bigger frame."""
+    from pyspark.sql import functions as F
+
+    from see_spark.operators.selection import budget_select
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 101).alias("score"),
+        ((F.col("id") * 13) % 29 + 1).alias("n_tokens"),
+    )
+    got = sorted(
+        r["doc_id"] for r in budget_select(docs, token_budget=2000).collect()
+    )
+    docs.createOrReplaceTempView("sel_docs")
+    want = sorted(
+        r["doc_id"]
+        for r in spark.sql(
+            """
+            SELECT doc_id FROM (
+              SELECT doc_id, SUM(n_tokens) OVER (
+                ORDER BY score DESC, doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+              FROM sel_docs) WHERE c <= 2000
+            """
+        ).collect()
+    )
+    assert got == want and len(got) > 0
