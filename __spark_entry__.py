@@ -10330,6 +10330,100 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_katz_synth(spark, sf_dir):
+    """Engine addition: truncated Katz centrality (linkgraph.py:
+    katz_centrality) over the deterministic synthetic expander — exact
+    BIGINT walk counts per iteration, beta-weighted sum only at the end;
+    oracle = unrolled walk-count CTEs."""
+    from see_spark.operators.linkgraph import katz_centrality, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return katz_centrality(nodes, synthetic_edges(docs), n_iter=4, beta=0.05)
+
+
+def _q_link_prediction(spark, sf_dir):
+    """Engine addition: neighborhood-overlap link prediction
+    (linkgraph.py:link_prediction — common neighbors / Jaccard milli /
+    Adamic-Adar) on the undirected view of the synthetic expander;
+    candidate pairs generated only through shared neighbors."""
+    from see_spark.operators.linkgraph import link_prediction, synthetic_edges
+
+    return link_prediction(synthetic_edges(_documents(spark, sf_dir)), min_common=2)
+
+
+QUERIES_EXTRA.update(
+    {"katz_synth": _q_katz_synth, "link_prediction": _q_link_prediction}
+)
+
+
+def _katz_oracle_sql(n_iter: int = 4, beta: float = 0.05) -> str:
+    """Unrolled integer walk-count iteration; the float Katz sum is the
+    same left-associated t-ascending expression katz_centrality builds,
+    with identical Python-repr beta^t literals."""
+    ctes = [
+        _LINKGRAPH_SQL,
+        "w0 AS (SELECT node, CAST(1 AS BIGINT) AS w FROM nodes)",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"a{t} AS (SELECT e.dst AS node, CAST(SUM(w.w) AS BIGINT) AS w"
+            f" FROM edges e JOIN w{t-1} w ON e.src = w.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"w{t} AS (SELECT n.node,"
+            f" CAST(COALESCE(a.w, 0) AS BIGINT) AS w"
+            f" FROM nodes n LEFT JOIN a{t} a ON a.node = n.node)"
+        )
+    score = "0.0"
+    for t in range(1, n_iter + 1):
+        score = f"({score} + {beta ** t!r} * w{t}.w)"
+    joins = " ".join(
+        f"JOIN w{t} ON w{t}.node = w{n_iter}.node" for t in range(1, n_iter)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT w{n_iter}.node, w{n_iter}.w AS walks_last,"
+        f" ROUND({score}, 9) AS score FROM w{n_iter} {joins}"
+    )
+
+
+ORACLES_EXTRA.update(
+    {
+        "katz_synth": _katz_oracle_sql(),
+        "link_prediction": f"""
+        WITH {_LINKGRAPH_SQL},
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst),
+        adj AS (SELECT a AS node, b AS nb FROM und
+                UNION ALL SELECT b AS node, a AS nb FROM und),
+        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+        wedges AS (SELECT l.node AS u, r.node AS v, l.nb AS w
+                   FROM adj l JOIN adj r ON l.nb = r.nb AND l.node < r.node),
+        pairs AS (SELECT w.u AS a, w.v AS b,
+                         CAST(COUNT(*) AS BIGINT) AS common,
+                         SUM(1.0 / ln(d.deg)) AS adamic_adar
+                  FROM wedges w JOIN deg d ON d.node = w.w
+                  GROUP BY w.u, w.v
+                  HAVING COUNT(*) >= 2),
+        unlinked AS (SELECT p.* FROM pairs p
+                     LEFT JOIN und ON und.a = p.a AND und.b = p.b
+                     WHERE und.a IS NULL)
+        SELECT p.a, p.b, p.common,
+               CAST(p.common * 1000 // (da.deg + db.deg - p.common) AS BIGINT)
+                 AS jaccard_milli,
+               ROUND(p.adamic_adar, 9) AS adamic_adar
+        FROM unlinked p
+        JOIN deg da ON da.node = p.a
+        JOIN deg db ON db.node = p.b
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -1823,3 +1823,153 @@ def wl_refine(
             .localCheckpoint(eager=False)
         )
     return lab.select("node", F.col("label").alias("wl_label"))
+
+
+def katz_centrality(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 4,
+    beta: float = 0.05,
+    id_col: str = "node",
+    round_dp: Optional[int] = ROUND_DP,
+) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953): katz(v) = Σ_{t=1..K} β^t ·
+    walks_t(v), where walks_t(v) is the NUMBER of directed walks of
+    length t ending at v. The classic attenuated-influence ranking — a
+    page is important if many (short) walk chains reach it — and, unlike
+    PageRank, it needs no out-degree normalization and no dangling-mass
+    term, so the per-iteration state is an exact BIGINT walk count.
+
+    The reference never ranks its link graph (it stores outlinks at parse
+    time, see_html.erl:54-78, and ignores them for scoring); this is an
+    engine addition on the crawl graph.
+
+    Exactness: walk counts are integers (w_0 ≡ 1; w_t(v) = Σ_{u→v}
+    w_{t-1}(u)), so every iteration is partition-order-invariant BIGINT
+    arithmetic; floats enter only in the final Σ β^t·w_t, evaluated
+    left-associated in t-ascending order with Python-repr'd β^t literals
+    so an unrolled-CTE SQL oracle reproduces it bit-for-bit (then both
+    sides round to ``round_dp``).
+
+    Scale shape per iteration: ONE shuffle — edges join walk counts on
+    ``src`` (both sides hash-partitioned on the key) → groupBy ``dst``
+    integer sum (map-side combinable). Lineage cut per iteration with a
+    lazy localCheckpoint so K iterations don't stack plans. At 10^10
+    edges this is the same Pregel-equivalent shape as pagerank() above,
+    minus its dangling-scalar driver round-trip.
+    """
+    node = F.col(id_col).cast("long").alias("node")
+    nodes_n = nodes.select(node)
+    edges = edges.localCheckpoint(eager=False)
+
+    # state: (node, w BIGINT walk count, score DOUBLE running Katz sum)
+    state = nodes_n.select(
+        "node", F.lit(1).cast("long").alias("w"), F.lit(0.0).alias("score")
+    )
+    for t in range(1, n_iter + 1):
+        arriving = (
+            edges.join(
+                state.select(F.col("node").alias("src"), "w"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").cast("long").alias("w_next"))
+        )
+        state = (
+            state.select("node", "score")
+            .join(arriving, "node", "left")
+            .select(
+                "node",
+                F.coalesce("w_next", F.lit(0)).cast("long").alias("w"),
+                (
+                    F.col("score")
+                    + F.lit(beta ** t) * F.coalesce("w_next", F.lit(0))
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = state.select("node", F.col("w").alias("walks_last"), "score")
+    if round_dp is not None:
+        out = out.select(
+            "node", "walks_last", F.round("score", round_dp).alias("score")
+        )
+    return out
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_common: int = 2,
+    round_dp: Optional[int] = ROUND_DP,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg
+    2003): for every unordered node pair (a < b) sharing ≥ ``min_common``
+    neighbors in the UNDIRECTED simple graph, emit the three classic
+    scores — common-neighbor count, Jaccard |Γa∩Γb| / |Γa∪Γb| (exact
+    integer milli), and Adamic-Adar Σ_{w∈Γa∩Γb} 1/ln(deg(w)). The
+    crawl-side use is frontier prioritization: a candidate URL whose
+    neighborhood already overlaps a crawled cluster is likely in-topic
+    (the focused-crawl sibling of cocitation_pairs, which only counts
+    shared IN-links on the directed graph).
+
+    Scale shape: candidate pairs are generated ONLY through shared
+    neighbors — adjacency self-joined on the neighbor key (per-key
+    fan-out deg(w)², the same wedge bound as triangle_counts; a degree
+    cap upstream bounds hubs) → groupBy (a, b) with map-side-combinable
+    count/sum. Degrees join in by key; nothing is quadratic in N. The
+    existing-edge exclusion is one anti-join on the canonical pair.
+
+    Adamic-Adar determinism: the per-pair Σ 1/ln(deg) is a float sum
+    whose order varies across partitionings, so the output rounds to
+    ``round_dp`` (same rule as pagerank); ties in ranking consumers must
+    break on (a, b).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+        F.col("a").alias("node"), F.col("b").alias("nb")
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    # wedges through the shared neighbor w: (u, w) x (v, w), u < v
+    left = adj.select(F.col("nb").alias("w"), F.col("node").alias("u"))
+    right = adj.select(F.col("nb").alias("w"), F.col("node").alias("v"))
+    wedges = left.join(right, "w").where(F.col("u") < F.col("v"))
+    wdeg = deg.select(F.col("node").alias("w"), F.col("deg").alias("wdeg"))
+    pairs = (
+        wedges.join(wdeg, "w")
+        .groupBy(F.col("u").alias("a"), F.col("v").alias("b"))
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("wdeg"))).alias("adamic_adar"),
+        )
+        .where(F.col("common") >= F.lit(int(min_common)))
+    )
+    # drop already-linked pairs; attach endpoint degrees for Jaccard
+    pairs = pairs.join(und, ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    out = (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.expr("common * 1000 div (deg_a + deg_b - common)")
+            .cast("long")
+            .alias("jaccard_milli"),
+            F.col("adamic_adar"),
+        )
+    )
+    if round_dp is not None:
+        out = out.select(
+            "a",
+            "b",
+            "common",
+            "jaccard_milli",
+            F.round("adamic_adar", round_dp).alias("adamic_adar"),
+        )
+    return out
