@@ -10424,6 +10424,104 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_scd2_user_type(spark, sf_dir):
+    """Engine addition: SCD Type-2 version ledger (history.py:
+    scd2_versions) over each user's event_type observation stream —
+    consecutive equal observations collapse, a version opens per change;
+    ONE hash shuffle on the key, both windows share its partitioning."""
+    from see_spark.operators.history import scd2_versions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return scd2_versions(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="event_type",
+        tiebreak_col="event_id",
+    )
+
+
+def _q_late_events(spark, sf_dir):
+    """Engine addition: watermark-lateness audit (history.py:
+    late_events) — replay events in event_id arrival order, watermark =
+    exclusive prefix-max(event time) - 30s via the distributed
+    seq.with_prefix_max scan; per-minute tumbling counts."""
+    from see_spark.operators.history import late_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # synthetic events are ts-ordered by event_id, which makes lateness
+    # degenerate; scramble arrival by 60-bit md5 of the id (the repo's
+    # standard engine-portable hash) so the audit exercises real
+    # out-of-order arrival.
+    ev = ev.withColumn(
+        "arrival",
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    return late_events(
+        ev,
+        arrival_col="arrival",
+        ts_col="ts",
+        delay_us=30_000_000,
+        window_us=60_000_000,
+    )
+
+
+QUERIES_EXTRA.update(
+    {"scd2_user_type": _q_scd2_user_type, "late_events": _q_late_events}
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "scd2_user_type": """
+        WITH o AS (
+          SELECT user_id, ts, event_type, event_id,
+                 CASE WHEN LAG(event_type) OVER w IS NULL
+                           OR LAG(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        v AS (
+          SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+          FROM o),
+        g AS (
+          SELECT user_id AS key, ver, MIN(event_type) AS value,
+                 MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM v GROUP BY user_id, ver)
+        SELECT key, value, valid_from,
+               LEAD(valid_from) OVER wv AS valid_to,
+               (LEAD(valid_from) OVER wv IS NULL) AS is_current,
+               n_obs
+        FROM g WINDOW wv AS (PARTITION BY key ORDER BY ver)
+    """,
+        "late_events": """
+        WITH b AS (SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                           1, 15))::BIGINT AS arr,
+                          epoch_us(ts) AS ts_us FROM events),
+        s AS (SELECT ts_us,
+                     MAX(ts_us) OVER (ORDER BY arr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS seen
+              FROM b),
+        f AS (SELECT ts_us,
+                     (seen IS NOT NULL AND ts_us < seen - 30000000) AS late
+              FROM s)
+        SELECT CAST(ts_us - ((ts_us % 60000000) + 60000000) % 60000000
+                    AS BIGINT) AS window_start_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        FROM f GROUP BY 1
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

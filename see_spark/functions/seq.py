@@ -183,3 +183,68 @@ def with_prefix_sum(
         .withColumn(out_col, (F.col("__off") + F.col("__run")).cast("long"))
         .drop("__pid", "__run", "__off")
     )
+
+
+def with_prefix_max(
+    df: DataFrame,
+    value_col: str,
+    order_cols: List[str],
+    out_col: str = "prefix_max",
+    num_partitions: int | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Distributed prefix MAX scan of ``value_col`` (BIGINT) in the total
+    order ``order_cols`` — same two-phase shape as ``with_prefix_sum``:
+    range-partition on the order key, a partition-local running-max
+    window, then per-partition max offsets folded on the driver (one
+    scalar per partition, never row data) and injected as a literal map.
+
+    ``inclusive=False`` gives the EXCLUSIVE scan (max over strictly
+    preceding rows) — the streaming-watermark shape, where each row is
+    judged against state accumulated before it arrived. Rows with no
+    predecessor get NULL. ``order_cols`` must be tie-free.
+    """
+    from pyspark.sql import Window
+
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    ordered = ordered.localCheckpoint(eager=False)
+    hi = Window.currentRow if inclusive else -1
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = ordered.withColumn("__run", F.max(F.col(value_col)).over(w))
+    maxes = {
+        r["__pid"]: r["m"]
+        for r in ordered.groupBy("__pid")
+        .agg(F.max(value_col).alias("m"))
+        .collect()
+    }
+    offsets = []
+    acc = None  # max over all PRIOR partitions (exclusive of this one)
+    for pid in sorted(maxes):
+        offsets.append((pid, acc))
+        m = maxes[pid]
+        if m is not None and (acc is None or m > acc):
+            acc = m
+    pairs: List = []
+    for pid, off in offsets:
+        pairs += [F.lit(pid), F.lit(off).cast("long")]
+    if not pairs:
+        return local.drop("__pid", "__run").withColumn(
+            out_col, F.lit(None).cast("long")
+        ).filter(F.lit(False))
+    off_expr = F.element_at(F.create_map(*pairs), F.col("__pid"))
+    # greatest() skips NULLs (returns NULL only if ALL args are), which is
+    # exactly the scan identity: no-prior-partition -> local run alone, and
+    # first-row-exclusive (NULL local run) -> prior-partition max alone.
+    return local.withColumn(
+        out_col, F.greatest(off_expr, F.col("__run"))
+    ).drop("__pid", "__run")
