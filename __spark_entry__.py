@@ -10522,6 +10522,138 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_search_qlm(spark, sf_dir):
+    """Engine addition: Dirichlet query-likelihood ranking (search.py:
+    search_qlm) — the probabilistic-LM ranker family next to tf-idf and
+    BM25; OR semantics, rank-equivalent form, built-in length prior.
+    Score rounded to 9dp (ln + float sum are the non-exact ops)."""
+    from see_spark.operators.search import search_qlm
+
+    docs = _documents(spark, sf_dir)
+    res = search_qlm(
+        spark,
+        " ".join(_SEARCH_WORDS),
+        _doc_postings(spark, sf_dir),
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("source").alias("title"),
+        ),
+        mu=2000.0,
+    )
+    return res.select(F.col("url").alias("doc_id"), "score")
+
+
+def _q_search_rocchio(spark, sf_dir):
+    """Engine addition: Rocchio pseudo-relevance feedback (search.py:
+    search_rocchio) — conjunctive round-1 top-10 assumed relevant,
+    feedback weights rounded to 9dp BEFORE the top-5 expansion cut,
+    weighted disjunctive re-rank."""
+    from see_spark.operators.search import search_rocchio
+
+    docs = _documents(spark, sf_dir)
+    return search_rocchio(
+        spark,
+        " ".join(_SEARCH_WORDS),
+        _doc_postings(spark, sf_dir),
+        page_count=docs.count(),
+        fb_k=10,
+        n_exp=5,
+        alpha=1.0,
+        beta=0.5,
+    )
+
+
+QUERIES_EXTRA.update(
+    {"search_qlm": _q_search_qlm, "search_rocchio": _q_search_rocchio}
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        # Rank-equivalent Dirichlet QL, term-for-term search_qlm's
+        # expression; C and Qtot are corpus scalars (exact integers).
+        "search_qlm": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        c AS (SELECT CAST(SUM(doc_len) AS DOUBLE) AS c
+              FROM (SELECT DISTINCT doc_id, doc_len FROM postings)),
+        q AS (SELECT unnest(['table','join','query']) AS word, 1 AS qcount),
+        cf AS (SELECT word, CAST(SUM(term_count) AS BIGINT) AS cf
+               FROM postings JOIN q USING (word) GROUP BY word),
+        qt AS (SELECT CAST(SUM(q.qcount) AS DOUBLE) AS qtot
+               FROM q JOIN cf USING (word) WHERE cf.cf > 0),
+        matched AS (
+          SELECT p.doc_id, p.term_count, p.doc_len, q.qcount, cf.cf
+          FROM postings p JOIN q USING (word) JOIN cf USING (word)
+          WHERE cf.cf > 0),
+        scored AS (
+          SELECT doc_id,
+                 SUM(qcount * ln(1.0 + (term_count * (SELECT c FROM c))
+                                       / (2000.0 * cf))) AS s,
+                 MIN(doc_len) AS dl
+          FROM matched GROUP BY doc_id)
+        SELECT doc_id,
+               ROUND(s - (SELECT qtot FROM qt) * ln(dl + 2000.0), 9) AS score
+        FROM scored
+        ORDER BY (s - (SELECT qtot FROM qt) * ln(dl + 2000.0)) DESC,
+                 doc_id ASC
+        LIMIT 100
+    """,
+        # Two-round Rocchio: round-1 conjunctive tf-idf, feedback weights
+        # rounded to 9dp before the expansion cut, weighted OR re-rank.
+        "search_rocchio": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        q AS (SELECT unnest(['table','join','query']) AS word, 1 AS qcount),
+        df_q AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                 FROM postings JOIN q USING (word) GROUP BY word),
+        m1 AS (
+          SELECT p.doc_id, q.qcount, p.term_count, p.doc_len, d.df
+          FROM postings p JOIN q USING (word) JOIN df_q d USING (word)),
+        fb AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, COUNT(*) AS n_words,
+                   SUM(qcount * (term_count / doc_len)
+                       * ln((SELECT n FROM n) / (1.0 + df))) AS score
+            FROM m1 GROUP BY doc_id)
+          WHERE n_words = 3
+          ORDER BY score DESC, doc_id ASC LIMIT 10),
+        fbp AS (
+          SELECT p.doc_id, p.word, p.term_count, p.doc_len
+          FROM postings p JOIN fb USING (doc_id)
+          WHERE p.word NOT IN (SELECT word FROM q)),
+        df_c AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+                 FROM postings WHERE word IN (SELECT word FROM fbp)
+                 GROUP BY word),
+        wfb AS (
+          SELECT f.word,
+                 ROUND(SUM((f.term_count / f.doc_len)
+                           * ln((SELECT n FROM n) / (1.0 + d.df))), 9)
+                   AS w_fb,
+                 MIN(d.df) AS df
+          FROM fbp f JOIN df_c d USING (word) GROUP BY f.word),
+        exp AS (SELECT word, 0.5 * w_fb / 10.0 AS weight, df
+                FROM wfb ORDER BY w_fb DESC, word ASC LIMIT 5),
+        qw AS (SELECT q.word, 1.0 * q.qcount AS weight, d.df
+               FROM q JOIN df_q d USING (word)),
+        weights AS (SELECT * FROM qw UNION ALL SELECT * FROM exp),
+        m2 AS (
+          SELECT p.doc_id, w.weight, p.term_count, p.doc_len, w.df
+          FROM postings p JOIN weights w USING (word)),
+        scored AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                 SUM(weight * (term_count / doc_len)
+                     * ln((SELECT n FROM n) / (1.0 + df))) AS score
+          FROM m2 GROUP BY doc_id)
+        SELECT doc_id, ROUND(score, 9) AS score, n_words
+        FROM scored
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -1132,3 +1132,284 @@ def facet_counts(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def search_qlm(
+    spark: SparkSession,
+    query: str,
+    postings: DataFrame,
+    docs: DataFrame,
+    k: int = MAX_RESULTS,
+    mu: float = 2000.0,
+    corpus_tokens: Optional[int] = None,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001)
+    — the probabilistic-LM family, the third classic ranker next to
+    tf-idf (the reference's only one, see_rank_tfidf.erl) and BM25.
+
+    Full QL scores ln Π_w ((tf + μ·p_c(w)) / (dl + μ))^qcount with
+    collection model p_c(w) = cf(w)/C. This returns the standard
+    rank-equivalent form with the document-independent constant
+    Σ qcount·ln(μ·p_c) dropped:
+
+      score(d) = Σ_{w matched} qcount·ln(1 + tf·C/(μ·cf(w)))
+                 − Qtot·ln(dl + μ)
+
+    over OR-matched candidates (docs containing ≥1 query term), where
+    Qtot = Σ qcount over query words present in the corpus; unseen query
+    words are dropped (p_c = 0 would send every score to −∞ — the
+    standard treatment). Note the second term PENALIZES long documents:
+    QL has a built-in length prior that tf-idf lacks.
+
+    Scale shape, same as ``search``: broadcast query literal, cf per
+    word from a SEMI-JOINED aggregate (never the full postings table —
+    the round-2 plan lesson), matched join broadcasts the ≤|q|-row cf
+    relation, one doc_id shuffle, TakeOrderedAndProject top-k. ``C``
+    (corpus token count) is a per-corpus scalar — pass the materialized
+    value in production; else one distinct-doc aggregate computes it.
+    Scores round to ``round_dp`` (ln + float sum are the non-exact ops).
+    """
+    words = extract_words(query)
+    if not words:
+        return spark.createDataFrame(
+            [], "url string, title string, score double"
+        )
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    qdf = F.broadcast(
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).alias("word"),
+                            F.lit(c).cast("int").alias("qcount"),
+                        )
+                        for w, c in counts.items()
+                    ]
+                )
+            ).alias("__q")
+        )
+        .select("__q.word", "__q.qcount")
+    )
+    if corpus_tokens is None:
+        corpus_tokens = int(
+            postings.select("doc_id", "doc_len")
+            .distinct()
+            .agg(F.coalesce(F.sum("doc_len"), F.lit(0)))
+            .collect()[0][0]
+        )
+    cf_rows = (
+        postings.join(qdf.select("word"), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.sum("term_count").cast("long").alias("cf"))
+        .collect()
+    )
+    cf_by_word = {r["word"]: r["cf"] for r in cf_rows}
+    q_tot = sum(c for w, c in counts.items() if cf_by_word.get(w, 0) > 0)
+    if q_tot == 0:
+        return spark.createDataFrame(
+            [], "url string, title string, score double"
+        )
+    cdf = F.broadcast(
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).alias("word"),
+                            F.lit(int(cf)).cast("long").alias("cf"),
+                        )
+                        for w, cf in sorted(cf_by_word.items())
+                        if cf > 0
+                    ]
+                )
+            ).alias("__c")
+        )
+        .select("__c.word", "__c.cf")
+    )
+    matched = postings.join(qdf, "word").join(cdf, "word")
+    scored = matched.groupBy("doc_id").agg(
+        F.sum(
+            F.col("qcount")
+            * F.log(
+                F.lit(1.0)
+                + (F.col("term_count") * F.lit(float(corpus_tokens)))
+                / (F.lit(float(mu)) * F.col("cf"))
+            )
+        ).alias("__s"),
+        F.first("doc_len").alias("__dl"),
+    )
+    scored = scored.select(
+        "doc_id",
+        (
+            F.col("__s")
+            - F.lit(float(q_tot)) * F.log(F.col("__dl") + F.lit(float(mu)))
+        ).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        top.join(docs.select(F.col("doc_id"), F.col("title")), "doc_id")
+        .select(
+            F.col("doc_id").alias("url"),
+            "title",
+            F.round("score", round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
+def search_rocchio(
+    spark: SparkSession,
+    query: str,
+    postings: DataFrame,
+    page_count: int,
+    k: int = MAX_RESULTS,
+    fb_k: int = 10,
+    n_exp: int = 5,
+    alpha: float = 1.0,
+    beta: float = 0.5,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (Rocchio 1971 / standard PRF):
+    run the conjunctive tf-idf ranking, assume the top ``fb_k`` results
+    relevant, move the query vector toward their centroid, re-rank.
+
+      1. round 1 = ``search`` scoring (AND, tf·idf, pinned tie-break)
+         → top fb_k doc ids.
+      2. feedback weight per non-query term t in those docs:
+         w_fb(t) = Σ_{d ∈ fb} tf(t,d)·idf(t), idf = ln(N/(1+df)) —
+         rounded to ``round_dp`` BEFORE selection so the top-``n_exp``
+         cut (desc weight, word asc) is float-order deterministic.
+      3. expanded query: original words at α·qcount, expansion words at
+         β·w_fb/fb_k; final score(d) = Σ_w weight_w·tf(w,d)·idf(w) over
+         OR-matched docs (expansion makes AND meaningless).
+
+    Returns (doc_id, score, n_words). Scale shape: the feedback docs are
+    a ≤fb_k-row broadcast; candidate terms come from ONE semi-join of
+    postings against it (a fb_k-doc slice, not the corpus); their dfs
+    from a semi-joined aggregate; the final weight relation is ≤
+    |q|+n_exp rows, broadcast into the scoring join. Two doc_id
+    shuffles total (round-1 scoring + final scoring); everything else
+    is broadcast.
+    """
+    words = extract_words(query)
+    if not words:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, n_words long"
+        )
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    qdf = F.broadcast(
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).alias("word"),
+                            F.lit(c).cast("int").alias("qcount"),
+                        )
+                        for w, c in counts.items()
+                    ]
+                )
+            ).alias("__q")
+        )
+        .select("__q.word", "__q.qcount")
+    )
+    n_distinct = len(counts)
+    n_lit = F.lit(float(page_count))
+
+    def _idf(df_col):
+        return F.log(n_lit / (F.lit(1.0) + df_col))
+
+    # round 1: conjunctive tf-idf over query words
+    df_q = F.broadcast(
+        postings.join(qdf.select("word"), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    m1 = postings.join(qdf, "word").join(df_q, "word")
+    fb = F.broadcast(
+        m1.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(
+                F.col("qcount")
+                * (F.col("term_count") / F.col("doc_len"))
+                * _idf(F.col("df"))
+            ).alias("score"),
+        )
+        .filter(F.col("n_words") == n_distinct)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(fb_k)
+        .select("doc_id")
+    )
+    # candidate expansion terms: postings restricted to the fb docs,
+    # minus the original query words
+    fb_postings = postings.join(fb, "doc_id").join(
+        qdf.select("word"), "word", "left_anti"
+    )
+    df_c = F.broadcast(
+        postings.join(
+            F.broadcast(fb_postings.select("word").distinct()),
+            "word",
+            "left_semi",
+        )
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    wfb = (
+        fb_postings.join(df_c, "word")
+        .groupBy("word")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("term_count") / F.col("doc_len"))
+                    * _idf(F.col("df"))
+                ),
+                round_dp,
+            ).alias("w_fb"),
+            F.first("df").alias("df"),
+        )
+    )
+    exp_terms = F.broadcast(
+        wfb.orderBy(F.desc("w_fb"), F.asc("word"))
+        .limit(n_exp)
+        .select(
+            "word",
+            (F.lit(float(beta)) * F.col("w_fb") / F.lit(float(fb_k))).alias(
+                "weight"
+            ),
+            "df",
+        )
+    )
+    q_weights = qdf.join(df_q, "word").select(
+        "word",
+        (F.lit(float(alpha)) * F.col("qcount")).alias("weight"),
+        "df",
+    )
+    weights = F.broadcast(q_weights.unionByName(exp_terms))
+    m2 = postings.join(weights, "word")
+    out = (
+        m2.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(
+                F.col("weight")
+                * (F.col("term_count") / F.col("doc_len"))
+                * _idf(F.col("df"))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id", F.round("score", round_dp).alias("score"), "n_words"
+        )
+    )
+    return out
