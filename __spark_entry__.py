@@ -10654,6 +10654,64 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_sorted_neighborhood(spark, sf_dir):
+    """Engine addition: sorted-neighborhood dedup blocking (dedup.py:
+    sorted_neighborhood_pairs, Hernandez-Stolfo merge/purge) over the
+    dup-injected corpus — blocking key = first 16 chars of lowered text
+    (exact dups sort adjacent), window 3, exact distinct-token Jaccard
+    verification on in-window candidates only."""
+    from see_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = _dup_corpus(spark, sf_dir).withColumn(
+        "snm_key", F.lower(F.substring(F.col("text"), 1, 16))
+    )
+    return sorted_neighborhood_pairs(docs, key_col="snm_key", window=3)
+
+
+QUERIES_EXTRA.update({"sorted_neighborhood": _q_sorted_neighborhood})
+
+
+ORACLES_EXTRA.update(
+    {
+        "sorted_neighborhood": f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        keyed AS (SELECT doc_id AS id,
+                         lower(substr(text, 1, 16)) AS key, text
+                  FROM corpus),
+        ranked AS (SELECT id, key, text,
+                          ROW_NUMBER() OVER (ORDER BY key, id) - 1 AS rn
+                   FROM keyed),
+        pairs AS (
+          SELECT l.id AS a, r.id AS b, l.key AS key_a, r.key AS key_b
+          FROM ranked l JOIN ranked r
+            ON r.rn BETWEEN l.rn + 1 AND l.rn + 2),
+        toks AS (SELECT DISTINCT id,
+                        unnest(string_split(text, ' ')) AS word
+                 FROM keyed),
+        sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
+                  FROM toks GROUP BY id),
+        inter AS (SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS inter
+                  FROM pairs p
+                  JOIN toks ta ON ta.id = p.a
+                  JOIN toks tb ON tb.id = p.b AND tb.word = ta.word
+                  GROUP BY p.a, p.b)
+        SELECT p.a, p.b, p.key_a, p.key_b,
+               CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+               sa.sz AS size_a, sb.sz AS size_b,
+               CAST(COALESCE(i.inter, 0) * 1000
+                    // (sa.sz + sb.sz - COALESCE(i.inter, 0)) AS BIGINT)
+                 AS jaccard_milli
+        FROM pairs p
+        LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+        JOIN sizes sa ON sa.id = p.a
+        JOIN sizes sb ON sb.id = p.b
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -751,3 +751,94 @@ def lsh_eval(
             .alias("candidate_precision_milli"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    key_col: str,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernández & Stolfo 1995
+    merge/purge): sort the corpus by a blocking key, slide a window of
+    ``window`` rows, and verify ONLY pairs that fall inside a window —
+    the third classic blocking family next to LSH banding
+    (minhash_lsh_pairs) and shingle-df-capped shingle joins
+    (ngram_jaccard_pairs). Where LSH recall depends on banding
+    probability, SNM recall depends on the key: near-duplicates whose
+    keys sort adjacently are always compared.
+
+    Distributed shape: the global sort rank comes from
+    ``seq.with_dense_sequence`` (range partition + per-partition offsets
+    — never a single-partition window), and the slide is ``window−1``
+    EQUI-joins on rank+j (never an inequality/range join), so window
+    pairs that span range-partition boundaries are found by the join —
+    the classic SNM parallelization pitfall handled by construction.
+    Verification computes exact distinct-token Jaccard per candidate
+    (two bounded joins through the token key; cost O(pairs·doc_len),
+    never corpus-quadratic).
+
+    Returns (a, b, key_a, key_b, inter, size_a, size_b, jaccard_milli)
+    for every in-window candidate pair, a < b by sort rank. Tokens are
+    single-space splits of ``text_col`` (engine-portable; swap in the
+    tokenizer upstream if needed).
+    """
+    from ..functions.seq import with_dense_sequence
+
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(key_col).alias("key"),
+    )
+    ranked = with_dense_sequence(keyed, ["key", "id"], out_col="rank")
+    ranked = ranked.localCheckpoint(eager=False)
+    left = ranked.select(
+        F.col("id").alias("a"), F.col("key").alias("key_a"), "rank"
+    )
+    shifted = None
+    for j in range(1, int(window)):
+        r = ranked.select(
+            F.col("id").alias("b"),
+            F.col("key").alias("key_b"),
+            (F.col("rank") - F.lit(j)).alias("rank"),
+        )
+        part = left.join(r, "rank").drop("rank")
+        shifted = part if shifted is None else shifted.unionByName(part)
+    toks = (
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+    inter = (
+        shifted.join(
+            toks.select(F.col("id").alias("a"), "word"), "a"
+        )
+        .join(toks.select(F.col("id").alias("b"), "word"), ["b", "word"])
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    out = (
+        shifted.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("size_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("size_b")), "b")
+        .select(
+            "a",
+            "b",
+            "key_a",
+            "key_b",
+            F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+            "size_a",
+            "size_b",
+            F.expr(
+                "coalesce(inter, 0) * 1000"
+                " div (size_a + size_b - coalesce(inter, 0))"
+            )
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )
+    return out
