@@ -10712,6 +10712,75 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_classifier_calibration(spark, sf_dir):
+    """Engine addition: reliability-diagram calibration audit
+    (evaluation.py:calibration_bins) over the trained quality
+    classifier's fixed-point probabilities — all-BIGINT bins, observed
+    vs predicted rate per decile, unnormalized ECE gap."""
+    from see_spark.operators.evaluation import calibration_bins
+
+    scored = _q_quality_classifier(spark, sf_dir)
+    return calibration_bins(scored, p_col="p_fp", label_col="y")
+
+
+def _q_feature_hashing(spark, sf_dir):
+    """Engine addition: signed feature hashing (classifier.py:
+    featurize_hashing, Weinberger 2009) — token counts folded to 64
+    signed dimensions, sparse non-zero rows, exact integers."""
+    from see_spark.operators.classifier import featurize_hashing
+
+    return featurize_hashing(_documents(spark, sf_dir), n_buckets=64)
+
+
+QUERIES_EXTRA.update(
+    {
+        "classifier_calibration": _q_classifier_calibration,
+        "feature_hashing": _q_feature_hashing,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        # wraps the full unrolled classifier-training oracle as a CTE
+        "classifier_calibration": f"""
+        WITH scored AS ({_classifier_oracle_sql(8)}),
+        binned AS (
+          SELECT LEAST(p_fp * 10 // 1048576, 9) AS bin, p_fp, y
+          FROM scored)
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(p_fp) AS BIGINT) AS sum_p,
+               CAST(SUM(y) * 1000 // COUNT(*) AS BIGINT) AS obs_milli,
+               CAST(SUM(p_fp) * 1000 // (COUNT(*) * 1048576) AS BIGINT)
+                 AS pred_milli,
+               CAST(abs(SUM(y) * 1048576 - SUM(p_fp)) AS BIGINT) AS gap_fp
+        FROM binned GROUP BY bin
+    """,
+        "feature_hashing": """
+        WITH toks AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS bucket,
+                 CASE WHEN ('0x' || substr(md5('s:' || tok), 1, 1))::BIGINT
+                           % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM toks)
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+               CAST(SUM(s) AS BIGINT) AS value
+        FROM h GROUP BY doc_id, bucket
+        HAVING SUM(s) <> 0
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -192,3 +192,52 @@ def train_and_score(
     return scored.join(labels, "doc_id").select(
         "doc_id", "y", "z_int", "p_fp", "predicted"
     )
+
+
+def featurize_hashing(
+    docs: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signed feature hashing (the hashing trick, Weinberger et al.
+    2009): token COUNTS folded into ``n_buckets`` dimensions with a
+    ±1 sign from an independent hash, so collisions cancel in
+    expectation and inner products are unbiased — the standard
+    fixed-width featurization for training linear models over unbounded
+    vocabularies (``featurize_presence`` above is its unsigned
+    presence-only cousin used by the quantized trainer).
+
+    bucket(tok) = md5(tok)[:4 hex] mod n_buckets;
+    sign(tok)   = +1 if md5('s:'+tok)[0 hex] is even else −1;
+    value(doc, b) = Σ_{tok: bucket=b} sign(tok)·count(doc, tok).
+
+    Returns sparse (doc_id, bucket, value) rows, value ≠ 0 (exact
+    cancellations are dropped — the sparse-vector contract). All BIGINT,
+    engine-portable. ONE token explode + ONE map-side-combinable
+    aggregate; no shuffle wider than (doc_id, bucket).
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+        % F.lit(int(n_buckets))
+    )
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("s:"), F.col("tok"))), 1, 1),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("__s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("__s").cast("long").alias("value"))
+        .where(F.col("value") != 0)
+    )

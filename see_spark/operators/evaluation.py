@@ -173,3 +173,66 @@ def rank_agreement(
             * F.expr("(1000 * abs(__ktnum)) div __ktden")
         ).cast("long").alias("kendall_milli"),
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    p_col: str = "p_fp",
+    label_col: str = "y",
+    scale: int = 1 << 20,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins + per-bin ECE contribution for a
+    probabilistic classifier (Guo et al. 2017 calibration shape) — the
+    audit a filtering pipeline runs before trusting a quality
+    classifier's threshold: a model can be accurate yet badly
+    calibrated, and corpus filtering at p >= t is only meaningful if p
+    tracks the observed keep rate.
+
+    Input: one row per doc with an integer fixed-point probability
+    ``p_col`` in [0, scale) and binary ``label_col``. All outputs are
+    exact BIGINT arithmetic (no float path):
+
+      (bin, n, n_pos, sum_p, obs_milli, pred_milli, gap_fp)
+
+    bin = least(p·n_bins div scale, n_bins−1); obs_milli = observed
+    positive rate; pred_milli = mean predicted probability; gap_fp =
+    |n_pos·scale − sum_p| — the unnormalized calibration gap, so
+    ECE_fp = Σ gap_fp / (N·scale) is exactly derivable downstream.
+
+    Scale shape: ONE map-side-combinable aggregate over the bin key
+    (≤ n_bins groups); nothing else.
+    """
+    binned = scored.select(
+        F.least(
+            F.expr(f"{p_col} * {int(n_bins)} div {int(scale)}"),
+            F.lit(int(n_bins) - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        F.col(p_col).cast("long").alias("__p"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.sum("__p").cast("long").alias("sum_p"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "sum_p",
+            F.expr("n_pos * 1000 div n").cast("long").alias("obs_milli"),
+            F.expr(f"sum_p * 1000 div (n * {int(scale)})")
+            .cast("long")
+            .alias("pred_milli"),
+            F.abs(
+                F.col("n_pos") * F.lit(int(scale)) - F.col("sum_p")
+            )
+            .cast("long")
+            .alias("gap_fp"),
+        )
+    )
