@@ -10781,6 +10781,112 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_pmi_collocations(spark, sf_dir):
+    """Engine addition: top-50 PMI collocations (textfilters.py:
+    pmi_collocations, Church & Hanks 1990) — association-ranked bigrams
+    with the min-count guard; k-cut ordered by ROUNDED pmi."""
+    from see_spark.operators.textfilters import pmi_collocations
+
+    return pmi_collocations(_documents(spark, sf_dir), k=50, min_count=5)
+
+
+QUERIES_EXTRA.update({"pmi_collocations": _q_pmi_collocations})
+
+
+ORACLES_EXTRA.update(
+    {
+        "pmi_collocations": """
+        WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        uni AS (SELECT unnest(t) AS w FROM toks),
+        uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+        tt AS (SELECT CAST(COALESCE(SUM(len(t)), 0) AS DOUBLE) AS t_tot,
+                      CAST(COALESCE(SUM(GREATEST(len(t) - 1, 0)), 0)
+                           AS DOUBLE) AS b_tot
+               FROM toks),
+        bg AS (
+          SELECT t[i] || ' ' || t[i + 1] AS bigram
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+          WHERE len(t) >= 2),
+        bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+               FROM bg GROUP BY bigram HAVING COUNT(*) >= 5),
+        sp AS (SELECT bigram, c_ab,
+                      string_split(bigram, ' ')[1] AS w1,
+                      string_split(bigram, ' ')[2] AS w2
+               FROM bc)
+        SELECT sp.bigram, sp.c_ab, a.c AS c_a, b.c AS c_b,
+               ROUND(ln((sp.c_ab * (SELECT t_tot FROM tt)
+                         * (SELECT t_tot FROM tt))
+                        / ((SELECT b_tot FROM tt) * a.c * b.c)), 9) AS pmi
+        FROM sp JOIN uc a ON a.w = sp.w1 JOIN uc b ON b.w = sp.w2
+        ORDER BY pmi DESC, sp.bigram ASC LIMIT 50
+    """,
+    }
+)
+
+
+
+
+def _q_dedup_quality_b3(spark, sf_dir):
+    """Engine addition: B-cubed clustering evaluation (evaluation.py:
+    b3_cluster_quality) of the MinHash-LSH dedup clusters against exact
+    text-duplicate ground truth over the dup-injected corpus — the
+    glue-vs-shatter quality audit on the dedup pipeline itself."""
+    from see_spark.operators.evaluation import b3_cluster_quality
+
+    clusters = _q_dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("cluster")
+    )
+    truth = _dup_corpus(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.col("text")).alias("truth"),
+    )
+    assign = clusters.join(truth, "doc_id").select(
+        F.col("doc_id").alias("id"), "cluster", "truth"
+    )
+    return b3_cluster_quality(assign)
+
+
+QUERIES_EXTRA.update({"dedup_quality_b3": _q_dedup_quality_b3})
+
+
+ORACLES_EXTRA.update(
+    {
+        # composes the full recursive dedup_clusters oracle as a
+        # derived table, then the B3 contingency fold on top
+        "dedup_quality_b3": f"""
+        WITH clusters AS ({ORACLES_EXTRA["dedup_clusters"]}),
+        corpus AS ({_DUP_CORPUS_SQL}),
+        assign AS (
+          SELECT c.doc_id AS id, c.cluster_id AS cluster,
+                 md5(k.text) AS truth
+          FROM clusters c JOIN corpus k USING (doc_id)),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM assign),
+        csz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM assign GROUP BY cluster),
+        tsz AS (SELECT truth, CAST(COUNT(*) AS BIGINT) AS truth_size
+                FROM assign GROUP BY truth),
+        blocks AS (SELECT cluster, truth, CAST(COUNT(*) AS BIGINT) AS inter
+                   FROM assign GROUP BY cluster, truth),
+        sums AS (
+          SELECT SUM((b.inter * b.inter) / c.cluster_size) AS sp,
+                 SUM((b.inter * b.inter) / t.truth_size) AS sr
+          FROM blocks b JOIN csz c USING (cluster) JOIN tsz t USING (truth)),
+        pr AS (
+          SELECT ROUND(sp / (SELECT n FROM nn), 9) AS p,
+                 ROUND(sr / (SELECT n FROM nn), 9) AS r
+          FROM sums)
+        SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_items,
+               p AS b3_precision, r AS b3_recall,
+               CASE WHEN p + r = 0.0 THEN 0.0
+                    ELSE ROUND(2.0 * p * r / (p + r), 9) END AS b3_f1
+        FROM pr
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -236,3 +236,70 @@ def calibration_bins(
             .alias("gap_fp"),
         )
     )
+
+
+def b3_cluster_quality(
+    assign: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    truth_col: str = "truth",
+    round_dp: int = 9,
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998; Amigó et al.
+    2009 showed it's the extrinsic metric satisfying all four clustering
+    constraints) of a predicted clustering against ground truth — the
+    audit a dedup pipeline runs on its LSH clusters against exact-dup
+    groups: B³ precision drops when a cluster glues unrelated docs,
+    recall drops when one true group is shattered.
+
+      B³P = (1/N) Σ_items |C(i) ∩ T(i)| / |C(i)|
+          = (1/N) Σ_{(c,t) blocks} inter² / cluster_size
+      B³R symmetric over truth_size; F1 harmonic from the ROUNDED P/R
+      (pinned so both engines derive it from identical inputs).
+
+    Input: one row per item (id, cluster, truth). Output: ONE row
+    (n_items, b3_precision, b3_recall, b3_f1), doubles rounded to
+    ``round_dp``.
+
+    Scale shape: three map-side-combinable aggregates (cluster sizes,
+    truth sizes, (cluster, truth) contingency blocks — the contingency
+    table is at most min(#clusters, #truths) blocks per side, never
+    item-quadratic), two key joins, one scalar fold.
+    """
+    n = assign.count()
+    csz = assign.groupBy(cluster_col).agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    tsz = assign.groupBy(truth_col).agg(
+        F.count("*").cast("long").alias("truth_size")
+    )
+    blocks = assign.groupBy(cluster_col, truth_col).agg(
+        F.count("*").cast("long").alias("inter")
+    )
+    joined = blocks.join(csz, cluster_col).join(tsz, truth_col)
+    sums = joined.agg(
+        F.sum(
+            (F.col("inter") * F.col("inter")) / F.col("cluster_size")
+        ).alias("sp"),
+        F.sum(
+            (F.col("inter") * F.col("inter")) / F.col("truth_size")
+        ).alias("sr"),
+    )
+    pr = sums.select(
+        F.round(F.col("sp") / F.lit(float(n)), round_dp).alias("p"),
+        F.round(F.col("sr") / F.lit(float(n)), round_dp).alias("r"),
+    )
+    return pr.select(
+        F.lit(int(n)).cast("long").alias("n_items"),
+        F.col("p").alias("b3_precision"),
+        F.col("r").alias("b3_recall"),
+        F.when(F.col("p") + F.col("r") == 0.0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(2.0) * F.col("p") * F.col("r")
+                / (F.col("p") + F.col("r")),
+                round_dp,
+            )
+        )
+        .alias("b3_f1"),
+    )

@@ -461,3 +461,96 @@ def c4_filters(
         ).alias("keep"),
         F.md5(F.array_join(kept, nl)).alias("kept_md5"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990) — ASSOCIATION-ranked bigrams, the classic complement to
+    the frequency-ranked ``top_bigrams`` above: "new york" beats "of
+    the" because PMI normalizes by unigram frequency.
+
+      pmi(a,b) = ln( c(ab)·T·T / (B·c(a)·c(b)) )
+
+    with c(ab) adjacent-bigram count, c(·) unigram counts, T total
+    tokens, B total bigrams — probabilities p(ab)=c(ab)/B and
+    p(·)=c(·)/T. The ln argument is a ratio of exact BIGINTs (products
+    stay far under 2^53 at any df-capped corpus), so both engines see
+    the identical double; ordering uses the ROUNDED pmi (desc, then
+    bigram asc) so the k-cut is float-order deterministic. ``min_count``
+    drops rare bigrams — the standard PMI low-frequency guard (a
+    1-occurrence pair of two hapaxes would otherwise top the list).
+
+    Scale shape: two map-side-combinable count shuffles (bigrams,
+    unigrams), unigram counts broadcast-joined onto the ≥min_count
+    bigram slice, TakeOrderedAndProject k-cut. T and B are one-row
+    scalar aggregates.
+    """
+    toks = docs.select(_toks(text_col).alias("__t"))
+    toks = toks.localCheckpoint(eager=False)
+    uni = toks.select(F.explode("__t").alias("w")).groupBy("w").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    big = (
+        toks.select(F.explode(_bigrams(F.col("__t"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= F.lit(int(min_count)))
+    )
+    t_tot = int(
+        toks.select(F.coalesce(F.sum(F.size("__t")), F.lit(0)).alias("s"))
+        .collect()[0]["s"]
+    )
+    b_tot = int(
+        toks.select(
+            F.coalesce(
+                F.sum(F.greatest(F.size("__t") - 1, F.lit(0))), F.lit(0)
+            ).alias("s")
+        ).collect()[0]["s"]
+    )
+    parts = F.split(F.col("bigram"), " ")
+    split = big.select(
+        "bigram",
+        "c_ab",
+        parts.getItem(0).alias("__w1"),
+        parts.getItem(1).alias("__w2"),
+    )
+    ua = uni.select(F.col("w").alias("__w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("__w2"), F.col("c").alias("c_b"))
+    # NOT forced broadcast: the unigram relation is vocabulary-sized
+    # (10^8+ at web scale) — equi-joins on the word key, AQE picks the
+    # strategy (broadcast at test scale, sort-merge at corpus scale).
+    scored = (
+        split.join(ua, "__w1")
+        .join(ub, "__w2")
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log(
+                    (
+                        F.col("c_ab")
+                        * F.lit(float(t_tot))
+                        * F.lit(float(t_tot))
+                    )
+                    / (
+                        F.lit(float(b_tot))
+                        * F.col("c_a")
+                        * F.col("c_b")
+                    )
+                ),
+                round_dp,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("bigram")
+    ).limit(k)
