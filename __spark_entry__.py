@@ -10887,6 +10887,87 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_media_ahash(spark, sf_dir):
+    """Engine addition: perceptual average-hash (multimodal.py:ahash) —
+    60-bit mean-threshold fingerprint over the deterministic media
+    payload buffer, pure-Catalyst HOF expressions, integer-exact."""
+    from see_spark.operators.multimodal import ahash, media_from_documents
+
+    return ahash(media_from_documents(_documents(spark, sf_dir)))
+
+
+def _q_media_phash_pairs(spark, sf_dir):
+    """Engine addition: media near-dup pairs by perceptual-hash Hamming
+    distance (multimodal.py:ahash_near_dup_pairs) over the dup-injected
+    corpus as media payloads — pigeonhole banding (4x15 bits), exact
+    bit_count verify, Hamming <= 3."""
+    from see_spark.operators.multimodal import ahash_near_dup_pairs
+
+    media = _dup_corpus(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return ahash_near_dup_pairs(media, max_hamming=3)
+
+
+QUERIES_EXTRA.update(
+    {"media_ahash": _q_media_ahash, "media_phash_pairs": _q_media_phash_pairs}
+)
+
+
+_AHASH_SQL = """
+          SELECT media_id, n AS n_bytes,
+                 CAST(COALESCE(list_sum(list_transform(range(0, 60), j ->
+                        CASE WHEN COALESCE(list_sum(
+                                    b[(j*n//60 + 1):((j+1)*n//60)]), 0) * n
+                                  > total * ((j+1)*n//60 - j*n//60)
+                             THEN (CAST(1 AS BIGINT) << (59 - j))
+                             ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
+                   AS ahash
+          FROM (SELECT media_id, b, n, COALESCE(list_sum(b), 0) AS total
+                FROM (SELECT media_id,
+                             list_transform(string_split(text, ''),
+                                            c -> CAST(ascii(c) AS BIGINT))
+                               AS b,
+                             CAST(length(text) AS BIGINT) AS n
+                      FROM __MEDIA__))
+"""
+
+
+ORACLES_EXTRA.update(
+    {
+        "media_ahash": _AHASH_SQL.replace(
+            "__MEDIA__",
+            "(SELECT CAST(doc_id AS VARCHAR) AS media_id, text"
+            " FROM documents)",
+        ),
+        "media_phash_pairs": f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        h AS ({_AHASH_SQL.replace(
+            "__MEDIA__",
+            "(SELECT CAST(doc_id AS VARCHAR) AS media_id, text FROM corpus)",
+        )}),
+        banded AS (
+          SELECT media_id, ahash, j AS band,
+                 (ahash >> (j * 15)) & 32767 AS band_key
+          FROM h, LATERAL (SELECT unnest(range(0, 4)) AS j)),
+        cands AS (
+          SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                          a.ahash AS ha, b.ahash AS hb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.media_id < b.media_id)
+        SELECT media_a, media_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cands
+        WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

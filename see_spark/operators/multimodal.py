@@ -302,3 +302,130 @@ def media_reuse(spans: DataFrame) -> DataFrame:
         )
         .withColumn("shared", F.col("n_docs") > 1)
     )
+
+
+def ahash(
+    media: DataFrame,
+    n_blocks: int = 60,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual average-hash (aHash — the classic 8×8 mean-threshold
+    image fingerprint) over the decoded sample buffer: split the buffer
+    into ``n_blocks`` contiguous blocks, bit_j = (block mean > global
+    mean), pack MSB-first into one BIGINT. Visually-near-identical media
+    (re-encodes, small edits) land within a few Hamming bits — the
+    media-side sibling of text SimHash.
+
+    Here the buffer is the raw payload bytes (the documented
+    deterministic stand-in — multimodal module docstring: real
+    image/audio decodes would feed grayscale pixels/PCM through the SAME
+    shape, only the buffer source changes). 60 bits, not 64, to stay
+    inside signed-BIGINT shift arithmetic portably (the repo's hash60
+    convention). The mean comparison is cross-multiplied integers
+    (block_sum·n > total·block_len) — no float path, and zero-length
+    blocks (n < n_blocks) naturally hash to 0-bits.
+
+    Pure Catalyst (hex + HOF expressions, no Python worker); one
+    projection, no shuffle. Returns (media_id, n_bytes, ahash).
+    """
+    nb = int(n_blocks)
+    m = media.select(
+        F.col(id_col).alias("media_id"),
+        F.col(payload_col).alias("__p"),
+    )
+    m = (
+        m.withColumn("__h", F.hex("__p"))
+        .withColumn("__n", F.octet_length("__p").cast("long"))
+        .withColumn(
+            "__bytes",
+            F.expr(
+                "IF(__n = 0, array(), transform(sequence(1, __n), "
+                "i -> cast(conv(substr(__h, cast(2*i-1 as int), 2), 16, 10)"
+                " as bigint)))"
+            ),
+        )
+        .withColumn(
+            "__total", F.expr("aggregate(__bytes, 0L, (a, x) -> a + x)")
+        )
+        .withColumn(
+            "__blocks",
+            F.expr(
+                f"transform(sequence(0, {nb - 1}), j -> struct("
+                f"aggregate(slice(__bytes, cast(j*__n div {nb} + 1 as int),"
+                f" cast((j+1)*__n div {nb} - j*__n div {nb} as int)),"
+                " 0L, (a, x) -> a + x) as s,"
+                f" (j+1)*__n div {nb} - j*__n div {nb} as l))"
+            ),
+        )
+    )
+    return m.select(
+        "media_id",
+        F.col("__n").alias("n_bytes"),
+        F.expr(
+            f"aggregate(transform(sequence(0, {nb - 1}), "
+            "j -> IF(element_at(__blocks, cast(j+1 as int)).s * __n"
+            " > __total * element_at(__blocks, cast(j+1 as int)).l,"
+            f" shiftleft(1L, cast({nb - 1} - j as int)), 0L)),"
+            " 0L, (a, x) -> a + x)"
+        )
+        .cast("long")
+        .alias("ahash"),
+    )
+
+
+def ahash_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 60,
+    bands: int | None = None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Media near-dup pairs by perceptual-hash Hamming distance — EXACT
+    at scale via the same pigeonhole banding proof as
+    ``dedup.simhash_near_dup_pairs``: with bands > max_hamming, two
+    hashes within Hamming ``max_hamming`` share at least one intact band
+    slice, so the (band, slice) equi-join has 100% recall and the
+    bit_count(xor) verification keeps precision exact. Never all-pairs.
+
+    Returns (media_a, media_b, hamming), media_a < media_b.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if n_blocks % bands:
+        raise ValueError("n_blocks must divide evenly into bands")
+    bandw = n_blocks // bands
+    mask = (1 << bandw) - 1
+    fp = ahash(media, n_blocks, id_col, payload_col).localCheckpoint(
+        eager=False
+    )
+    slices = F.array(
+        *[
+            F.shiftright(F.col("ahash"), b * bandw).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = fp.select(
+        "media_id", "ahash", F.posexplode(slices).alias("band", "band_key")
+    )
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("media_a", "media_b", "hamming")
+    )
