@@ -10968,6 +10968,106 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+_ZBOXES = {"ysel": (1, 1 << 40, 1, 3), "xysel": (1, 50, 1, 25)}
+
+
+def _q_zorder_audit(spark, sf_dir):
+    """Engine addition: Z-order file-layout data-skipping audit
+    (layout.py:zorder_prune_audit — the OPTIMIZE ZORDER BY story) over
+    lineitem (x=l_partkey, y=l_suppkey), 32 chunks, 16-bit Morton grid:
+    per (box, layout) chunks scanned / rows scanned / prune rate, all
+    exact BIGINT. The y-selective box is the case a single-column sort
+    cannot prune at all."""
+    from see_spark.operators.layout import zorder_prune_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = None
+    for label, box in _ZBOXES.items():
+        a = zorder_prune_audit(
+            li,
+            "l_partkey",
+            "l_suppkey",
+            ["l_orderkey", "l_linenumber"],
+            box,
+            n_chunks=32,
+            bits=16,
+        ).select(F.lit(label).alias("box"), "*")
+        out = a if out is None else out.unionByName(a)
+    return out
+
+
+QUERIES_EXTRA.update({"zorder_audit": _q_zorder_audit})
+
+
+def _zorder_oracle_sql() -> str:
+    """Mirror of zorder_prune_audit: normalized 16-bit Morton interleave,
+    rank-chunking at 32, per-chunk min/max, box-overlap scan audit for
+    both boxes under both layouts."""
+    top = 65535
+    ctes = ["""base AS (
+          SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+                 CAST(l_orderkey AS BIGINT) AS ok,
+                 CAST(l_linenumber AS BIGINT) AS ln
+          FROM lineitem),
+        mm AS (SELECT MIN(x) AS lox, MAX(x) AS hix,
+                      MIN(y) AS loy, MAX(y) AS hiy FROM base),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        normd AS (
+          SELECT x, y, ok, ln,
+                 CASE WHEN (SELECT hix FROM mm) = (SELECT lox FROM mm) THEN 0
+                      ELSE (x - (SELECT lox FROM mm)) * """ + str(top) + """
+                           // ((SELECT hix FROM mm) - (SELECT lox FROM mm))
+                 END AS nx,
+                 CASE WHEN (SELECT hiy FROM mm) = (SELECT loy FROM mm) THEN 0
+                      ELSE (y - (SELECT loy FROM mm)) * """ + str(top) + """
+                           // ((SELECT hiy FROM mm) - (SELECT loy FROM mm))
+                 END AS ny
+          FROM base),
+        z AS (
+          SELECT x, y, ok, ln,
+                 CAST(COALESCE(list_sum(list_transform(range(0, 16), j ->
+                        (((nx >> j) & 1) << (2*j))
+                      + (((ny >> j) & 1) << (2*j + 1)))), 0) AS BIGINT)
+                   AS zval
+          FROM normd)"""]
+    selects = []
+    for layout, order in (("zorder", "zval, ok, ln"), ("xsort", "x, ok, ln")):
+        ctes.append(f"""r_{layout} AS (
+          SELECT x, y,
+                 (ROW_NUMBER() OVER (ORDER BY {order}) - 1) * 32
+                   // (SELECT n FROM nn) AS chunk
+          FROM z)""")
+        ctes.append(f"""i_{layout} AS (
+          SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 MIN(x) AS min_x, MAX(x) AS max_x,
+                 MIN(y) AS min_y, MAX(y) AS max_y
+          FROM r_{layout} GROUP BY chunk)""")
+    for label, (xl, xh, yl, yh) in _ZBOXES.items():
+        ctes.append(f"""m_{label} AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS matched FROM z
+          WHERE x >= {xl} AND x <= {xh} AND y >= {yl} AND y <= {yh})""")
+        for layout in ("zorder", "xsort"):
+            selects.append(f"""
+        SELECT '{label}' AS box, '{layout}' AS layout,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(h) AS BIGINT) AS chunks_scanned,
+               CAST(SUM(h * n_rows) AS BIGINT) AS rows_scanned,
+               (SELECT matched FROM m_{label}) AS rows_matched,
+               CAST((COUNT(*) - SUM(h)) * 1000 // COUNT(*) AS BIGINT)
+                 AS prune_milli
+        FROM (SELECT n_rows,
+                     CASE WHEN max_x >= {xl} AND min_x <= {xh}
+                               AND max_y >= {yl} AND min_y <= {yh}
+                          THEN 1 ELSE 0 END AS h
+              FROM i_{layout})""")
+    return "WITH " + ",\n        ".join(ctes) + "\n" + "\n        UNION ALL\n".join(selects)
+
+
+ORACLES_EXTRA.update({"zorder_audit": _zorder_oracle_sql()})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 
