@@ -11068,6 +11068,89 @@ def _zorder_oracle_sql() -> str:
 ORACLES_EXTRA.update({"zorder_audit": _zorder_oracle_sql()})
 
 
+
+
+_SA_DOCS_SQL = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, substr(text, 1, 200) AS t
+        FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def _sa_docs(spark, sf_dir):
+    return _documents(spark, sf_dir).where(F.col("doc_id") % 25 == 0)
+
+
+def _q_suffix_array(spark, sf_dir):
+    """Engine addition: distributed suffix array by prefix doubling
+    (suffix.py:suffix_array, Manber-Myers/Larsson-Sadakane) on a doc
+    slice truncated to 200 chars — every round exact integer dense
+    ranks; the oracle sorts the suffix STRINGS directly, proving the
+    doubling scheme against ground truth."""
+    from see_spark.operators.suffix import suffix_array
+
+    return suffix_array(_sa_docs(spark, sf_dir), max_len=200)
+
+
+def _q_suffix_lcp(spark, sf_dir):
+    """Engine addition: adjacent-suffix LCP audit (suffix.py:
+    lcp_intervals) over the built suffix array — within-document
+    repeated substrings of length >= 5 via the classic adjacent-pair
+    reduction."""
+    from see_spark.operators.suffix import lcp_intervals, suffix_array
+
+    docs = _sa_docs(spark, sf_dir)
+    return lcp_intervals(
+        suffix_array(docs, max_len=200), docs, min_lcp=5, max_len=200
+    )
+
+
+QUERIES_EXTRA.update(
+    {"suffix_array": _q_suffix_array, "suffix_lcp": _q_suffix_lcp}
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "suffix_array": f"""
+        WITH d AS ({_SA_DOCS_SQL}),
+        p AS (SELECT doc_id, t, unnest(range(0, length(t))) AS pos FROM d)
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               CAST(ROW_NUMBER() OVER (
+                      PARTITION BY doc_id ORDER BY substr(t, pos + 1))
+                    AS BIGINT) AS sa_rank
+        FROM p
+    """,
+        "suffix_lcp": f"""
+        WITH d AS ({_SA_DOCS_SQL}),
+        p AS (SELECT doc_id, t, unnest(range(0, length(t))) AS pos FROM d),
+        sa AS (SELECT doc_id, t, pos,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY doc_id ORDER BY substr(t, pos + 1))
+                        AS sa_rank
+               FROM p),
+        adj AS (
+          SELECT a.doc_id, a.t, a.pos AS pos_a, b.pos AS pos_b
+          FROM sa a JOIN sa b
+            ON a.doc_id = b.doc_id AND b.sa_rank = a.sa_rank + 1),
+        scan AS (
+          SELECT doc_id, pos_a, pos_b,
+                 LEAST(length(t) - pos_a, length(t) - pos_b) AS minlen,
+                 list_filter(range(1, LEAST(length(t) - pos_a,
+                                            length(t) - pos_b) + 1),
+                             i -> substr(t, pos_a + i, 1)
+                                  <> substr(t, pos_b + i, 1)) AS mis
+          FROM adj)
+        SELECT doc_id, CAST(pos_a AS BIGINT) AS pos_a,
+               CAST(pos_b AS BIGINT) AS pos_b,
+               CAST(CASE WHEN len(mis) = 0 THEN minlen
+                         ELSE mis[1] - 1 END AS BIGINT) AS lcp
+        FROM scan
+        WHERE (CASE WHEN len(mis) = 0 THEN minlen ELSE mis[1] - 1 END) >= 5
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 
