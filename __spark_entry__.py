@@ -11151,6 +11151,130 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_textrank(spark, sf_dir):
+    """Engine addition: corpus-level TextRank keywords (textfilters.py:
+    textrank_keywords) — PageRank over the adjacent-word co-occurrence
+    graph, length-4 candidate filter, top-30 with pinned tie-break."""
+    from see_spark.operators.textfilters import textrank_keywords
+
+    return textrank_keywords(_documents(spark, sf_dir), k=30, n_iter=5)
+
+
+QUERIES_EXTRA.update({"textrank_keywords": _q_textrank})
+
+
+def _textrank_oracle_sql(n_iter: int = 5, d: float = 0.85, k: int = 30) -> str:
+    """Word co-occurrence graph + the same unrolled power method as
+    _pagerank_oracle_sql (no dangling nodes: the graph is undirected,
+    so the dangling term is identically zero on both sides)."""
+    graph = """toks AS (
+          SELECT list_filter(string_split(text, ' '),
+                             w -> length(w) >= 4) AS t
+          FROM documents),
+        pr AS (SELECT t[i] AS a, t[i + 1] AS b
+               FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+               WHERE len(t) >= 2),
+        und AS (SELECT DISTINCT LEAST(a, b) AS wa, GREATEST(a, b) AS wb
+                FROM pr WHERE a <> b),
+        words AS (SELECT DISTINCT w FROM
+                  (SELECT wa AS w FROM und UNION ALL SELECT wb FROM und)),
+        ids AS (SELECT w AS word,
+                       ROW_NUMBER() OVER (ORDER BY w) - 1 AS node
+                FROM words),
+        edges AS (
+          SELECT ia.node AS src, ib.node AS dst
+          FROM und JOIN ids ia ON ia.word = und.wa
+                   JOIN ids ib ON ib.word = und.wb
+          UNION ALL
+          SELECT ib.node AS src, ia.node AS dst
+          FROM und JOIN ids ia ON ia.word = und.wa
+                   JOIN ids ib ON ib.word = und.wb),
+        nn AS (SELECT COUNT(*) AS n FROM ids),
+        nodes AS (SELECT node FROM ids),
+        outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)"""
+    ctes = [
+        graph,
+        "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dang FROM {p} r"
+            f" LEFT JOIN outdeg o ON o.src = r.node WHERE o.src IS NULL)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.rank / o.deg) AS contrib"
+            f" FROM edges e JOIN {p} r ON e.src = r.node"
+            f" JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT b.node,"
+            f" (1.0 - {d})/(SELECT n FROM nn)"
+            f" + {d} * (COALESCE(c.contrib, 0.0)"
+            f" + (SELECT dang FROM d{i})/(SELECT n FROM nn)) AS rank"
+            f" FROM nodes b LEFT JOIN c{i} c ON c.node = b.node)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT i.word, ROUND(r.rank, 9) AS rank"
+        f" FROM r{n_iter} r JOIN ids i USING (node)"
+        f" ORDER BY ROUND(r.rank, 9) DESC, i.word ASC LIMIT {k}"
+    )
+
+
+ORACLES_EXTRA.update({"textrank_keywords": _textrank_oracle_sql()})
+
+
+
+
+def _q_hrw_routing(spark, sf_dir):
+    """Engine addition: rendezvous-hash routing resize audit
+    (sharding.py:hrw_assign/hrw_rebalance_audit, Thaler-Ravishankar
+    HRW) — 8 -> 10 shards over document keys; minimal disruption shows
+    as no key moving between surviving shards."""
+    from see_spark.operators.sharding import hrw_rebalance_audit
+
+    keys = _documents(spark, sf_dir).select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("key")
+    )
+    return hrw_rebalance_audit(keys, n_before=8, n_after=10)
+
+
+QUERIES_EXTRA.update({"hrw_routing": _q_hrw_routing})
+
+
+def _hrw_oracle_sql(n_before: int = 8, n_after: int = 10) -> str:
+    def pick(n, alias):
+        return f"""
+        (SELECT key, CAST(s AS BIGINT) AS {alias} FROM (
+           SELECT key, s, ROW_NUMBER() OVER (
+                    PARTITION BY key ORDER BY w DESC, s ASC) AS rn
+           FROM (SELECT key, s,
+                        ('0x' || substr(md5('hrw:' || s || ':' || key),
+                                        1, 15))::BIGINT AS w
+                 FROM k, LATERAL (SELECT unnest(range(0, {n})) AS s)))
+         WHERE rn = 1)"""
+
+    return f"""
+        WITH k AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) AS key
+                   FROM documents),
+        a AS {pick(n_before, "shard_before")},
+        b AS {pick(n_after, "shard_after")}
+        SELECT a.shard_before, b.shard_after,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(CASE WHEN a.shard_before <> b.shard_after
+                         THEN 1 ELSE 0 END AS BIGINT) AS moved
+        FROM a JOIN b USING (key)
+        GROUP BY a.shard_before, b.shard_after
+    """
+
+
+ORACLES_EXTRA.update({"hrw_routing": _hrw_oracle_sql()})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

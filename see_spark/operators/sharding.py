@@ -253,3 +253,89 @@ def skew_audit(
         "key", "n", "share_milli", "rank", "n_keys", "total",
         "gini_milli", "salt_k",
     )
+
+
+def hrw_assign(
+    keys: DataFrame,
+    n_shards: int,
+    key_col: str = "key",
+) -> DataFrame:
+    """Rendezvous / highest-random-weight routing (Thaler & Ravishankar
+    1998): every key goes to the shard with the maximum hash(shard, key)
+    — the OTHER classic minimal-disruption router next to the consistent
+    -hash ring (``operators/ring.py``). HRW needs no virtual-node ring
+    state: perfectly uniform in expectation, and when a shard joins or
+    leaves, ONLY keys whose argmax changes move (provably 1/(n+1) of
+    them in expectation on join).
+
+    weight = 60-bit md5 of 'hrw:<shard>:<key>' (the repo's engine-
+    portable hash); argmax tie-break by shard id (pinned, though 60-bit
+    ties are negligible). Pure Catalyst: the per-key argmax folds over a
+    literal shard array — no explode, no shuffle, no Python.
+
+    Returns (key, shard).
+    """
+    shard_w = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("s"),
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"hrw:{s}:"),
+                                F.col(key_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long").alias("w"),
+            )
+            for s in range(int(n_shards))
+        ]
+    )
+    best = F.aggregate(
+        shard_w,
+        F.struct(
+            F.lit(-1).cast("long").alias("s"),
+            F.lit(-1).cast("long").alias("w"),
+        ),
+        lambda acc, x: F.when(x["w"] > acc["w"], x).otherwise(acc),
+    )
+    return keys.select(
+        F.col(key_col).alias("key"), best["s"].alias("shard")
+    )
+
+
+def hrw_rebalance_audit(
+    keys: DataFrame,
+    n_before: int,
+    n_after: int,
+    key_col: str = "key",
+) -> DataFrame:
+    """Minimal-disruption audit for an HRW resize n_before → n_after:
+    per (shard_before, shard_after) key counts. The HRW guarantee shows
+    up as structure: on grow, every moved key lands on a NEW shard
+    (shard_after >= n_before) — no key ever moves between surviving
+    shards — and the moved fraction concentrates near
+    (n_after − n_before)/n_after. Exact integers; two pure-projection
+    assignments + one combinable aggregate.
+    """
+    a = hrw_assign(keys, n_before, key_col).select(
+        "key", F.col("shard").alias("shard_before")
+    )
+    b = hrw_assign(keys, n_after, key_col).select(
+        "key", F.col("shard").alias("shard_after")
+    )
+    return (
+        a.join(b, "key")
+        .groupBy("shard_before", "shard_after")
+        .agg(F.count("*").cast("long").alias("n_keys"))
+        .withColumn(
+            "moved",
+            (F.col("shard_before") != F.col("shard_after")).cast("long"),
+        )
+    )

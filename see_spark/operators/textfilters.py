@@ -554,3 +554,81 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("pmi"), F.asc("bigram")
     ).limit(k)
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    k: int = 30,
+    n_iter: int = 5,
+    min_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau 2004):
+    build the word co-occurrence graph (adjacent-token pairs, undirected,
+    deduplicated), run PageRank over it, return the top-k words — the
+    unsupervised keyword ranking that beats raw frequency because a word
+    matters when it co-occurs with other mattering words. The original
+    uses a POS filter for candidate words; engine-portably we proxy with
+    a length filter (``min_len``), documented deviation.
+
+    Scale shape: the graph build is two combinable aggregates (distinct
+    adjacent pairs; distinct words), word→id mapping via ONE distributed
+    dense rank (``seq.with_dense_sequence``), then ``linkgraph.pagerank``
+    — one edge shuffle per iteration, dangling mass as a scalar. The
+    word graph is vocabulary-sized, orders smaller than the corpus.
+
+    Returns (word, rank) — top-k by (rank desc, word asc), rank rounded
+    to linkgraph.ROUND_DP by pagerank itself.
+    """
+    from ..functions.seq import with_dense_sequence
+    from .linkgraph import pagerank
+
+    toks = docs.select(
+        F.col(id_col).alias("__d"), _toks(text_col).alias("__t")
+    )
+    toks = toks.select(
+        "__d",
+        F.expr(
+            f"filter(__t, w -> length(w) >= {int(min_len)})"
+        ).alias("__t"),
+    )
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "IF(size(__t) < 2, array(),"
+                    " transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(element_at(__t, i) as a,"
+                    " element_at(__t, cast(i + 1 as int)) as b)))"
+                )
+            ).alias("__p")
+        )
+        .select(
+            F.least("__p.a", "__p.b").alias("wa"),
+            F.greatest("__p.a", "__p.b").alias("wb"),
+        )
+        .where(F.col("wa") != F.col("wb"))
+        .distinct()
+    )
+    pairs = pairs.localCheckpoint(eager=False)
+    words = (
+        pairs.select(F.col("wa").alias("word"))
+        .unionAll(pairs.select(F.col("wb").alias("word")))
+        .distinct()
+    )
+    ids = with_dense_sequence(words, ["word"], out_col="node")
+    ids = ids.localCheckpoint(eager=False)
+    ia = ids.select(F.col("word").alias("wa"), F.col("node").alias("na"))
+    ib = ids.select(F.col("word").alias("wb"), F.col("node").alias("nb"))
+    e = pairs.join(ia, "wa").join(ib, "wb")
+    edges = e.select(
+        F.col("na").alias("src"), F.col("nb").alias("dst")
+    ).unionAll(e.select(F.col("nb").alias("src"), F.col("na").alias("dst")))
+    ranks = pagerank(ids.select("node"), edges, n_iter=n_iter)
+    return (
+        ranks.join(ids, "node")
+        .select("word", "rank")
+        .orderBy(F.desc("rank"), F.asc("word"))
+        .limit(k)
+    )
