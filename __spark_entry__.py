@@ -11275,6 +11275,148 @@ def _hrw_oracle_sql(n_before: int = 8, n_after: int = 10) -> str:
 ORACLES_EXTRA.update({"hrw_routing": _hrw_oracle_sql()})
 
 
+
+
+_FUNNEL_H_US = 72 * 3600 * 1_000_000
+
+
+def _q_event_funnel(spark, sf_dir):
+    """Engine addition: strict-order greedy funnel (analytics.py:
+    event_funnel) signup -> click -> purchase within 72h of signup —
+    each step's conversion time is the earliest event strictly after
+    the previous step's."""
+    from see_spark.operators.analytics import event_funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_funnel(
+        ev, ["signup", "click", "purchase"], horizon_us=_FUNNEL_H_US
+    )
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Engine addition: cohort retention triangle (analytics.py:
+    cohort_retention) — 2-day periods, k <= 6, exact integer milli
+    retention."""
+    from see_spark.operators.analytics import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(
+        ev, period_us=2 * 24 * 3600 * 1_000_000, max_periods=6
+    )
+
+
+QUERIES_EXTRA.update(
+    {"event_funnel": _q_event_funnel, "cohort_retention": _q_cohort_retention}
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "event_funnel": f"""
+        WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u, event_type AS t,
+                           epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT u, MIN(us) AS t1 FROM ev
+               WHERE t = 'signup' GROUP BY u),
+        s2 AS (SELECT e.u, MIN(e.us) AS prev, MIN(s1.t1) AS t1
+               FROM ev e JOIN s1 ON s1.u = e.u
+               WHERE e.t = 'click' AND e.us > s1.t1
+                 AND e.us <= s1.t1 + {_FUNNEL_H_US}
+               GROUP BY e.u),
+        s3 AS (SELECT e.u, MIN(e.us) AS prev, MIN(s2.t1) AS t1
+               FROM ev e JOIN s2 ON s2.u = e.u
+               WHERE e.t = 'purchase' AND e.us > s2.prev
+                 AND e.us <= s2.t1 + {_FUNNEL_H_US}
+               GROUP BY e.u),
+        base AS (SELECT COUNT(*) AS b FROM s1)
+        SELECT CAST(1 AS BIGINT) AS step, 'signup' AS name,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(*) * 1000 // (SELECT b FROM base) AS BIGINT)
+                 AS conv_milli
+        FROM s1
+        UNION ALL
+        SELECT 2, 'click', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) * 1000 // (SELECT b FROM base) AS BIGINT)
+        FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) * 1000 // (SELECT b FROM base) AS BIGINT)
+        FROM s3
+    """,
+        "cohort_retention": """
+        WITH ev AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+                           epoch_us(ts) // 172800000000 AS per
+                    FROM events),
+        first AS (SELECT u, MIN(per) AS cohort FROM ev GROUP BY u),
+        sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort
+                  FROM first GROUP BY cohort),
+        active AS (
+          SELECT f.cohort, e.per - f.cohort AS k,
+                 CAST(COUNT(*) AS BIGINT) AS n_active
+          FROM ev e JOIN first f ON f.u = e.u
+          WHERE e.per - f.cohort <= 6
+          GROUP BY f.cohort, e.per - f.cohort)
+        SELECT a.cohort AS cohort_period, CAST(a.k AS BIGINT) AS k,
+               a.n_active, s.n_cohort,
+               CAST(a.n_active * 1000 // s.n_cohort AS BIGINT)
+                 AS retained_milli
+        FROM active a JOIN sizes s ON s.cohort = a.cohort
+    """,
+    }
+)
+
+
+
+
+def _q_interval_join(spark, sf_dir):
+    """Engine addition: bucketized interval-overlap join (asof.py:
+    interval_point_join) — per-user%3==0 6-hour windows from first
+    activity, matched against ALL events by equi-join on the time
+    bucket + exact bounds filter; never an inequality-join plan."""
+    from see_spark.operators.asof import interval_point_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    intervals = (
+        base.where(F.col("user_id") % 3 == 0)
+        .groupBy(F.col("user_id").alias("interval_id"))
+        .agg(F.min("ts_us").alias("start_us"))
+        .withColumn(
+            "end_us", F.col("start_us") + F.lit(6 * 3600 * 1_000_000)
+        )
+    )
+    return interval_point_join(
+        intervals,
+        base.select(F.col("event_id").alias("point_id"), "ts_us"),
+        bucket_us=3_600_000_000,
+    )
+
+
+QUERIES_EXTRA.update({"interval_join": _q_interval_join})
+
+
+ORACLES_EXTRA.update(
+    {
+        # ground truth is the plain range join (fine at oracle scale)
+        "interval_join": """
+        WITH base AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                             CAST(event_id AS BIGINT) AS event_id,
+                             epoch_us(ts) AS ts_us FROM events),
+        iv AS (SELECT user_id AS interval_id, MIN(ts_us) AS start_us,
+                      MIN(ts_us) + 21600000000 AS end_us
+               FROM base WHERE user_id % 3 = 0 GROUP BY user_id)
+        SELECT iv.interval_id, b.event_id AS point_id,
+               iv.start_us, iv.end_us, b.ts_us
+        FROM iv JOIN base b
+          ON b.ts_us >= iv.start_us AND b.ts_us <= iv.end_us
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

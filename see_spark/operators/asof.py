@@ -91,3 +91,65 @@ def asof_join_backward(
         *[f"{right_prefix}{c}" for c in value_cols],
         f"{right_prefix}{right_ts}",
     )
+
+
+def interval_point_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    point_col: str = "ts_us",
+    bucket_us: int = 3_600_000_000,
+    interval_cols: Sequence[str] = ("interval_id",),
+    point_cols: Sequence[str] = ("point_id",),
+) -> DataFrame:
+    """Interval-overlap (range) join, bucketized: match every point p to
+    every interval [s, e] with s ≤ p ≤ e — WITHOUT the inequality-join
+    plan Spark would otherwise choose (BroadcastNestedLoop/cartesian,
+    the classic range-join scale-killer).
+
+    The standard rewrite: quantize time into ``bucket_us`` buckets; an
+    interval registers in every bucket it touches (floor(s/B)..floor(e/B)
+    — fan-out = len/B + 1, bounded when interval length is bounded), a
+    point registers in exactly one; the match becomes an EQUI-join on
+    the bucket followed by the exact s ≤ p ≤ e filter. No duplicates by
+    construction: a point lives in one bucket only, so each (interval,
+    point) pair meets at most once — no distinct needed.
+
+    Semantics are half-open-free (closed [s, e]); pick ``bucket_us``
+    near the typical interval length — too small inflates interval
+    fan-out, too large inflates the per-bucket join frontier (this is
+    exactly Spark 3's storage-partitioned range-join bucketing knob,
+    expressed manually and portably).
+
+    Returns interval_cols + point_cols + (start, end, point ts).
+    """
+    b = int(bucket_us)
+    iv = intervals.select(
+        *interval_cols,
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+    ).withColumn(
+        "__bkt",
+        # integer div (not floor of a double quotient — boundary-exact)
+        F.explode(
+            F.sequence(
+                F.expr(f"__s div {b}").cast("long"),
+                F.expr(f"__e div {b}").cast("long"),
+            )
+        ),
+    )
+    pt = points.select(
+        *point_cols, F.col(point_col).cast("long").alias("__p")
+    ).withColumn("__bkt", F.expr(f"__p div {b}").cast("long"))
+    return (
+        iv.join(pt, "__bkt")
+        .where((F.col("__p") >= F.col("__s")) & (F.col("__p") <= F.col("__e")))
+        .select(
+            *interval_cols,
+            *point_cols,
+            F.col("__s").alias(start_col),
+            F.col("__e").alias(end_col),
+            F.col("__p").alias(point_col),
+        )
+    )
