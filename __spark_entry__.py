@@ -11417,6 +11417,132 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_mutual_nn(spark, sf_dir):
+    """Engine addition: mutual nearest neighbors between label-0 and
+    label-1 embedding sets (similarity.py:mutual_nearest_neighbors) —
+    the bitext/cross-modal alignment primitive; integer-quantized
+    vectors make every cosine bit-exact cross-engine."""
+    from see_spark.operators.similarity import mutual_nearest_neighbors
+
+    return mutual_nearest_neighbors(_qvecs(spark, sf_dir), 0, 1)
+
+
+def _q_lsh_recall_curve(spark, sf_dir):
+    """Engine addition: MinHash-LSH banding planner (dedup.py:
+    lsh_recall_curve) — the s-curve P(detect) per (bands, rows) config
+    evaluated on the dup corpus's OWN exact 3-gram Jaccard distribution
+    (pairs >= 0.1); explicit multiplication chains, never pow()."""
+    from see_spark.operators.dedup import lsh_recall_curve, word_shingles
+
+    sh = word_shingles(_dup_corpus(spark, sf_dir), 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    pairs = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.expr("n_common * 1000 div (sa + sb - n_common)")
+            .cast("long")
+            .alias("jaccard_milli")
+        )
+        .where(F.col("jaccard_milli") >= 100)
+    )
+    return lsh_recall_curve(pairs, num_hashes=16)
+
+
+QUERIES_EXTRA.update(
+    {"mutual_nn": _q_mutual_nn, "lsh_recall_curve": _q_lsh_recall_curve}
+)
+
+
+def _lsh_curve_oracle_sql() -> str:
+    from see_spark.operators.dedup import lsh_p_expr
+
+    selects = []
+    for b in (1, 2, 4, 8, 16):
+        r = 16 // b
+        selects.append(
+            f"""
+        SELECT CAST({b} AS BIGINT) AS bands,
+               CAST({r} AS BIGINT) AS rows_per_band,
+               jaccard_milli, n_pairs,
+               ROUND({lsh_p_expr(b, r, "jaccard_milli")}, 9) AS p_detect
+        FROM g"""
+        )
+    return (
+        """
+        WITH corpus AS ("""
+        + _DUP_CORPUS_SQL
+        + """),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(
+                        range(1, greatest(len(t) - 3, 0) + 2),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingle
+               FROM toks),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          COUNT(*) AS n_common
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        p AS (SELECT CAST(n_common * 1000
+                          // (sa.n_sh + sb.n_sh - n_common) AS BIGINT)
+                       AS jaccard_milli
+              FROM common c
+              JOIN sizes sa ON sa.doc_id = c.doc_a
+              JOIN sizes sb ON sb.doc_id = c.doc_b),
+        g AS (SELECT jaccard_milli, CAST(COUNT(*) AS BIGINT) AS n_pairs
+              FROM p WHERE jaccard_milli >= 100 GROUP BY jaccard_milli)
+        """
+        + "\n        UNION ALL\n".join(selects)
+    )
+
+
+ORACLES_EXTRA.update(
+    {
+        "mutual_nn": f"""
+        WITH q AS ({_QVEC_SQL}),
+        n AS (SELECT vec_id, v, label,
+                     sqrt(CAST(list_sum(list_transform(v,
+                            x -> CAST(x * x AS DOUBLE))) AS DOUBLE)) AS norm
+              FROM q),
+        l AS (SELECT vec_id AS a, v AS va, norm AS na FROM n WHERE label = 0),
+        r AS (SELECT vec_id AS b, v AS vb, norm AS nb FROM n WHERE label = 1),
+        s AS (SELECT a, b,
+                     CAST(list_sum(list_transform(range(1, len(va) + 1),
+                            i -> CAST(va[i] * vb[i] AS DOUBLE))) AS DOUBLE)
+                       / (na * nb) AS cosine
+              FROM r, l),
+        pa AS (SELECT a, b, cosine, ROW_NUMBER() OVER (
+                 PARTITION BY a ORDER BY cosine DESC, b ASC) AS rn FROM s),
+        pb AS (SELECT a, b, ROW_NUMBER() OVER (
+                 PARTITION BY b ORDER BY cosine DESC, a ASC) AS rn FROM s)
+        SELECT pa.a AS vec_a, pa.b AS vec_b, pa.cosine
+        FROM pa JOIN pb ON pa.a = pb.a AND pa.b = pb.b AND pb.rn = 1
+        WHERE pa.rn = 1
+    """,
+        "lsh_recall_curve": _lsh_curve_oracle_sql(),
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -842,3 +842,68 @@ def sorted_neighborhood_pairs(
         )
     )
     return out
+
+
+def lsh_p_expr(bands: int, rows: int, var: str) -> str:
+    """SQL text of the MinHash-LSH s-curve P(detect) = 1 − (1 − s^r)^b
+    for s = ``var``/1000.0 — built as EXPLICIT left-associated
+    multiplication chains (never pow()), so Spark and any ANSI engine
+    parse the identical expression and produce bit-identical doubles.
+    Shared by the operator and its oracle."""
+    # cast first: Spark parses a bare 1000.0 literal as DECIMAL, DuckDB
+    # as DOUBLE — casting the operand pins both engines to double math
+    s = f"(cast({var} as double) / 1000.0)"
+    sr = s
+    for _ in range(rows - 1):
+        sr = f"({sr} * {s})"
+    q = f"(1.0 - {sr})"
+    qb = q
+    for _ in range(bands - 1):
+        qb = f"({qb} * {q})"
+    return f"(1.0 - {qb})"
+
+
+def lsh_recall_curve(
+    sims: DataFrame,
+    num_hashes: int = 16,
+    sim_col: str = "jaccard_milli",
+) -> DataFrame:
+    """LSH parameter planner (the banding s-curve, Leskovec/Rajaraman/
+    Ullman MMDS ch.3) evaluated against the corpus's OWN similarity
+    distribution: for every (bands, rows) split of the signature, the
+    detection probability P = 1 − (1 − s^r)^b at each observed integer
+    similarity level. This is how a pipeline owner picks banding before
+    a 10^10-doc run — from the measured near-dup profile of a sample,
+    not from a textbook threshold.
+
+    Input: one row per verified pair with integer milli similarity
+    ``sim_col`` (exact, so grouping is exact). Output one row per
+    (config, similarity level): (bands, rows_per_band, jaccard_milli,
+    n_pairs, p_detect) with p rounded to 9dp — expected recall for a
+    config = Σ n_pairs·p / Σ n_pairs, exactly derivable downstream.
+
+    Scale: one combinable aggregate over the similarity level (≤1001
+    groups), then a constant-size projection per config.
+    """
+    configs = [
+        (b, num_hashes // b)
+        for b in (1, 2, 4, 8, 16, 32)
+        if b <= num_hashes and num_hashes % b == 0
+    ]
+    base = sims.groupBy(F.col(sim_col).cast("long").alias("jaccard_milli")).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    base = base.localCheckpoint(eager=False)
+    out = None
+    for b, r in configs:
+        row = base.select(
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            "jaccard_milli",
+            "n_pairs",
+            F.round(F.expr(lsh_p_expr(b, r, "jaccard_milli")), 9).alias(
+                "p_detect"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -540,3 +540,76 @@ def embedding_audit(emb: DataFrame, vec_col: str = "embedding",
         "n_vectors", "dim_min", "dim_max", "n_nonfinite", "n_zero_norm",
         F.expr("__tot div __fin").cast("long").alias("mean_norm2_micro"),
     )
+
+
+def mutual_nearest_neighbors(
+    vecs: DataFrame,
+    left_label: int = 0,
+    right_label: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Mutual nearest neighbors between two labeled vector sets — the
+    standard alignment/mining primitive (bitext mining, cross-modal
+    pairing, embedding-space translation): keep (a, b) iff b is a's
+    single nearest neighbor AND a is b's, under cosine with the pinned
+    (cosine desc, id asc) tie-break. MNN filtering kills the hub
+    mismatches a one-directional kNN keeps.
+
+    Exactness: use integer-quantized vectors (the _qvecs contract) —
+    dot products are integer-valued doubles summed exactly, so argmax
+    is engine- and order-independent without rounding.
+
+    Scale shape: the left set broadcasts (alignment sets are the small
+    side); the right set never shuffles for scoring; the two argmaxes
+    are windows partitioned by each side's id over the scored relation;
+    mutuality is one equi-join of the two picks. For set sizes beyond
+    broadcast, swap the scoring stage for knn_lsh_bucketed and keep the
+    same mutuality join.
+
+    Returns (vec_a, vec_b, cosine) with vec_a from the left set.
+    """
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    base = vecs.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).cast("long").alias("lab"),
+    ).withColumn("norm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    left = base.where(F.col("lab") == int(left_label)).select(
+        F.col("vid").alias("a"), F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    right = base.where(F.col("lab") == int(right_label)).select(
+        F.col("vid").alias("b"), F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    scored = right.crossJoin(F.broadcast(left)).select(
+        "a",
+        "b",
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "cosine"
+        ),
+    )
+    scored = scored.localCheckpoint(eager=False)
+    wa = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    wb = Window.partitionBy("b").orderBy(F.desc("cosine"), F.asc("a"))
+    best_for_a = (
+        scored.withColumn("__r", F.row_number().over(wa))
+        .where(F.col("__r") == 1)
+        .select("a", "b", "cosine")
+    )
+    best_for_b = (
+        scored.withColumn("__r", F.row_number().over(wb))
+        .where(F.col("__r") == 1)
+        .select("a", "b")
+    )
+    return best_for_a.join(best_for_b, ["a", "b"]).select(
+        F.col("a").alias("vec_a"), F.col("b").alias("vec_b"), "cosine"
+    )
