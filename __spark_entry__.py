@@ -11543,6 +11543,125 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_cdc_chunks(spark, sf_dir):
+    """Engine addition: content-defined chunking (cdc.py:
+    cdc_chunk_table, LBFS shape — parallel boundaries, no sequential
+    clamps) over the dup-injected corpus; window 8, ~32-byte chunks."""
+    from see_spark.operators.cdc import cdc_chunk_table
+
+    return cdc_chunk_table(_dup_corpus(spark, sf_dir), window=8, mask_bits=5)
+
+
+def _q_cdc_audit(spark, sf_dir):
+    """Engine addition: CDC content-addressed-store audit (cdc.py:
+    cdc_dedup_audit) — bytes a chunk store holds vs the raw corpus."""
+    from see_spark.operators.cdc import cdc_chunk_table, cdc_dedup_audit
+
+    return cdc_dedup_audit(
+        cdc_chunk_table(_dup_corpus(spark, sf_dir), window=8, mask_bits=5)
+    )
+
+
+def _q_term_drift(spark, sf_dir):
+    """Engine addition: corpus term-drift monitor (textstats.py:
+    term_drift) — top-20 per-term KL contributions between the even-
+    and odd-doc_id halves (synthetic crawl rounds)."""
+    from see_spark.operators.textstats import term_drift
+
+    docs = _documents(spark, sf_dir)
+    return term_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        k=20,
+    )
+
+
+QUERIES_EXTRA.update(
+    {
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_audit": _q_cdc_audit,
+        "term_drift": _q_term_drift,
+    }
+)
+
+
+_CDC_CHUNKS_SQL = f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        d AS (SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n
+              FROM corpus),
+        cut AS (
+          SELECT doc_id, t, n,
+                 CASE WHEN n <= 8 THEN [CAST(0 AS BIGINT), n]
+                      ELSE flatten([[CAST(0 AS BIGINT)],
+                        list_filter(list_transform(range(8, CAST(greatest(n, 8) AS BIGINT) + 1),
+                          i -> CASE WHEN ('0x' || substr(md5(substr(t, CAST(i - 7 AS INT), 8)),
+                                          1, 15))::BIGINT % 32 = 0
+                                    THEN CAST(i AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+                          p -> p > 0 AND p < n),
+                        [n]])
+                 END AS cuts
+          FROM d),
+        spans AS (
+          SELECT doc_id, t,
+                 unnest(list_transform(range(1, len(cuts)),
+                   k -> struct_pack(s := cuts[k], l := cuts[k + 1] - cuts[k])))
+                   AS c
+          FROM cut)
+        SELECT doc_id, CAST(c.s AS BIGINT) AS start,
+               CAST(c.l AS BIGINT) AS length,
+               md5(substr(t, CAST(c.s + 1 AS INT), CAST(c.l AS INT)))
+                 AS chunk_hash
+        FROM spans WHERE c.l > 0
+"""
+
+
+ORACLES_EXTRA.update(
+    {
+        "cdc_chunks": _CDC_CHUNKS_SQL,
+        "cdc_audit": f"""
+        WITH chunks AS ({_CDC_CHUNKS_SQL}),
+        per AS (SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS copies,
+                       MIN(length) AS length
+                FROM chunks GROUP BY chunk_hash),
+        s AS (SELECT CAST(SUM(copies) AS BIGINT) AS n_chunks,
+                     CAST(COUNT(*) AS BIGINT) AS n_unique,
+                     CAST(SUM(copies * length) AS BIGINT) AS total_bytes,
+                     CAST(SUM(length) AS BIGINT) AS unique_bytes
+              FROM per)
+        SELECT n_chunks, n_unique, total_bytes, unique_bytes,
+               CAST((total_bytes - unique_bytes) * 1000 // total_bytes
+                    AS BIGINT) AS saved_milli
+        FROM s
+    """,
+        "term_drift": """
+        WITH a AS (SELECT unnest(string_split(text, ' ')) AS term
+                   FROM documents WHERE doc_id % 2 = 0),
+        b AS (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id % 2 = 1),
+        ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_a FROM a GROUP BY term),
+        cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_b FROM b GROUP BY term),
+        j AS (SELECT COALESCE(ca.term, cb.term) AS term,
+                     CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a,
+                     CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b
+              FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+        t AS (SELECT CAST(SUM(c_a) AS DOUBLE) AS ta,
+                     CAST(SUM(c_b) AS DOUBLE) AS tb,
+                     CAST(COUNT(*) AS DOUBLE) AS v
+              FROM j)
+        SELECT term, c_a, c_b,
+               ROUND(((c_a + 1.0) / ((SELECT ta FROM t) + (SELECT v FROM t)))
+                     * ln(((c_a + 1.0) / ((SELECT ta FROM t) + (SELECT v FROM t)))
+                          / ((c_b + 1.0) / ((SELECT tb FROM t) + (SELECT v FROM t)))),
+                     9) AS contrib
+        FROM j
+        ORDER BY contrib DESC, term ASC LIMIT 20
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

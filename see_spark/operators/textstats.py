@@ -252,3 +252,57 @@ def token_entropy(
             F.when(F.col("n_types") > 1, ent / F.log2("n_types")), 6
         ).alias("norm_entropy"),
     )
+
+
+def term_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Corpus-drift monitor: the top-k terms by per-term KL-divergence
+    contribution between two corpus snapshots — what a crawl operator
+    watches round-over-round to catch topic drift, spam floods, or a
+    broken extractor (one template's boilerplate suddenly dominating).
+
+    With add-1 smoothing over the UNION vocabulary V:
+      p(t) = (c_a(t)+1)/(T_a+|V|),  q(t) = (c_b(t)+1)/(T_b+|V|)
+      contrib(t) = p(t)·ln(p(t)/q(t))      (Σ contrib = KL(p‖q))
+
+    Per-term contributions are deterministic doubles (exact integer
+    inputs, one division each, one ln), so rows are engine-exact after
+    rounding; the k-cut orders by ROUNDED contrib desc (terms
+    OVERrepresented in A), term asc. Total KL is derivable downstream
+    by summing — kept out of the row contract because a cross-engine
+    float SUM over the whole vocabulary is summation-order-dependent.
+
+    Scale shape: two combinable word-count aggregates + one full-outer
+    join on the term key + TakeOrderedAndProject; the three corpus
+    scalars (T_a, T_b, |V|) are one-row aggregates.
+    """
+    def counts(d, name):
+        return (
+            d.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    ca = counts(docs_a, "c_a")
+    cb = counts(docs_b, "c_b")
+    j = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+    )
+    j = j.localCheckpoint(eager=False)
+    tots = j.agg(
+        F.sum("c_a").alias("ta"), F.sum("c_b").alias("tb"), F.count("*").alias("v")
+    ).collect()[0]
+    ta, tb, v = int(tots["ta"]), int(tots["tb"]), int(tots["v"])
+    p = (F.col("c_a") + F.lit(1.0)) / F.lit(float(ta + v))
+    q = (F.col("c_b") + F.lit(1.0)) / F.lit(float(tb + v))
+    scored = j.select(
+        "term", "c_a", "c_b", F.round(p * F.log(p / q), round_dp).alias("contrib")
+    )
+    return scored.orderBy(F.desc("contrib"), F.asc("term")).limit(k)
