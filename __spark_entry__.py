@@ -11662,6 +11662,135 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_bellman_ford(spark, sf_dir):
+    """Engine addition: weighted single-source shortest paths by
+    distributed Bellman-Ford (linkgraph.py:bellman_ford) over the
+    synthetic expander with weights (src*3+dst*5)%9+1, source 0, 12
+    min-plus rounds — exact BIGINT; INF sentinel for unreachable."""
+    from see_spark.operators.linkgraph import bellman_ford, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    edges = synthetic_edges(docs).withColumn(
+        "w", (F.col("src") * 3 + F.col("dst") * 5) % 9 + 1
+    )
+    return bellman_ford(nodes, edges, source=0, n_iter=12)
+
+
+def _q_naive_bayes(spark, sf_dir):
+    """Engine addition: multinomial Naive Bayes filter (classifier.py:
+    train_and_score_nb) on the marker-token corpus — micro-nat
+    quantized log-probs make every score an exact BIGINT dot product."""
+    from see_spark.operators.classifier import train_and_score_nb
+
+    docs = _documents(spark, sf_dir)
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" xqza xqzb xqzc xqzd")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 3 == 0).cast("long").alias("label"),
+    )
+    return train_and_score_nb(d, n_buckets=64)
+
+
+QUERIES_EXTRA.update(
+    {"bellman_ford": _q_bellman_ford, "naive_bayes": _q_naive_bayes}
+)
+
+
+def _bf_oracle_sql(n_iter: int = 12) -> str:
+    inf = 1 << 40
+    # MATERIALIZED: 12 unrolled rounds reference the graph repeatedly —
+    # without it DuckDB re-expands (re-opening the parquet) per reference
+    # and trips the open-file limit
+    ctes = [
+        _LINKGRAPH_SQL,
+        "we AS MATERIALIZED ("
+        "SELECT src, dst, (src*3 + dst*5) % 9 + 1 AS w FROM edges)",
+        "mn AS MATERIALIZED (SELECT node FROM nodes)",
+        f"d0 AS (SELECT node, CAST(CASE WHEN node = 0 THEN 0"
+        f" ELSE {inf} END AS BIGINT) AS dist FROM mn)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" CAST(MIN(d.dist + e.w) AS BIGINT) AS cand"
+            f" FROM we e JOIN d{i-1} d ON d.node = e.src"
+            f" WHERE d.dist < {inf} GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT n.node,"
+            f" CAST(LEAST(d.dist, COALESCE(c.cand, {inf})) AS BIGINT) AS dist"
+            f" FROM mn n JOIN d{i-1} d ON d.node = n.node"
+            f" LEFT JOIN c{i} c ON c.node = n.node)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, dist FROM d{n_iter}"
+    )
+
+
+ORACLES_EXTRA.update(
+    {
+        "bellman_ford": _bf_oracle_sql(),
+        "naive_bayes": """
+        WITH docs AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' xqza xqzb xqzc xqzd' ELSE text END AS text,
+                 CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y
+          FROM documents),
+        toks AS (
+          SELECT doc_id, y,
+                 ('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS bucket
+          FROM (SELECT doc_id, y, unnest(string_split(text, ' ')) AS tok
+                FROM docs)),
+        cb AS (SELECT y, bucket, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY y, bucket),
+        tot AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS t
+                FROM toks GROUP BY y),
+        grid AS (
+          SELECT tot.y, g.bucket,
+                 CAST(round(ln((COALESCE(cb.c, 0) + 1.0) / (tot.t + 64.0))
+                            * 1000000.0) AS BIGINT) AS q
+          FROM tot
+          CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) g
+          LEFT JOIN cb ON cb.y = tot.y AND cb.bucket = g.bucket),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM docs),
+        priors AS (
+          SELECT y, CAST(round(ln(COUNT(*) / (SELECT n FROM nn))
+                               * 1000000.0) AS BIGINT) AS qp
+          FROM docs GROUP BY y),
+        dc AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tc
+               FROM toks GROUP BY doc_id, bucket),
+        contrib AS (
+          SELECT dc.doc_id, g.y AS cls,
+                 CAST(SUM(dc.tc * g.q) AS BIGINT) + MIN(p.qp) AS score
+          FROM dc JOIN grid g ON g.bucket = dc.bucket
+          JOIN priors p ON p.y = g.y
+          GROUP BY dc.doc_id, g.y),
+        piv AS (
+          SELECT doc_id,
+                 MAX(CASE WHEN cls = 0 THEN score END) AS score_0,
+                 MAX(CASE WHEN cls = 1 THEN score END) AS score_1
+          FROM contrib GROUP BY doc_id)
+        SELECT p.doc_id, d.y,
+               CAST(p.score_0 AS BIGINT) AS score_0,
+               CAST(p.score_1 AS BIGINT) AS score_1,
+               CAST(CASE WHEN p.score_1 > p.score_0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS predicted
+        FROM piv p JOIN docs d USING (doc_id)
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

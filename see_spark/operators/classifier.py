@@ -241,3 +241,121 @@ def featurize_hashing(
         .agg(F.sum("__s").cast("long").alias("value"))
         .where(F.col("value") != 0)
     )
+
+
+def train_and_score_nb(
+    docs: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Multinomial Naive Bayes over hashed token buckets (the OTHER
+    classic text-filter trainer next to the quantized logistic
+    regression above; McCallum & Nigam 1998) — train and score in one
+    pass, exact cross-engine.
+
+    Float determinism: per-(class, bucket) add-1 log-likelihoods and
+    class log-priors are QUANTIZED to integer micro-nats
+    (round(ln(p)·10^6) — one deterministic ln + one round each, the
+    _qvecs idiom), so every document score is an exact BIGINT dot
+    product Σ count·q(y,b) + q_prior(y) and the argmax can never flip
+    on summation order. Ties break to class 0 (pinned).
+
+    Scale shape: training is TWO map-side-combinable aggregates
+    ((class, bucket) counts; class totals); the model is a
+    2·n_buckets-row broadcast; scoring is one (doc, bucket) count
+    aggregate + one broadcast join + one doc-key sum. No driver
+    iteration at all — NB's one-pass training is why it still gets used
+    at corpus scale.
+
+    Returns (doc_id, y, score_0, score_1, predicted) — all BIGINT.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(label_col).cast("long").alias("y"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+        % F.lit(int(n_buckets)),
+    )
+    toks = toks.localCheckpoint(eager=False)
+    d = int(n_buckets)
+
+    cb = toks.groupBy("y", "bucket").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = toks.groupBy("y").agg(F.count("*").cast("long").alias("t"))
+    # dense (class, bucket) grid so zero-count buckets get the add-1 floor
+    grid = (
+        tot.select("y", "t")
+        .crossJoin(
+            toks.sparkSession.range(d).select(F.col("id").alias("bucket"))
+        )
+        .join(cb, ["y", "bucket"], "left")
+        .select(
+            "y",
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce("c", F.lit(0)) + F.lit(1.0))
+                    / (F.col("t") + F.lit(float(d)))
+                )
+                * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    n_docs = docs.count()
+    priors = (
+        docs.select(F.col(label_col).cast("long").alias("y"))
+        .groupBy("y")
+        .agg(F.count("*").cast("long").alias("ny"))
+        .select(
+            "y",
+            F.round(
+                F.log(F.col("ny") / F.lit(float(n_docs))) * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("long")
+            .alias("qp"),
+        )
+    )
+    dc = toks.groupBy("doc_id", "bucket").agg(
+        F.count("*").cast("long").alias("tc")
+    )
+    contrib = (
+        dc.join(F.broadcast(grid), "bucket")
+        .groupBy("doc_id", F.col("y").alias("cls"))
+        .agg(F.sum(F.col("tc") * F.col("q")).cast("long").alias("s"))
+        .join(
+            F.broadcast(priors).select(
+                F.col("y").alias("cls"), "qp"
+            ),
+            "cls",
+        )
+        .select("doc_id", "cls", (F.col("s") + F.col("qp")).alias("score"))
+    )
+    scores = contrib.groupBy("doc_id").pivot("cls", [0, 1]).agg(
+        F.first("score")
+    )
+    labels = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    return (
+        scores.join(labels, "doc_id")
+        .select(
+            "doc_id",
+            "y",
+            F.col("0").cast("long").alias("score_0"),
+            F.col("1").cast("long").alias("score_1"),
+            F.when(F.col("1") > F.col("0"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("predicted"),
+        )
+    )

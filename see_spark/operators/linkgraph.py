@@ -1973,3 +1973,76 @@ def link_prediction(
             F.round("adamic_adar", round_dp).alias("adamic_adar"),
         )
     return out
+
+
+INF_DIST = 1 << 40  # unreachable sentinel — BIGINT-safe, shared with oracles
+
+
+def bellman_ford(
+    nodes: DataFrame,
+    edges: DataFrame,
+    source: int,
+    n_iter: int = 12,
+    id_col: str = "node",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Single-source WEIGHTED shortest paths by distributed Bellman-Ford
+    (the Pregel min-plus iteration; bfs_depths above is its unweighted
+    hop-count special case). Edge weights are positive BIGINTs, so every
+    round is exact integer arithmetic — relaxation is
+    dist'(v) = min(dist(v), min_{u→v}(dist(u) + w(u,v))) — and after
+    ``n_iter`` ≥ graph-diameter rounds distances are final (classic BF
+    bound: n−1 rounds always suffice; pass the diameter bound when
+    known).
+
+    Unreachable nodes hold ``INF_DIST`` (a sentinel, never NULL, so
+    min() semantics stay engine-portable).
+
+    Scale shape per round: ONE shuffle — edges join the current
+    distance relation on src (both hash-partitioned on the key) →
+    min-combine by dst (map-side combinable) → left join back to the
+    node list. Lineage cut per round with a lazy localCheckpoint.
+    Convergence short-circuit (stop when no distance changed) costs one
+    extra scalar aggregate per round at 10^10 scale — callers pick
+    n_iter from the known diameter instead (the same trade bfs_depths
+    makes).
+    """
+    node = F.col(id_col).cast("long").alias("node")
+    nodes_n = nodes.select(node)
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=False)
+
+    state = nodes_n.select(
+        "node",
+        F.when(F.col("node") == int(source), F.lit(0))
+        .otherwise(F.lit(INF_DIST))
+        .cast("long")
+        .alias("dist"),
+    )
+    for _ in range(int(n_iter)):
+        relaxed = (
+            edges.join(
+                state.where(F.col("dist") < INF_DIST).select(
+                    F.col("node").alias("src"), F.col("dist").alias("__d")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("__d") + F.col("w")).cast("long").alias("__cand"))
+        )
+        state = (
+            state.join(relaxed, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"), F.coalesce("__cand", F.lit(INF_DIST))
+                )
+                .cast("long")
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state
