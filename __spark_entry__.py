@@ -11791,6 +11791,173 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_fellegi_sunter(spark, sf_dir):
+    """Engine addition: Fellegi-Sunter record-linkage scoring
+    (linkage.py) over sorted-neighborhood candidate pairs of the
+    field-carrying dup corpus — per-field m/u weights learned from
+    exact-dup truth, quantized to micro-nats, exact BIGINT scores."""
+    from see_spark.operators.dedup import sorted_neighborhood_pairs
+    from see_spark.operators.linkage import fellegi_sunter_scores
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    ).withColumn("snm_key", F.lower(F.substring(F.col("text"), 1, 16)))
+    snm = sorted_neighborhood_pairs(corpus, key_col="snm_key", window=3)
+    fields = corpus.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars div 50").cast("long").alias("band"),
+        F.md5("text").alias("th"),
+    )
+    fa = fields.select(
+        F.col("doc_id").alias("a"), F.col("lang").alias("la"),
+        F.col("source").alias("sa"), F.col("band").alias("ba"),
+        F.col("th").alias("ha"),
+    )
+    fb = fields.select(
+        F.col("doc_id").alias("b"), F.col("lang").alias("lb"),
+        F.col("source").alias("sb"), F.col("band").alias("bb"),
+        F.col("th").alias("hb"),
+    )
+    pairs = (
+        snm.join(fa, "a")
+        .join(fb, "b")
+        .select(
+            "a",
+            "b",
+            (F.col("la") == F.col("lb")).alias("agree_lang"),
+            (F.col("sa") == F.col("sb")).alias("agree_source"),
+            (F.col("ba") == F.col("bb")).alias("agree_band"),
+            (F.col("jaccard_milli") >= 500).alias("agree_tokens"),
+            (F.col("ha") == F.col("hb")).alias("is_match"),
+        )
+    )
+    scored = fellegi_sunter_scores(
+        pairs, ["agree_lang", "agree_source", "agree_band", "agree_tokens"]
+    )
+    return scored.select(
+        "a",
+        "b",
+        F.col("agree_lang").cast("long").alias("agree_lang"),
+        F.col("agree_source").cast("long").alias("agree_source"),
+        F.col("agree_band").cast("long").alias("agree_band"),
+        F.col("agree_tokens").cast("long").alias("agree_tokens"),
+        F.col("is_match").cast("long").alias("is_match"),
+        "score",
+        "fs_match",
+    )
+
+
+QUERIES_EXTRA.update({"fellegi_sunter": _q_fellegi_sunter})
+
+
+ORACLES_EXTRA.update(
+    {
+        "fellegi_sunter": """
+        WITH corpus AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
+                 CAST(n_chars AS BIGINT) AS n_chars FROM documents
+          UNION ALL
+          SELECT CAST(doc_id + 100000 AS BIGINT), text, lang, source,
+                 CAST(n_chars AS BIGINT) FROM documents WHERE doc_id % 10 = 0),
+        keyed AS (SELECT doc_id AS id, lower(substr(text, 1, 16)) AS key,
+                         text FROM corpus),
+        ranked AS (SELECT id, key, text,
+                          ROW_NUMBER() OVER (ORDER BY key, id) - 1 AS rn
+                   FROM keyed),
+        prs AS (SELECT l.id AS a, r.id AS b
+                FROM ranked l JOIN ranked r
+                  ON r.rn BETWEEN l.rn + 1 AND l.rn + 2),
+        toks AS (SELECT DISTINCT id,
+                        unnest(string_split(text, ' ')) AS word FROM keyed),
+        sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
+                  FROM toks GROUP BY id),
+        inter AS (SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS i
+                  FROM prs p JOIN toks ta ON ta.id = p.a
+                  JOIN toks tb ON tb.id = p.b AND tb.word = ta.word
+                  GROUP BY p.a, p.b),
+        fields AS (SELECT doc_id, lang, source, n_chars // 50 AS band,
+                          md5(text) AS th FROM corpus),
+        pairs AS (
+          SELECT p.a, p.b,
+                 (fa.lang = fb.lang) AS agree_lang,
+                 (fa.source = fb.source) AS agree_source,
+                 (fa.band = fb.band) AS agree_band,
+                 (COALESCE(i.i, 0) * 1000
+                  // (sa.sz + sb.sz - COALESCE(i.i, 0)) >= 500)
+                   AS agree_tokens,
+                 (fa.th = fb.th) AS is_match
+          FROM prs p
+          LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+          JOIN sizes sa ON sa.id = p.a JOIN sizes sb ON sb.id = p.b
+          JOIN fields fa ON fa.doc_id = p.a
+          JOIN fields fb ON fb.doc_id = p.b),
+        c AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nm,
+                 CAST(SUM(CASE WHEN is_match AND agree_lang THEN 1 ELSE 0 END) AS BIGINT) AS ma_lang,
+                 CAST(SUM(CASE WHEN NOT is_match AND agree_lang THEN 1 ELSE 0 END) AS BIGINT) AS ua_lang,
+                 CAST(SUM(CASE WHEN is_match AND agree_source THEN 1 ELSE 0 END) AS BIGINT) AS ma_source,
+                 CAST(SUM(CASE WHEN NOT is_match AND agree_source THEN 1 ELSE 0 END) AS BIGINT) AS ua_source,
+                 CAST(SUM(CASE WHEN is_match AND agree_band THEN 1 ELSE 0 END) AS BIGINT) AS ma_band,
+                 CAST(SUM(CASE WHEN NOT is_match AND agree_band THEN 1 ELSE 0 END) AS BIGINT) AS ua_band,
+                 CAST(SUM(CASE WHEN is_match AND agree_tokens THEN 1 ELSE 0 END) AS BIGINT) AS ma_tokens,
+                 CAST(SUM(CASE WHEN NOT is_match AND agree_tokens THEN 1 ELSE 0 END) AS BIGINT) AS ua_tokens
+          FROM pairs),
+        w AS (
+          SELECT
+            CAST(round(ln(((CAST(ma_lang AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0))
+                 / ((CAST(ua_lang AS DOUBLE) + 0.5) / (CAST(n - nm AS DOUBLE) + 1.0))) * 1000000.0) AS BIGINT) AS w_lang,
+            CAST(round(ln((1.0 - ((CAST(ma_lang AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0)))
+                 / (1.0 - ((CAST(ua_lang AS DOUBLE) + 0.5) / (CAST(n - nm AS DOUBLE) + 1.0)))) * 1000000.0) AS BIGINT) AS wb_lang,
+            CAST(round(ln(((CAST(ma_source AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0))
+                 / ((CAST(ua_source AS DOUBLE) + 0.5) / (CAST(n - nm AS DOUBLE) + 1.0))) * 1000000.0) AS BIGINT) AS w_source,
+            CAST(round(ln((1.0 - ((CAST(ma_source AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0)))
+                 / (1.0 - ((CAST(ua_source AS DOUBLE) + 0.5) / (CAST(n - nm AS DOUBLE) + 1.0)))) * 1000000.0) AS BIGINT) AS wb_source,
+            CAST(round(ln(((CAST(ma_band AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0))
+                 / ((CAST(ua_band AS DOUBLE) + 0.5) / (CAST(n - nm AS DOUBLE) + 1.0))) * 1000000.0) AS BIGINT) AS w_band,
+            CAST(round(ln((1.0 - ((CAST(ma_band AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0)))
+                 / (1.0 - ((CAST(ua_band AS DOUBLE) + 0.5) / (CAST(n - nm AS DOUBLE) + 1.0)))) * 1000000.0) AS BIGINT) AS wb_band,
+            CAST(round(ln(((CAST(ma_tokens AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0))
+                 / ((CAST(ua_tokens AS DOUBLE) + 0.5) / (CAST(n - nm AS DOUBLE) + 1.0))) * 1000000.0) AS BIGINT) AS w_tokens,
+            CAST(round(ln((1.0 - ((CAST(ma_tokens AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0)))
+                 / (1.0 - ((CAST(ua_tokens AS DOUBLE) + 0.5) / (CAST(n - nm AS DOUBLE) + 1.0)))) * 1000000.0) AS BIGINT) AS wb_tokens
+          FROM c)
+        SELECT p.a, p.b,
+               CAST(CASE WHEN agree_lang THEN 1 ELSE 0 END AS BIGINT) AS agree_lang,
+               CAST(CASE WHEN agree_source THEN 1 ELSE 0 END AS BIGINT) AS agree_source,
+               CAST(CASE WHEN agree_band THEN 1 ELSE 0 END AS BIGINT) AS agree_band,
+               CAST(CASE WHEN agree_tokens THEN 1 ELSE 0 END AS BIGINT) AS agree_tokens,
+               CAST(CASE WHEN is_match THEN 1 ELSE 0 END AS BIGINT) AS is_match,
+               CAST((CASE WHEN agree_lang THEN (SELECT w_lang FROM w) ELSE (SELECT wb_lang FROM w) END)
+                  + (CASE WHEN agree_source THEN (SELECT w_source FROM w) ELSE (SELECT wb_source FROM w) END)
+                  + (CASE WHEN agree_band THEN (SELECT w_band FROM w) ELSE (SELECT wb_band FROM w) END)
+                  + (CASE WHEN agree_tokens THEN (SELECT w_tokens FROM w) ELSE (SELECT wb_tokens FROM w) END)
+                    AS BIGINT) AS score,
+               CAST(CASE WHEN (CASE WHEN agree_lang THEN (SELECT w_lang FROM w) ELSE (SELECT wb_lang FROM w) END)
+                  + (CASE WHEN agree_source THEN (SELECT w_source FROM w) ELSE (SELECT wb_source FROM w) END)
+                  + (CASE WHEN agree_band THEN (SELECT w_band FROM w) ELSE (SELECT wb_band FROM w) END)
+                  + (CASE WHEN agree_tokens THEN (SELECT w_tokens FROM w) ELSE (SELECT wb_tokens FROM w) END)
+                  > 0 THEN 1 ELSE 0 END AS BIGINT) AS fs_match
+        FROM pairs p
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 
