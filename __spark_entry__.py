@@ -11958,6 +11958,52 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_bwt_transform(spark, sf_dir):
+    """Engine addition: Burrows-Wheeler transform from the distributed
+    suffix array (suffix.py:bwt_transform) on the doc slice truncated
+    to 120 chars, with the run-clustering audit (bwt_runs vs
+    orig_runs); oracle sorts suffixes directly."""
+    from see_spark.operators.suffix import bwt_transform
+
+    return bwt_transform(_sa_docs(spark, sf_dir), max_len=120)
+
+
+QUERIES_EXTRA.update({"bwt_transform": _q_bwt_transform})
+
+
+ORACLES_EXTRA.update(
+    {
+        "bwt_transform": """
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          substr(text, 1, 120) || chr(9) AS t
+                   FROM documents WHERE doc_id % 25 = 0),
+        p AS (SELECT doc_id, t, unnest(range(0, length(t))) AS pos FROM d),
+        sa AS (SELECT doc_id, t, pos,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY substr(t, pos + 1)) AS r
+               FROM p),
+        b AS (SELECT doc_id,
+                     string_agg(CASE WHEN pos = 0
+                                     THEN substr(t, length(t), 1)
+                                     ELSE substr(t, pos, 1) END,
+                                '' ORDER BY r) AS bwt,
+                     MIN(t) AS t
+              FROM sa GROUP BY doc_id)
+        SELECT doc_id, bwt,
+               CAST(1 + len(list_filter(range(2, length(bwt) + 1),
+                      i -> substr(bwt, i, 1) <> substr(bwt, i - 1, 1)))
+                    AS BIGINT) AS bwt_runs,
+               CAST(1 + len(list_filter(range(2, length(t) + 1),
+                      i -> substr(t, i, 1) <> substr(t, i - 1, 1)))
+                    AS BIGINT) AS orig_runs
+        FROM b
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

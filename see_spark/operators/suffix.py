@@ -147,3 +147,78 @@ def lcp_intervals(
         lcp.cast("long").alias("lcp"),
     )
     return out.where(F.col("lcp") >= F.lit(int(min_lcp)))
+
+
+BWT_TERM = "\t"  # sentinel: sorts below every corpus byte (ASCII 9)
+
+
+def bwt_transform(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: Optional[int] = None,
+) -> DataFrame:
+    """Burrows-Wheeler transform per document, built FROM the
+    prefix-doubling suffix array (the classic SA→BWT reduction:
+    bwt[r] = text[pos_r − 1], wrapping to the appended sentinel) — plus
+    the run-structure audit that explains why BWT precedes compression
+    in bzip2/FM-index pipelines: equal characters cluster, so the BWT
+    string has far fewer runs than the original. FM-index search and
+    bzip2-class compression both start exactly here.
+
+    Appends ``BWT_TERM`` (tab — sorts below every corpus byte in both
+    engines' binary collation) so suffix order equals rotation order
+    and the transform is invertible.
+
+    Returns (doc_id, bwt, bwt_runs, orig_runs): run counts are exact
+    integers; a compression-oriented caller reads bwt_runs/orig_runs as
+    the clustering gain.
+
+    Scale shape: suffix_array's cost dominates (log n dense-rank
+    rounds); the transform itself is one join back to the text row and
+    one per-doc ordered fold (array_sort over an in-row array — no
+    extra shuffle beyond the per-doc groupBy).
+    """
+    text = F.col(text_col)
+    if max_len is not None:
+        text = F.substring(text, 1, int(max_len))
+    t = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.concat(text, F.lit(BWT_TERM)).alias("__t"),
+    )
+    sa = suffix_array(t, id_col="doc_id", text_col="__t")
+    joined = sa.join(t, "doc_id").select(
+        "doc_id",
+        "sa_rank",
+        F.expr(
+            "IF(pos = 0, substr(__t, length(__t), 1),"
+            " substr(__t, cast(pos as int), 1))"
+        ).alias("__ch"),
+        "__t",
+    )
+
+    def runs(col):
+        return F.expr(
+            f"1 + aggregate(sequence(2, cast(length({col}) as int)), 0L,"
+            f" (a, i) -> a + IF(substr({col}, i, 1) !="
+            f" substr({col}, i - 1, 1), 1L, 0L))"
+        )
+
+    per_doc = joined.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sa_rank", "__ch"))
+                ),
+                lambda s: s["__ch"],
+            ),
+            "",
+        ).alias("bwt"),
+        F.first("__t").alias("__t"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "bwt",
+        runs("bwt").cast("long").alias("bwt_runs"),
+        runs("__t").cast("long").alias("orig_runs"),
+    )
