@@ -2046,3 +2046,104 @@ def bellman_ford(
             .localCheckpoint(eager=False)
         )
     return state
+
+
+def boruvka_mst(
+    nodes: DataFrame,
+    edges: DataFrame,
+    weight_col: str = "w",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Minimum spanning forest by distributed Borůvka (1926; the
+    textbook MapReduce/Pregel MST — Kruskal/Prim are inherently
+    sequential, Borůvka's per-component min-edge choice is one
+    aggregate): each round every component selects its lightest
+    incident cross-component edge (total order (w, a, b) — ties never
+    ambiguous, so the forest is UNIQUE and partitioning-invariant),
+    selected edges merge components, rounds halve the component count
+    (≤ log2(n) rounds).
+
+    Component merging reuses ``dedup.connected_components`` (large-star
+    /small-star) on the selected-edge component graph — a graph with one
+    node per current component, exponentially smaller each round.
+
+    Scale shape per round: one join of edges to the label relation
+    (hash-partitioned on the node key), one min-struct aggregate per
+    component (map-side combinable), CC on the contracted graph, one
+    label-update join. The driver sees only per-round counts.
+
+    Returns the forest edges (a, b, w) — n − #components rows.
+    """
+    from .dedup import connected_components
+
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("node").cast("long").alias("label"),
+    ).localCheckpoint(eager=False)
+    chosen = None
+    for _ in range(int(max_rounds)):
+        la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+        lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+        e2 = (
+            und.join(la, "a")
+            .join(lb, "b")
+            .where(F.col("la") != F.col("lb"))
+            .localCheckpoint(eager=False)
+        )
+        if e2.limit(1).count() == 0:
+            break
+        incident = e2.select(
+            F.col("la").alias("comp"), F.struct("w", "a", "b", "lb").alias("e")
+        ).unionByName(
+            e2.select(
+                F.col("lb").alias("comp"),
+                F.struct("w", "a", "b", F.col("la").alias("lb")).alias("e"),
+            )
+        )
+        picks = (
+            incident.groupBy("comp")
+            .agg(F.min("e").alias("e"))
+            .select(F.col("e.w").alias("w"), F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+            .distinct()
+        )
+        picks = picks.localCheckpoint(eager=False)
+        chosen = picks if chosen is None else chosen.unionByName(picks).distinct()
+        chosen = chosen.localCheckpoint(eager=False)
+        # contract: CC over the component graph of selected edges
+        pa = picks.join(
+            labels.select(F.col("node").alias("a"), F.col("label").alias("ca")), "a"
+        ).join(
+            labels.select(F.col("node").alias("b"), F.col("label").alias("cb")), "b"
+        )
+        cc = connected_components(
+            pa.select(F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b"))
+        )
+        # cc: (doc_id=old label, component=new label); unmatched keep label
+        labels = (
+            labels.join(
+                cc.select(
+                    F.col("node").alias("label"),
+                    F.col("component").alias("__nl"),
+                ),
+                "label",
+                "left",
+            )
+            .select(
+                "node", F.coalesce("__nl", F.col("label")).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    if chosen is None:
+        return und.where(F.lit(False)).select("a", "b", "w")
+    return chosen.select("a", "b", "w")
