@@ -110,3 +110,36 @@ def read_text_dir(spark: SparkSession, path: str) -> DataFrame:
         "src_file",
         F.octet_length("text").cast("long").alias("n_bytes"),
     )
+
+
+def write_documents_orc(docs: DataFrame, path: str) -> None:
+    """ORC sink (Spark-native columnar alternative to parquet — the
+    Hive-ecosystem interchange format; zlib compression, same min/max
+    stripe statistics story as parquet footers)."""
+    docs.write.mode("overwrite").orc(path)
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_documents_partitioned(
+    docs: DataFrame, path: str, partition_col: str = "lang"
+) -> None:
+    """Hive-layout partitioned parquet sink: one directory per
+    ``partition_col`` value (``lang=en/part-*.parquet``). At corpus
+    scale this IS the coarse pruning layer: a reader filtering on the
+    partition column never lists — let alone opens — the other
+    directories, independent of (and before) parquet row-group
+    statistics. The Z-order/min-max audit (operators/layout.py) covers
+    intra-file skipping; this covers directory-level skipping; real
+    tables use both.
+    """
+    docs.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def read_documents_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the hive layout back; the partition column is reconstructed
+    from directory names (string-typed — Spark's default with
+    spark.sql.sources.partitionColumnTypeInference left alone)."""
+    return spark.read.parquet(path)
