@@ -12004,6 +12004,72 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+_STATS_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _q_table_stats(spark, sf_dir):
+    """Engine addition: ANALYZE-style per-column statistics
+    (tablestats.py:table_stats) over documents — the CBO feed (row
+    count, nulls, exact NDV, min/max) in ONE scan, stack-unpivoted."""
+    from see_spark.operators.tablestats import table_stats
+
+    return table_stats(_documents(spark, sf_dir), _STATS_COLS)
+
+
+def _q_decayed_counts(spark, sf_dir):
+    """Engine addition: exponentially-decayed counters (tablestats.py:
+    decayed_counts) per event_type, 3-day half-life — EXACT fixed-point
+    aging (2^20 >> halflives), no float decay drift."""
+    from see_spark.operators.tablestats import decayed_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return decayed_counts(ev, halflife_us=3 * 24 * 3_600_000_000)
+
+
+QUERIES_EXTRA.update(
+    {"table_stats": _q_table_stats, "decayed_counts": _q_decayed_counts}
+)
+
+
+def _table_stats_oracle_sql() -> str:
+    parts = []
+    for c in _STATS_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS column,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM documents""")
+    return "\n        UNION ALL\n".join(parts)
+
+
+ORACLES_EXTRA.update(
+    {
+        "table_stats": _table_stats_oracle_sql(),
+        "decayed_counts": """
+        WITH m AS (SELECT MAX(epoch_us(ts)) AS now FROM events),
+        w AS (SELECT event_type AS key,
+                     CASE WHEN ((SELECT now FROM m) - epoch_us(ts))
+                               // 259200000000 >= 20
+                          THEN CAST(0 AS BIGINT)
+                          ELSE CAST(1048576 AS BIGINT)
+                               >> CAST(((SELECT now FROM m) - epoch_us(ts))
+                                       // 259200000000 AS INT)
+                     END AS wt
+              FROM events)
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(wt) AS BIGINT) AS decayed_fp
+        FROM w GROUP BY key
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 
