@@ -12070,6 +12070,64 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_range_router(spark, sf_dir):
+    """Engine addition: range-partition balance audit (sharding.py:
+    range_router_audit) — exact equi-depth boundaries vs naive
+    fixed-width ranges on a quadratically skewed key ((l_orderkey%100)^2
+    over lineitem), 16 buckets; fixed-width shows the skew a static
+    range shuffle inherits."""
+    from see_spark.operators.sharding import range_router_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        ((F.col("l_orderkey") % 100) * (F.col("l_orderkey") % 100))
+        .cast("long")
+        .alias("skewed_key")
+    )
+    return range_router_audit(li, "skewed_key", n_buckets=16)
+
+
+QUERIES_EXTRA.update({"range_router": _q_range_router})
+
+
+ORACLES_EXTRA.update(
+    {
+        "range_router": """
+        WITH base AS (
+          SELECT CAST((l_orderkey % 100) * (l_orderkey % 100) AS BIGINT)
+                   AS k
+          FROM lineitem),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      MIN(k) AS lo, MAX(k) AS hi FROM base),
+        ranked AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) - 1 AS r
+                   FROM base),
+        marks AS (SELECT (i * (SELECT n FROM nn)) // 16 AS m
+                  FROM (SELECT unnest(range(1, 16)) AS i)),
+        bounds AS (SELECT DISTINCT m, (SELECT k FROM ranked WHERE r = m) AS v
+                   FROM marks),
+        eq AS (
+          SELECT 'equidepth' AS scheme,
+                 CAST((SELECT COUNT(*) FROM bounds WHERE base.k > bounds.v)
+                      AS BIGINT) AS bucket
+          FROM base),
+        fw AS (
+          SELECT 'fixedwidth' AS scheme,
+                 CAST(CASE WHEN (SELECT hi FROM nn) = (SELECT lo FROM nn)
+                           THEN 0
+                           ELSE LEAST((k - (SELECT lo FROM nn)) * 16
+                                // ((SELECT hi FROM nn)
+                                    - (SELECT lo FROM nn) + 1), 15)
+                      END AS BIGINT) AS bucket
+          FROM base)
+        SELECT scheme, bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM (SELECT * FROM eq UNION ALL SELECT * FROM fw)
+        GROUP BY scheme, bucket
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

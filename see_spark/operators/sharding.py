@@ -339,3 +339,72 @@ def hrw_rebalance_audit(
             (F.col("shard_before") != F.col("shard_after")).cast("long"),
         )
     )
+
+
+def equidepth_boundaries(
+    df: DataFrame, key_col: str, n_buckets: int
+) -> list:
+    """Exact equi-depth boundaries: the key values at ranks
+    i·N div B (i = 1..B−1) in the total (key, rank) order — the
+    deterministic version of the sampled range partitioning
+    repartitionByRange does internally. One distributed dense rank
+    (seq.with_dense_sequence) + a B−1-row collect (values, never row
+    data)."""
+    from ..functions.seq import with_dense_sequence
+
+    n = df.count()
+    b = int(n_buckets)
+    if n == 0:
+        return []
+    keyed = df.select(F.col(key_col).cast("long").alias("__k"))
+    ranked = with_dense_sequence(keyed, ["__k"], out_col="__r")
+    marks = [((i * n) // b) for i in range(1, b)]
+    rows = (
+        ranked.where(F.col("__r").isin(marks))
+        .select("__r", "__k")
+        .collect()
+    )
+    by_rank = {r["__r"]: r["__k"] for r in rows}
+    return [int(by_rank[m]) for m in marks]
+
+
+def range_router_audit(
+    df: DataFrame, key_col: str, n_buckets: int = 16
+) -> DataFrame:
+    """Partition-balance audit: route every row into ``n_buckets`` by
+    (a) exact equi-depth boundaries learned from the data and (b) naive
+    fixed-width ranges over [min, max] — per (scheme, bucket) exact
+    counts. On any non-uniform key the fixed-width histogram shows the
+    skew a range-partitioned shuffle would inherit, while equi-depth
+    stays flat: this is the measurement behind choosing
+    repartitionByRange + AQE skew handling over static ranges.
+
+    bucket(v) = #boundaries strictly below... precisely Σ_i [v > b_i]
+    (pinned strict comparison, duplicate keys at a boundary all land in
+    the same bucket — counts then legitimately deviate from N/B, which
+    the audit shows rather than hides).
+    """
+    b = int(n_buckets)
+    bounds = equidepth_boundaries(df, key_col, b)
+    lo, hi = df.agg(
+        F.min(F.col(key_col).cast("long")), F.max(F.col(key_col).cast("long"))
+    ).collect()[0]
+    lo, hi = int(lo), int(hi)
+    keyed = df.select(F.col(key_col).cast("long").alias("__k"))
+    eq_bucket = F.lit(0).cast("long")
+    for v in bounds:
+        eq_bucket = eq_bucket + (F.col("__k") > F.lit(int(v))).cast("long")
+    if hi == lo:
+        fw_bucket = F.lit(0).cast("long")
+    else:
+        fw_bucket = F.least(
+            F.expr(f"(__k - {lo}) * {b} div {hi - lo + 1}"),
+            F.lit(b - 1),
+        ).cast("long")
+    eq = keyed.select(F.lit("equidepth").alias("scheme"), eq_bucket.alias("bucket"))
+    fw = keyed.select(F.lit("fixedwidth").alias("scheme"), fw_bucket.alias("bucket"))
+    return (
+        eq.unionByName(fw)
+        .groupBy("scheme", "bucket")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
