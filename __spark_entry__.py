@@ -12128,6 +12128,58 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_compression_audit(spark, sf_dir):
+    """Engine addition: exact Rice / Elias-Fano posting-list costing
+    (indexstats.py:compression_size_audit) over the corpus postings —
+    integer floor-log2 via bin(), no float path; per-word best codec."""
+    from see_spark.operators.indexstats import compression_size_audit
+
+    return compression_size_audit(_doc_postings(spark, sf_dir), min_docs=2)
+
+
+QUERIES_EXTRA.update({"compression_audit": _q_compression_audit})
+
+
+ORACLES_EXTRA.update(
+    {
+        "compression_audit": f"""
+        WITH postings AS ({_POSTINGS_SQL}),
+        g AS (SELECT word, doc_id,
+                     doc_id - LAG(doc_id, 1, -1) OVER (
+                       PARTITION BY word ORDER BY doc_id) AS gap
+              FROM (SELECT word, CAST(doc_id AS BIGINT) AS doc_id
+                    FROM postings)),
+        pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(MAX(doc_id) + 1 AS BIGINT) AS universe
+               FROM g GROUP BY word HAVING COUNT(*) >= 2),
+        par AS (SELECT word, n_docs, universe,
+                       CAST(length(bin(GREATEST(universe // n_docs, 1))) - 1
+                            AS BIGINT) AS k
+                FROM pw),
+        rs AS (SELECT g.word,
+                      CAST(SUM((g.gap >> CAST(p.k AS INT)) + 1 + p.k)
+                           AS BIGINT) AS rice_bits
+               FROM g JOIN par p USING (word) GROUP BY g.word)
+        SELECT p.word, p.n_docs, p.universe,
+               CAST(p.n_docs * 64 AS BIGINT) AS raw_bits,
+               p.k AS rice_k, r.rice_bits, p.k AS ef_l,
+               CAST(p.n_docs * p.k + p.n_docs
+                    + (p.universe >> CAST(p.k AS INT)) AS BIGINT) AS ef_bits,
+               CASE WHEN r.rice_bits <= (p.n_docs * p.k + p.n_docs
+                         + (p.universe >> CAST(p.k AS INT)))
+                         AND r.rice_bits <= p.n_docs * 64 THEN 'rice'
+                    WHEN (p.n_docs * p.k + p.n_docs
+                          + (p.universe >> CAST(p.k AS INT)))
+                         <= p.n_docs * 64 THEN 'ef'
+                    ELSE 'raw' END AS best
+        FROM par p JOIN rs r USING (word)
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -235,3 +235,83 @@ def index_tiers(
         "topk_hits",
         F.sum("topk_hits").over(w).cast("long").alias("cum_hits"),
     ).withColumn("covers_topk", F.col("cum_hits") >= F.lit(int(total)))
+
+
+def compression_size_audit(postings: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Exact compressed-size costing of every posting list under the two
+    classic docid-gap codecs — the numbers an index-layout decision is
+    actually made on (Lucene/PISA-class engines pick per-block codecs
+    from exactly these):
+
+      raw       64 bits/docid (the uncompressed strawman)
+      Rice      unary quotient + k-bit remainder per gap, k = floor(
+                log2(avg_gap)) — near-optimal for geometric gaps
+      Elias-Fano n·l + n + (U >> l) bits, l = floor(log2(U/n)) — the
+                quasi-succinct layout with O(1) skip/select (Vigna 2013)
+
+    Gap convention: previous docid starts at −1, so Σgaps = last + 1 = U
+    (every gap ≥ 1, no zero-gap special case). All arithmetic is BIGINT
+    — floor-log2 is length(bin(x)) − 1, no floating log — so the audit
+    is engine-exact. Returns one row per word with ≥ ``min_docs``
+    postings: (word, n_docs, universe, raw_bits, rice_k, rice_bits,
+    ef_l, ef_bits, best).
+
+    Scale shape: one window (lag) keyed by word for gaps, one per-word
+    aggregate, one broadcast-back join of the two per-word code
+    parameters, one final per-word sum — everything combinable, nothing
+    wider than the word key.
+    """
+    w = Window.partitionBy("word").orderBy("doc_id")
+    gaps = postings.select("word", F.col("doc_id").cast("long").alias("doc_id")).withColumn(
+        "__gap",
+        F.col("doc_id") - F.lag("doc_id", 1, -1).over(w),
+    )
+    per_word = gaps.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.max("doc_id") + 1).cast("long").alias("universe"),
+    ).where(F.col("n_docs") >= F.lit(int(min_docs)))
+    params = per_word.select(
+        "word",
+        "n_docs",
+        "universe",
+        (F.length(F.bin(F.expr("greatest(universe div n_docs, 1)"))) - 1)
+        .cast("long")
+        .alias("rice_k"),
+        (F.length(F.bin(F.expr("greatest(universe div n_docs, 1)"))) - 1)
+        .cast("long")
+        .alias("ef_l"),
+    )
+    sums = (
+        gaps.join(params.select("word", "rice_k"), "word")
+        .groupBy("word")
+        .agg(
+            F.sum(
+                F.expr("shiftright(__gap, cast(rice_k as int)) + 1 + rice_k")
+            )
+            .cast("long")
+            .alias("rice_bits")
+        )
+    )
+    out = params.join(sums, "word").select(
+        "word",
+        "n_docs",
+        "universe",
+        (F.col("n_docs") * 64).cast("long").alias("raw_bits"),
+        "rice_k",
+        "rice_bits",
+        "ef_l",
+        F.expr("n_docs * ef_l + n_docs"
+               " + shiftright(universe, cast(ef_l as int))")
+        .cast("long")
+        .alias("ef_bits"),
+    )
+    return out.withColumn(
+        "best",
+        F.when(
+            (F.col("rice_bits") <= F.col("ef_bits"))
+            & (F.col("rice_bits") <= F.col("raw_bits")),
+            F.lit("rice"),
+        )
+        .when(F.col("ef_bits") <= F.col("raw_bits"), F.lit("ef"))
+        .otherwise(F.lit("raw")),
+    )
