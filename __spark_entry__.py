@@ -12180,6 +12180,44 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_skyline(spark, sf_dir):
+    """Engine addition: Pareto-frontier skyline (skyline.py:skyline2d,
+    Borzsonyi 2001) over documents maximizing (n_chars%97, doc_id%89) —
+    grid pre-pruning bounds the exact dominance test to the staircase
+    band."""
+    from see_spark.operators.skyline import skyline2d
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("n_chars") % 97).cast("long").alias("qx"),
+        (F.col("doc_id") % 89).cast("long").alias("qy"),
+    )
+    return skyline2d(docs, "qx", "qy", "doc_id")
+
+
+QUERIES_EXTRA.update({"skyline": _q_skyline})
+
+
+ORACLES_EXTRA.update(
+    {
+        # ground truth: direct NOT EXISTS dominance
+        "skyline": """
+        WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                          CAST(n_chars % 97 AS BIGINT) AS x,
+                          CAST(doc_id % 89 AS BIGINT) AS y
+                   FROM documents)
+        SELECT id, x, y FROM p a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p b
+          WHERE b.x >= a.x AND b.y >= a.y
+            AND (b.x > a.x OR b.y > a.y))
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 
