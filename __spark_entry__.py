@@ -12218,6 +12218,97 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_merkle_tree(spark, sf_dir):
+    """Engine addition: Merkle hash tree over documents (merkle.py:
+    merkle_levels) — rows in doc_id order, fanout 16; level 0 leaves up
+    to the root, all deterministic md5 (the snapshot-integrity /
+    replica-diff primitive)."""
+    from see_spark.operators.merkle import merkle_levels
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return merkle_levels(docs, ["doc_id"], ["doc_id", "text"], fanout=16)
+
+
+QUERIES_EXTRA.update({"merkle_tree": _q_merkle_tree})
+
+
+ORACLES_EXTRA.update(
+    {
+        # unrolled for the 500-doc gate corpus: 500 -> 32 -> 2 -> 1
+        "merkle_tree": """
+        WITH l0 AS (
+          SELECT 0 AS level,
+                 ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS BIGINT)) - 1
+                   AS pos,
+                 md5(CAST(doc_id AS BIGINT) || chr(31) || text) AS node_hash
+          FROM documents),
+        l1 AS (SELECT 1 AS level, pos // 16 AS pos,
+                      md5(string_agg(node_hash, '' ORDER BY pos)) AS node_hash
+               FROM l0 GROUP BY pos // 16),
+        l2 AS (SELECT 2 AS level, pos // 16 AS pos,
+                      md5(string_agg(node_hash, '' ORDER BY pos)) AS node_hash
+               FROM l1 GROUP BY pos // 16),
+        l3 AS (SELECT 3 AS level, pos // 16 AS pos,
+                      md5(string_agg(node_hash, '' ORDER BY pos)) AS node_hash
+               FROM l2 GROUP BY pos // 16)
+        SELECT CAST(level AS BIGINT) AS level, CAST(pos AS BIGINT) AS pos,
+               node_hash
+        FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+              UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+    """,
+    }
+)
+
+
+
+
+def _q_edit_join(spark, sf_dir):
+    """Engine addition: q-gram edit-distance similarity join
+    (simjoin.py:edit_distance_join, Gravano VLDB'01) on the 24-char
+    text-prefix field of the dup corpus — count-filtered candidates,
+    built-in levenshtein verify, dist <= 2."""
+    from see_spark.operators.simjoin import edit_distance_join
+
+    return edit_distance_join(
+        _dup_corpus(spark, sf_dir), max_dist=2, q=2, field_len=24
+    )
+
+
+QUERIES_EXTRA.update({"edit_join": _q_edit_join})
+
+
+ORACLES_EXTRA.update(
+    {
+        "edit_join": f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        fields AS (SELECT doc_id AS id, substr(text, 1, 24) AS f
+                   FROM corpus),
+        grams AS (
+          SELECT id, length(f) AS len,
+                 unnest(CASE WHEN length(f) < 2 THEN [f]
+                        ELSE list_transform(range(1, length(f) - 2 + 2),
+                               i -> substr(f, CAST(i AS INT), 2)) END) AS g
+          FROM fields),
+        cands AS (
+          SELECT a.id AS a, b.id AS b
+          FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+          GROUP BY a.id, b.id, a.len, b.len
+          HAVING COUNT(*) >= GREATEST(a.len, b.len) - 1 - 4),
+        c2 AS (SELECT DISTINCT a, b FROM cands)
+        SELECT c2.a, c2.b,
+               CAST(levenshtein(fa.f, fb.f) AS BIGINT) AS dist
+        FROM c2 JOIN fields fa ON fa.id = c2.a
+        JOIN fields fb ON fb.id = c2.b
+        WHERE levenshtein(fa.f, fb.f) <= 2
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 
