@@ -12309,6 +12309,139 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_ab_test(spark, sf_dir):
+    """Engine addition: two-proportion A/B conversion test
+    (analytics.py:ab_test) — variant by user parity, conversion =
+    purchase within 24h of first signup; exact counts, guarded pooled
+    z."""
+    from see_spark.operators.analytics import ab_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ab_test(ev, horizon_us=24 * 3600 * 1_000_000)
+
+
+def _q_kaplan_meier(spark, sf_dir):
+    """Engine addition: Kaplan-Meier survival curve (analytics.py:
+    kaplan_meier) for time from first signup to purchase, censoring
+    non-converters at the corpus horizon; windowed product over the
+    pinned time order."""
+    from see_spark.operators.analytics import kaplan_meier
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kaplan_meier(ev)
+
+
+def _q_gini_hosts(spark, sf_dir):
+    """Engine addition: Gini concentration of frontier pages per host
+    (analytics.py:gini_concentration) — exact integer micro-units via
+    the rank formula."""
+    from see_spark.operators.analytics import gini_concentration
+
+    counts = (
+        _orders_frontier(spark, sf_dir)
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return gini_concentration(counts, value_col="n")
+
+
+QUERIES_EXTRA.update(
+    {
+        "ab_test": _q_ab_test,
+        "kaplan_meier": _q_kaplan_meier,
+        "gini_hosts": _q_gini_hosts,
+    }
+)
+
+
+ORACLES_EXTRA.update(
+    {
+        "ab_test": """
+        WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u, event_type AS t,
+                           epoch_us(ts) AS us, (user_id % 2 = 0) AS va
+                    FROM events),
+        st AS (SELECT u, MIN(us) AS t0, MIN(CASE WHEN va THEN 1 ELSE 0 END)
+                        AS va
+               FROM ev WHERE t = 'signup' GROUP BY u),
+        cv AS (SELECT DISTINCT e.u FROM ev e JOIN st ON st.u = e.u
+               WHERE e.t = 'purchase' AND e.us > st.t0
+                 AND e.us <= st.t0 + 86400000000),
+        per AS (SELECT st.va, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN cv.u IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c
+                FROM st LEFT JOIN cv ON cv.u = st.u GROUP BY st.va),
+        one AS (SELECT
+                  MAX(CASE WHEN va = 1 THEN n END) AS n_a,
+                  MAX(CASE WHEN va = 1 THEN c END) AS c_a,
+                  MAX(CASE WHEN va = 0 THEN n END) AS n_b,
+                  MAX(CASE WHEN va = 0 THEN c END) AS c_b
+                FROM per)
+        SELECT n_a, c_a, n_b, c_b,
+               CAST(c_a * 1000 // n_a AS BIGINT) AS rate_a_milli,
+               CAST(c_b * 1000 // n_b AS BIGINT) AS rate_b_milli,
+               ROUND(CASE WHEN (c_a + c_b) / (n_a + n_b) <= 0.0
+                            OR (c_a + c_b) / (n_a + n_b) >= 1.0 THEN 0.0
+                     ELSE (c_a / n_a - c_b / n_b)
+                          / sqrt(((c_a + c_b) / (n_a + n_b))
+                                 * (1.0 - (c_a + c_b) / (n_a + n_b))
+                                 * (1.0 / n_a + 1.0 / n_b))
+                     END, 9) AS z_stat
+        FROM one
+    """,
+        "kaplan_meier": """
+        WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u, event_type AS t,
+                           epoch_us(ts) AS us FROM events),
+        h AS (SELECT MAX(us) AS horizon FROM ev),
+        st AS (SELECT u, MIN(us) AS t0 FROM ev
+               WHERE t = 'signup' GROUP BY u),
+        g AS (SELECT e.u, MIN(e.us) AS tg
+              FROM ev e JOIN st ON st.u = e.u
+              WHERE e.t = 'purchase' AND e.us > st.t0 GROUP BY e.u),
+        durs AS (SELECT st.u,
+                        COALESCE(g.tg - st.t0,
+                                 (SELECT horizon FROM h) - st.t0) AS dur,
+                        CASE WHEN g.tg IS NOT NULL THEN 1 ELSE 0 END
+                          AS event
+                 FROM st LEFT JOIN g ON g.u = st.u),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM durs),
+        per_t AS (SELECT dur AS t_us, CAST(COUNT(*) AS BIGINT) AS m,
+                         CAST(SUM(event) AS BIGINT) AS d
+                  FROM durs GROUP BY dur),
+        risk AS (SELECT t_us, m, d,
+                        CAST((SELECT n FROM nn)
+                             - COALESCE(SUM(m) OVER (ORDER BY t_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+                 FROM per_t),
+        curve AS (SELECT t_us, d, n_risk,
+                         product(1.0 - d / n_risk) OVER (ORDER BY t_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS s
+                  FROM risk WHERE d > 0)
+        SELECT t_us, d, n_risk, ROUND(s, 9) AS survival FROM curve
+    """,
+        "gini_hosts": f"""
+        WITH frontier AS ({_FRONTIER_SQL}),
+        counts AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM frontier GROUP BY host),
+        ranked AS (SELECT n AS x,
+                          ROW_NUMBER() OVER (ORDER BY n, host) AS i
+                   FROM counts),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng,
+                       CAST(SUM(x) AS BIGINT) AS s,
+                       CAST(SUM(i * x) AS BIGINT) AS ix
+                FROM ranked)
+        SELECT ng AS n_groups, s AS total,
+               CAST((2 * ix * 1000000) // (ng * s)
+                    - ((ng + 1) * 1000000) // ng AS BIGINT) AS gini_micro
+        FROM agg
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 
