@@ -12442,6 +12442,46 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_lang_confusion(spark, sf_dir):
+    """Engine addition: confusion matrix (evaluation.py:
+    classification_confusion) of the stopword language-ID predictions
+    against the documents.lang labels — diagonal cell_milli = per-class
+    recall."""
+    from see_spark.operators.evaluation import classification_confusion
+
+    preds = _q_lang_id(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("predicted_lang").alias("pred")
+    )
+    truth = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("id"), F.col("lang").alias("truth")
+    )
+    return classification_confusion(preds, truth)
+
+
+QUERIES_EXTRA.update({"lang_confusion": _q_lang_confusion})
+
+
+ORACLES_EXTRA.update(
+    {
+        "lang_confusion": f"""
+        WITH preds AS ({ORACLES_BATCH2["lang_id"]}),
+        j AS (SELECT d.lang AS truth, p.predicted_lang AS pred
+              FROM preds p JOIN documents d
+                ON CAST(d.doc_id AS BIGINT) = p.doc_id),
+        cells AS (SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM j GROUP BY truth, pred),
+        totals AS (SELECT truth, CAST(COUNT(*) AS BIGINT) AS n_truth
+                   FROM j GROUP BY truth)
+        SELECT c.truth, c.pred, c.n, t.n_truth,
+               CAST(c.n * 1000 // t.n_truth AS BIGINT) AS cell_milli
+        FROM cells c JOIN totals t USING (truth)
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -303,3 +303,42 @@ def b3_cluster_quality(
         )
         .alias("b3_f1"),
     )
+
+
+def classification_confusion(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "pred",
+    truth_col: str = "truth",
+) -> DataFrame:
+    """Multi-class confusion matrix — the evaluation every classifier
+    in the pipeline (language ID, quality filter, NB/logreg) reports
+    against labels: one row per observed (truth, pred) cell with exact
+    counts and the per-truth-class recall share that cell represents.
+
+      (truth, pred, n, n_truth, cell_milli)   cell_milli = 1000·n div
+      n_truth; diagonal cells' cell_milli ARE the per-class recalls.
+
+    Two combinable aggregates + one key join; matrix size is
+    classes², never data-sized.
+    """
+    j = pred.select(
+        F.col(id_col).alias("id"), F.col(pred_col).alias("pred")
+    ).join(
+        truth.select(F.col(id_col).alias("id"), F.col(truth_col).alias("truth")),
+        "id",
+    )
+    cells = j.groupBy("truth", "pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = j.groupBy("truth").agg(
+        F.count("*").cast("long").alias("n_truth")
+    )
+    return cells.join(totals, "truth").select(
+        "truth",
+        "pred",
+        "n",
+        "n_truth",
+        F.expr("n * 1000 div n_truth").cast("long").alias("cell_milli"),
+    )
