@@ -12482,6 +12482,52 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_containment(spark, sf_dir):
+    """Engine addition: Broder containment (dedup.py:containment_pairs)
+    — the dup-injected copies (new side) vs the original corpus (old
+    side): c(new, old) = |S∩|/|S(new)|; the asymmetric novelty test."""
+    from see_spark.operators.dedup import containment_pairs
+
+    corpus = _dup_corpus(spark, sf_dir)
+    new = corpus.where(F.col("doc_id") >= 100000)
+    old = corpus.where(F.col("doc_id") < 100000)
+    return containment_pairs(new, old, n=3, threshold_milli=500)
+
+
+QUERIES_EXTRA.update({"containment": _q_containment})
+
+
+ORACLES_EXTRA.update(
+    {
+        "containment": f"""
+        WITH corpus AS ({_DUP_CORPUS_SQL}),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, greatest(len(t)-2, 1)+1),
+                             i -> array_to_string(t[i:i+2], ' '))) AS shingle
+               FROM toks),
+        sn AS (SELECT doc_id AS new_id, shingle FROM sh
+               WHERE doc_id >= 100000),
+        so AS (SELECT doc_id AS old_id, shingle FROM sh
+               WHERE doc_id < 100000),
+        sizes AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS size_new
+                  FROM sn GROUP BY new_id),
+        inter AS (SELECT sn.new_id, so.old_id,
+                         CAST(COUNT(*) AS BIGINT) AS inter
+                  FROM sn JOIN so USING (shingle)
+                  GROUP BY sn.new_id, so.old_id)
+        SELECT i.new_id, i.old_id, i.inter, s.size_new,
+               CAST(i.inter * 1000 // s.size_new AS BIGINT)
+                 AS containment_milli
+        FROM inter i JOIN sizes s USING (new_id)
+        WHERE i.inter * 1000 // s.size_new >= 500
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -907,3 +907,62 @@ def lsh_recall_curve(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def containment_pairs(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    n: int = 3,
+    threshold_milli: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment (Broder 1997's second resemblance measure):
+    c(A, B) = |S(A) ∩ S(B)| / |S(A)| — how much of NEW document A is
+    already inside OLD document B. The incremental-crawl novelty test
+    Jaccard gets wrong: a short quote-page embedded in a long article
+    has low Jaccard (sizes differ) but containment ≈ 1, and it's
+    containment that decides "nothing new here, skip reindexing".
+
+    Same scale shape as ngram_jaccard_pairs — shingle equi-join with the
+    optional stop-shingle df cap bounding fan-out — but across TWO
+    relations (new × old), and normalized by the new side only.
+
+    Returns (new_id, old_id, inter, size_new, containment_milli) for
+    pairs ≥ ``threshold_milli``.
+    """
+    sh_new = word_shingles(new_docs, n, text_col, id_col).select(
+        F.col("doc_id").alias("new_id"), "shingle"
+    )
+    sh_old = word_shingles(old_docs, n, text_col, id_col).select(
+        F.col("doc_id").alias("old_id"), "shingle"
+    )
+    if max_shingle_df is not None:
+        df_all = (
+            sh_new.select("shingle")
+            .unionAll(sh_old.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh_new = sh_new.join(df_all, "shingle")
+        sh_old = sh_old.join(df_all, "shingle")
+    sizes = sh_new.groupBy("new_id").agg(
+        F.count("*").cast("long").alias("size_new")
+    )
+    inter = (
+        sh_new.join(sh_old, "shingle")
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes, "new_id")
+        .withColumn(
+            "containment_milli",
+            F.expr("inter * 1000 div size_new").cast("long"),
+        )
+        .where(F.col("containment_milli") >= F.lit(int(threshold_milli)))
+        .select("new_id", "old_id", "inter", "size_new", "containment_milli")
+    )
