@@ -12528,6 +12528,66 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_table_diff(spark, sf_dir):
+    """Engine addition: semantic snapshot diff (merkle.py:table_diff) —
+    documents vs a deterministically mutated copy (drop doc_id%31==0,
+    rewrite text of %17==0, add shifted ids): added/removed/changed/
+    unchanged counts from one full-outer hash join."""
+    from see_spark.operators.merkle import table_diff
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    mutated = (
+        docs.where(F.col("doc_id") % 31 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return table_diff(docs, mutated, ["doc_id"], ["text"])
+
+
+QUERIES_EXTRA.update({"table_diff": _q_table_diff})
+
+
+ORACLES_EXTRA.update(
+    {
+        "table_diff": """
+        WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                      FROM documents),
+        mut AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM docs WHERE doc_id % 31 <> 0
+          UNION ALL
+          SELECT doc_id + 200000, text FROM docs WHERE doc_id % 13 = 0),
+        a AS (SELECT doc_id, md5(text) AS ha FROM docs),
+        b AS (SELECT doc_id, md5(text) AS hb FROM mut),
+        j AS (SELECT CASE WHEN a.ha IS NULL THEN 'added'
+                          WHEN b.hb IS NULL THEN 'removed'
+                          WHEN a.ha <> b.hb THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM a FULL OUTER JOIN b USING (doc_id))
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM j GROUP BY status
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -94,3 +94,47 @@ def merkle_diff_paths(
     return a.join(b, ["level", "pos"], "full_outer").where(
         F.coalesce("hash_a", F.lit("")) != F.coalesce("hash_b", F.lit(""))
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list,
+    compare_cols: list,
+) -> DataFrame:
+    """Semantic snapshot diff — the row-level complement of the Merkle
+    integrity tree above: classify every key as added / removed /
+    changed / unchanged between two table versions by comparing a
+    deterministic hash of ``compare_cols`` (so wide rows diff without
+    shipping their payloads through the join). The audit behind "what
+    did this crawl round actually change" and incremental-export
+    (CDC-style) feeds.
+
+    One full-outer equi-join on the key; hashes are md5 of the
+    unit-separated column rendering (the merkle leaf convention).
+    Returns (status, n_keys) — one row per status present.
+    """
+    def h(df):
+        return df.select(
+            *[F.col(c) for c in key_cols],
+            F.md5(
+                F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in compare_cols]
+                )
+            ).alias("__h"),
+        )
+
+    a = h(old).withColumnRenamed("__h", "__ha")
+    b = h(new).withColumnRenamed("__h", "__hb")
+    j = a.join(b, key_cols, "full_outer")
+    status = (
+        F.when(F.col("__ha").isNull(), F.lit("added"))
+        .when(F.col("__hb").isNull(), F.lit("removed"))
+        .when(F.col("__ha") != F.col("__hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n_keys"))
+    )
