@@ -12588,6 +12588,51 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_class_tfidf(spark, sf_dir):
+    """Engine addition: c-TF-IDF class labeling (textfilters.py:
+    class_tfidf) — top-5 distinguishing terms per language class; the
+    cluster-naming step of BERTopic-style pipelines."""
+    from see_spark.operators.textfilters import class_tfidf
+
+    return class_tfidf(_documents(spark, sf_dir), class_col="lang", k=5)
+
+
+QUERIES_EXTRA.update({"class_tfidf": _q_class_tfidf})
+
+
+ORACLES_EXTRA.update(
+    {
+        "class_tfidf": """
+        WITH toks AS (SELECT lang AS cls,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+        tf AS (SELECT cls, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks GROUP BY cls, term),
+        wc AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS w
+               FROM toks GROUP BY cls),
+        cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+               FROM tf GROUP BY term),
+        nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM wc),
+        scored AS (
+          SELECT tf.cls, tf.term, tf.tf,
+                 ROUND((tf.tf / wc.w)
+                       * ln((SELECT c FROM nc) / (1.0 + cf.cf)), 9)
+                   AS score
+          FROM tf JOIN wc USING (cls) JOIN cf USING (term)),
+        ranked AS (
+          SELECT cls, term, tf, score,
+                 ROW_NUMBER() OVER (PARTITION BY cls
+                   ORDER BY score DESC, term ASC) AS r
+          FROM scored)
+        SELECT cls, CAST(r AS BIGINT) AS rank, term, tf, score
+        FROM ranked WHERE r <= 5
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

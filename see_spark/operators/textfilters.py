@@ -632,3 +632,65 @@ def textrank_keywords(
         .orderBy(F.desc("rank"), F.asc("word"))
         .limit(k)
     )
+
+
+def class_tfidf(
+    docs: DataFrame,
+    class_col: str = "lang",
+    k: int = 5,
+    text_col: str = "text",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Class-level TF-IDF labeling (the c-TF-IDF step BERTopic-style
+    topic pipelines use to NAME a cluster): treat each class as one
+    concatenated pseudo-document, score terms by within-class rate ×
+    across-class rarity, keep the top-k per class —
+
+      score(t, c) = (tf_{t,c} / tokens_c) · ln(C / (1 + classes(t)))
+
+    with C = #classes and classes(t) = #classes containing t. Terms
+    every class shares get idf ≤ 0 and fall away; the survivors are the
+    class's distinguishing vocabulary (cluster labels, language marker
+    words, per-source boilerplate).
+
+    Exactness: counts are integers, one division + one ln per row, the
+    per-class k-cut orders by the ROUNDED score (desc, term asc).
+    Scale shape: two combinable aggregates ((class, term) counts +
+    class totals), one distinct-count aggregate on the term key, one
+    per-class window top-k.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(class_col).alias("cls"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    toks = toks.localCheckpoint(eager=False)
+    tf = toks.groupBy("cls", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    wc = toks.groupBy("cls").agg(F.count("*").cast("long").alias("w"))
+    cf = tf.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    n_classes = wc.count()
+    scored = (
+        tf.join(wc, "cls")
+        .join(cf, "term")
+        .select(
+            "cls",
+            "term",
+            "tf",
+            F.round(
+                (F.col("tf") / F.col("w"))
+                * F.log(
+                    F.lit(float(n_classes)) / (F.lit(1.0) + F.col("cf"))
+                ),
+                round_dp,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cls").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= F.lit(int(k)))
+        .select("cls", F.col("__r").cast("long").alias("rank"), "term", "tf", "score")
+    )
