@@ -12633,6 +12633,64 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+_SEL_PREDS = [
+    ("qty_eq_25", "l_quantity", 25),
+    ("partkey_eq_7", "l_partkey", 7),
+    ("skew_eq_100", "skewed", 100),
+    ("skew_eq_9801", "skewed", 9801),
+]
+
+
+def _q_selectivity_audit(spark, sf_dir):
+    """Engine addition: CBO selectivity reality check (tablestats.py:
+    selectivity_audit) — uniform-NDV estimates vs actual rows with
+    q-error, over lineitem plus the quadratically skewed derived key;
+    the skewed predicates show where uniformity lies."""
+    from see_spark.operators.tablestats import selectivity_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "skewed",
+        ((F.col("l_orderkey") % 100) * (F.col("l_orderkey") % 100)).cast("long"),
+    )
+    return selectivity_audit(li, _SEL_PREDS)
+
+
+QUERIES_EXTRA.update({"selectivity_audit": _q_selectivity_audit})
+
+
+def _selectivity_oracle_sql() -> str:
+    parts = []
+    for label, col, value in _SEL_PREDS:
+        parts.append(f"""
+        SELECT '{label}' AS predicate,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM li) AS n_rows,
+               (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM li) AS ndv,
+               (SELECT CAST(COUNT(*) // COUNT(DISTINCT {col}) AS BIGINT)
+                FROM li) AS est_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM li
+                WHERE {col} = {value}) AS actual_rows,
+               (SELECT CAST(1000 * GREATEST(
+                         (SELECT COUNT(*) // COUNT(DISTINCT {col}) FROM li),
+                         (SELECT COUNT(*) FROM li WHERE {col} = {value}))
+                       // GREATEST(LEAST(
+                         (SELECT COUNT(*) // COUNT(DISTINCT {col}) FROM li),
+                         (SELECT COUNT(*) FROM li WHERE {col} = {value})), 1)
+                       AS BIGINT)) AS q_error_milli""")
+    return (
+        """
+        WITH li AS (SELECT *,
+               CAST((l_orderkey % 100) * (l_orderkey % 100) AS BIGINT)
+                 AS skewed
+             FROM lineitem)"""
+        + "\n        UNION ALL\n".join(parts)
+    )
+
+
+ORACLES_EXTRA.update({"selectivity_audit": _selectivity_oracle_sql()})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

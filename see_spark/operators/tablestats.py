@@ -88,3 +88,55 @@ def decayed_counts(
             F.sum("__w").cast("long").alias("decayed_fp"),
         )
     )
+
+
+def selectivity_audit(
+    df: DataFrame, predicates: list
+) -> DataFrame:
+    """Cost-based-optimizer reality check: for each equality predicate
+    (label, col, value), compare the textbook uniform-NDV cardinality
+    estimate — est = n_rows div ndv(col), the formula every CBO applies
+    when only ANALYZE stats exist — against the ACTUAL matching rows,
+    reporting the q-error (max(est,act)/min(est,act), the standard
+    estimation-quality metric, Moerkotte et al. 2009). On skewed
+    columns the q-error shows exactly how far uniformity lies — the
+    number that justifies histograms (range_router_audit) over plain
+    NDV stats.
+
+    One scan computes all NDVs + all actual counts together (conditional
+    aggregates); output one row per predicate, all exact BIGINT:
+    (predicate, n_rows, ndv, est_rows, actual_rows, q_error_milli).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for label, col, _ in predicates:
+        aggs.append(F.countDistinct(F.col(col)).cast("long").alias(f"__ndv_{label}"))
+    for label, col, value in predicates:
+        aggs.append(
+            F.sum((F.col(col) == F.lit(value)).cast("long"))
+            .cast("long")
+            .alias(f"__act_{label}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{label}', __ndv_{label}, __act_{label}" for label, _, _ in predicates
+    )
+    base = one.select(
+        F.expr(
+            f"stack({len(predicates)}, {stack_args})"
+            " as (predicate, ndv, actual_rows)"
+        ),
+        F.col("__n").alias("n_rows"),
+    )
+    return base.select(
+        "predicate",
+        "n_rows",
+        "ndv",
+        F.expr("n_rows div ndv").cast("long").alias("est_rows"),
+        F.coalesce("actual_rows", F.lit(0)).cast("long").alias("actual_rows"),
+        F.expr(
+            "1000 * greatest(n_rows div ndv, coalesce(actual_rows, 0))"
+            " div greatest(least(n_rows div ndv, coalesce(actual_rows, 0)), 1)"
+        )
+        .cast("long")
+        .alias("q_error_milli"),
+    )
