@@ -12691,6 +12691,94 @@ def _selectivity_oracle_sql() -> str:
 ORACLES_EXTRA.update({"selectivity_audit": _selectivity_oracle_sql()})
 
 
+
+
+def _q_topic_pagerank(spark, sf_dir):
+    """Engine addition: topic-sensitive PageRank (linkgraph.py:
+    topic_pagerank, Haveliwala 2002) over the synthetic expander —
+    topic 0 teleports to lang='en' docs, topic 1 to lang='de'; both
+    vectors in ONE pipeline, 4 iterations, unrolled per-topic oracle."""
+    from see_spark.operators.linkgraph import synthetic_edges, topic_pagerank
+
+    docs = _documents(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("node"), "lang"
+    )
+    nt = None
+    for t, lang in ((0, "en"), (1, "de")):
+        part = base.select(
+            "node",
+            F.lit(t).cast("long").alias("topic"),
+            (F.col("lang") == lang).cast("long").alias("is_seed"),
+        )
+        nt = part if nt is None else nt.unionByName(part)
+    return topic_pagerank(nt, synthetic_edges(docs), n_iter=4)
+
+
+QUERIES_EXTRA.update({"topic_pagerank": _q_topic_pagerank})
+
+
+def _tspr_oracle_sql(n_iter: int = 4, d: float = 0.85) -> str:
+    """Per-topic unrolled TSPR; teleport + dangling both to the seed
+    set; literals repr'd so IEEE op order matches topic_pagerank."""
+    one_minus_d = 1.0 - d
+    ctes = [
+        _LINKGRAPH_SQL,
+        """nt AS MATERIALIZED (
+          SELECT CAST(doc_id AS BIGINT) AS node, t.topic,
+                 CAST(CASE WHEN (t.topic = 0 AND lang = 'en')
+                             OR (t.topic = 1 AND lang = 'de')
+                      THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+          FROM documents,
+               LATERAL (SELECT unnest([CAST(0 AS BIGINT),
+                                       CAST(1 AS BIGINT)]) AS topic) t)""",
+        """ns AS (SELECT topic, CAST(SUM(is_seed) AS BIGINT) AS n_seeds
+               FROM nt GROUP BY topic)""",
+        """od AS MATERIALIZED (
+          SELECT n.node, CAST(COALESCE(o.deg, 0) AS BIGINT) AS out_deg
+          FROM nodes n LEFT JOIN outdeg o ON o.src = n.node)""",
+        """r0 AS (SELECT nt.node, nt.topic, nt.is_seed, ns.n_seeds,
+                      CASE WHEN nt.is_seed = 1 THEN 1.0 / ns.n_seeds
+                           ELSE 0.0 END AS rank
+               FROM nt JOIN ns USING (topic))""",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"""dt{i} AS (SELECT r.topic,
+                 COALESCE(SUM(r.rank), 0.0) AS dang
+               FROM {p} r JOIN od ON od.node = r.node
+               WHERE od.out_deg = 0 GROUP BY r.topic)"""
+        )
+        ctes.append(
+            f"""c{i} AS (SELECT e.dst AS node, r.topic,
+                 SUM(r.rank / od.deg) AS contrib
+               FROM edges e
+               JOIN (SELECT node, topic, rank FROM {p}) r
+                 ON e.src = r.node
+               JOIN (SELECT src AS node, deg FROM outdeg) od
+                 ON od.node = e.src
+               GROUP BY e.dst, r.topic)"""
+        )
+        ctes.append(
+            f"""r{i} AS (SELECT b.node, b.topic, b.is_seed, b.n_seeds,
+                 {d!r} * (COALESCE(c.contrib, 0.0)
+                          + COALESCE(dt.dang, 0.0) * b.is_seed / b.n_seeds)
+                 + {one_minus_d!r} * b.is_seed / b.n_seeds AS rank
+               FROM r0 b
+               LEFT JOIN c{i} c ON c.node = b.node AND c.topic = b.topic
+               LEFT JOIN dt{i} dt ON dt.topic = b.topic)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, topic, ROUND(rank, 9) AS rank FROM r{n_iter}"
+    )
+
+
+ORACLES_EXTRA.update({"topic_pagerank": _tspr_oracle_sql()})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -2147,3 +2147,113 @@ def boruvka_mst(
     if chosen is None:
         return und.where(F.lit(False)).select("a", "b", "w")
     return chosen.select("a", "b", "w")
+
+
+def topic_pagerank(
+    nodes_topics: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 4,
+    damping: float = 0.85,
+    round_dp: Optional[int] = ROUND_DP,
+) -> DataFrame:
+    """Topic-sensitive PageRank (Haveliwala, WWW 2002): one personalized
+    rank vector per topic, teleporting ONLY to that topic's seed pages —
+    the biased importance signal a focused crawler or vertical ranker
+    blends at query time instead of re-running PageRank per query.
+
+    ``nodes_topics``: (node, topic, is_seed) — the full node list
+    replicated per topic with seed membership. All topics run in ONE
+    pipeline: the per-iteration state is (node, topic, rank), the edge
+    relation joins once on src and aggregates by (dst, topic) — one
+    shuffle per iteration carrying K× the single-vector volume, K =
+    #topics (the standard batched-TSPR trade: K small and fixed).
+    Dangling mass and teleport both go to the topic's seed set
+    (uniformly over seeds — the TSPR convention), so each topic vector
+    sums to 1.
+
+      r'_t(v) = d·(Σ_{u→v} r_t(u)/deg(u) + dang_t·seed_t(v)/|S_t|)
+                + (1−d)·seed_t(v)/|S_t|
+
+    Per-topic dangling scalars come from ONE grouped two-row aggregate
+    per iteration (never row data). Ranks round to ``round_dp`` (same
+    determinism rule as pagerank).
+    """
+    nt = nodes_topics.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("topic").cast("long").alias("topic"),
+        F.col("is_seed").cast("long").alias("is_seed"),
+    )
+    seeds = nt.groupBy("topic").agg(
+        F.sum("is_seed").cast("long").alias("n_seeds")
+    )
+    nt = nt.join(seeds, "topic").localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False)
+    deg = out_degrees(edges)
+    base = nt.join(deg, nt["node"] == deg["src"], "left").select(
+        "node",
+        "topic",
+        "is_seed",
+        "n_seeds",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+    )
+    state = base.withColumn(
+        "rank",
+        F.when(F.col("is_seed") == 1, F.lit(1.0) / F.col("n_seeds")).otherwise(
+            F.lit(0.0)
+        ),
+    ).localCheckpoint(eager=False)
+    d = float(damping)
+    for _ in range(int(n_iter)):
+        dang = {
+            int(r["topic"]): float(r["m"])
+            for r in state.where(F.col("out_deg") == 0)
+            .groupBy("topic")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()
+        }
+        dang_expr = F.lit(0.0)
+        for t, m in sorted(dang.items()):
+            dang_expr = F.when(F.col("topic") == t, F.lit(m)).otherwise(
+                dang_expr
+            )
+        contribs = (
+            edges.join(
+                state.where(F.col("out_deg") > 0).select(
+                    F.col("node").alias("src"),
+                    "topic",
+                    (F.col("rank") / F.col("out_deg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "topic")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        state = (
+            base.join(contribs, ["node", "topic"], "left")
+            .select(
+                "node",
+                "topic",
+                "is_seed",
+                "n_seeds",
+                "out_deg",
+                (
+                    F.lit(d)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + dang_expr
+                        * F.col("is_seed")
+                        / F.col("n_seeds")
+                    )
+                    + F.lit(1.0 - d)
+                    * F.col("is_seed")
+                    / F.col("n_seeds")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = state.select("node", "topic", "rank")
+    if round_dp is not None:
+        out = out.select(
+            "node", "topic", F.round("rank", round_dp).alias("rank")
+        )
+    return out
