@@ -12779,6 +12779,90 @@ def _tspr_oracle_sql(n_iter: int = 4, d: float = 0.85) -> str:
 ORACLES_EXTRA.update({"topic_pagerank": _tspr_oracle_sql()})
 
 
+
+
+def _q_ktruss(spark, sf_dir):
+    """Engine addition: k-truss subgraph (linkgraph.py:ktruss, k=3 —
+    every surviving edge sits in >= 1 triangle) of the undirected
+    synthetic expander; 6 peel rounds pinned on both sides (idempotent
+    past convergence)."""
+    from see_spark.operators.linkgraph import ktruss, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    # the expander alone peels to an empty 3-truss; union a deterministic
+    # K10 clique over nodes 0..9 so the gate exercises a real truss core
+    # (clique edges survive, expander tendrils peel away)
+    clique = (
+        spark.range(10)
+        .select(F.col("id").alias("src"))
+        .crossJoin(spark.range(10).select(F.col("id").alias("dst")))
+        .where(F.col("src") < F.col("dst"))
+    )
+    g = synthetic_edges(docs).unionByName(clique)
+    return ktruss(g, k=4, n_rounds=6)
+
+
+QUERIES_EXTRA.update({"ktruss": _q_ktruss})
+
+
+def _ktruss_oracle_sql(k: int = 4, n_rounds: int = 6) -> str:
+    need = k - 2
+    ctes = [
+        _LINKGRAPH_SQL,
+        """e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM (SELECT src, dst FROM edges
+                UNION ALL
+                SELECT l.i AS src, r.i AS dst
+                FROM (SELECT unnest(range(10)) AS i) l,
+                     (SELECT unnest(range(10)) AS i) r
+                WHERE l.i < r.i)
+          WHERE src <> dst)""",
+    ]
+    for i in range(1, n_rounds + 1):
+        p = f"e{i-1}"
+        ctes.append(
+            f"""s{i} AS (
+          SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS support
+          FROM {p} c
+          JOIN (SELECT a AS u, b AS w FROM {p}
+                UNION ALL SELECT b, a FROM {p}) wa
+            ON wa.u = c.a
+          JOIN (SELECT a AS u, b AS w FROM {p}
+                UNION ALL SELECT b, a FROM {p}) wb
+            ON wb.u = c.b AND wb.w = wa.w
+          GROUP BY c.a, c.b)"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+          SELECT c.a, c.b FROM {p} c JOIN s{i} s
+            ON s.a = c.a AND s.b = c.b
+          WHERE s.support >= {need})"""
+        )
+    last = f"e{n_rounds}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT c.a, c.b,
+           CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+    FROM {last} c
+    LEFT JOIN (
+      SELECT c.a, c.b, COUNT(*) AS support
+      FROM {last} c
+      JOIN (SELECT a AS u, b AS w FROM {last}
+            UNION ALL SELECT b, a FROM {last}) wa ON wa.u = c.a
+      JOIN (SELECT a AS u, b AS w FROM {last}
+            UNION ALL SELECT b, a FROM {last}) wb
+        ON wb.u = c.b AND wb.w = wa.w
+      GROUP BY c.a, c.b) s
+      ON s.a = c.a AND s.b = c.b"""
+    )
+
+
+ORACLES_EXTRA.update({"ktruss": _ktruss_oracle_sql()})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -2257,3 +2257,81 @@ def topic_pagerank(
             "node", "topic", F.round("rank", round_dp).alias("rank")
         )
     return out
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 4,
+    n_rounds: int = 6,
+) -> DataFrame:
+    """k-truss subgraph (Cohen 2008): iteratively delete every edge
+    supported by fewer than k−2 triangles until stable — the
+    community-core detector that is strictly stronger than k-core
+    (every edge in a k-truss sits in k−2 triangles WITHIN the truss,
+    so loose tendrils that survive degree-peeling fall away). On a web
+    graph this isolates genuinely interlinked cliques (link farms,
+    topic cores) from star-shaped hubs.
+
+    Fixed ``n_rounds`` of support-peeling in BOTH the operator and the
+    oracle (peeling is monotone and idempotent at the fixpoint, so any
+    round count ≥ convergence yields the same subgraph — pytest pins
+    convergence within the default rounds at test scale; at 10^10 edges
+    pass the known peel depth or iterate with a driver count check).
+
+    Scale shape per round: support = per-edge common-neighbor count via
+    the wedge join (adjacency self-joined through the shared endpoint —
+    the same deg-bounded fan-out as triangle_counts/link_prediction),
+    one combinable aggregate, one filter. Returns surviving
+    (a, b, support).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    need = int(k) - 2
+    cur = und
+    support = None
+    for _ in range(int(n_rounds)):
+        adj = cur.unionAll(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).select(F.col("a").alias("u"), F.col("b").alias("w"))
+        # triangles per edge (a,b): w adjacent to both endpoints
+        wa = adj.select(F.col("u").alias("a"), "w")
+        wb = adj.select(F.col("u").alias("b"), "w")
+        sup = (
+            cur.join(wa, "a")
+            .join(wb, ["b", "w"])
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("support"))
+        )
+        support = cur.join(sup, ["a", "b"], "left").select(
+            "a",
+            "b",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+        cur = (
+            support.where(F.col("support") >= need)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    # final support recomputed on the surviving subgraph
+    adj = cur.unionAll(
+        cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("u"), F.col("b").alias("w"))
+    wa = adj.select(F.col("u").alias("a"), "w")
+    wb = adj.select(F.col("u").alias("b"), "w")
+    sup = (
+        cur.join(wa, "a")
+        .join(wb, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    return cur.join(sup, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )
