@@ -12863,6 +12863,61 @@ def _ktruss_oracle_sql(k: int = 4, n_rounds: int = 6) -> str:
 ORACLES_EXTRA.update({"ktruss": _ktruss_oracle_sql()})
 
 
+
+
+def _q_merge_intervals(spark, sf_dir):
+    """Engine addition: overlapping-interval coalescing (history.py:
+    merge_intervals, gaps-and-islands) — per-user 30-minute activity
+    windows around each event merged into spans."""
+    from see_spark.operators.history import merge_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.select(
+        F.col("user_id").cast("long").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.lit(30 * 60 * 1_000_000)
+        ).alias("end_us"),
+        F.col("event_id").cast("long").alias("eid"),
+    )
+    return merge_intervals(iv, tiebreak_col="eid")
+
+
+QUERIES_EXTRA.update({"merge_intervals": _q_merge_intervals})
+
+
+ORACLES_EXTRA.update(
+    {
+        "merge_intervals": """
+        WITH iv AS (SELECT CAST(user_id AS BIGINT) AS key,
+                           epoch_us(ts) AS s,
+                           epoch_us(ts) + 1800000000 AS e,
+                           CAST(event_id AS BIGINT) AS eid
+                    FROM events),
+        marked AS (
+          SELECT key, s, e, eid,
+                 CASE WHEN MAX(e) OVER w IS NULL THEN 1
+                      WHEN s > MAX(e) OVER w THEN 1 ELSE 0 END AS nw
+          FROM iv
+          WINDOW w AS (PARTITION BY key ORDER BY s, e, eid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        isl AS (
+          SELECT key, s, e,
+                 SUM(nw) OVER (PARTITION BY key ORDER BY s, e, eid
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+          FROM marked)
+        SELECT key, CAST(island AS BIGINT) AS island,
+               CAST(MIN(s) AS BIGINT) AS start,
+               CAST(MAX(e) AS BIGINT) AS "end",
+               CAST(COUNT(*) AS BIGINT) AS n_merged
+        FROM isl GROUP BY key, island
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -138,3 +138,61 @@ def late_events(
             F.sum((~F.col("__late")).cast("long")).cast("long").alias("n_kept"),
         )
     )
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    key_col: str = "key",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per key — the classic
+    gaps-and-islands rewrite (an island opens where start > max of all
+    PRIOR ends): politeness windows, outage windows, per-user activity
+    spans all reduce to this. Closed-interval semantics: [1,5] and
+    [5,9] merge (touching counts as overlap).
+
+    ONE hash shuffle on the key; the running prior-end maximum and the
+    island counter are two frames of the same per-key window (ordered
+    by (start, end [, tiebreak]) — pass a tiebreak when (start, end)
+    can repeat).
+
+    Returns (key, island, start, end, n_merged).
+    """
+    order = [F.col(start_col), F.col(end_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = intervals.withColumn(
+        "__new",
+        F.when(
+            F.col(start_col) > F.max(F.col(end_col)).over(w_prev), F.lit(1)
+        )
+        .when(F.max(F.col(end_col)).over(w_prev).isNull(), F.lit(1))
+        .otherwise(F.lit(0)),
+    ).withColumn("__isl", F.sum("__new").over(w_run))
+    return (
+        marked.groupBy(F.col(key_col).alias("key"), F.col("__isl"))
+        .agg(
+            F.min(start_col).cast("long").alias("start"),
+            F.max(end_col).cast("long").alias("end"),
+            F.count("*").cast("long").alias("n_merged"),
+        )
+        .select(
+            "key",
+            (F.col("__isl")).cast("long").alias("island"),
+            "start",
+            "end",
+            "n_merged",
+        )
+    )
