@@ -12918,6 +12918,105 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+_LM_LANDMARKS = [0, 7, 13, 29]
+_LM_PAIRS = [(1, 100), (1, 350), (2, 200), (2, 450)]
+
+
+def _q_landmark_distances(spark, sf_dir):
+    """Engine addition: landmark distance-estimation audit
+    (linkgraph.py:landmark_distance_audit) on the undirected expander —
+    ONE multi-source BFS over landmarks+pair-sources supplies both
+    est = min_L d(u,L)+d(L,v) and the exact distances; stretch >= 1000
+    by the triangle inequality."""
+    from see_spark.operators.linkgraph import landmark_distance_audit
+
+    docs = _documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    from see_spark.operators.linkgraph import synthetic_edges
+
+    return landmark_distance_audit(
+        nodes, synthetic_edges(docs), _LM_LANDMARKS, _LM_PAIRS, n_iter=8
+    )
+
+
+QUERIES_EXTRA.update({"landmark_distances": _q_landmark_distances})
+
+
+def _landmark_oracle_sql(n_iter: int = 8) -> str:
+    inf = 1 << 40
+    srcs = sorted(set(_LM_LANDMARKS) | {u for u, _ in _LM_PAIRS})
+    src_vals = ", ".join(f"({s})" for s in srcs)
+    lm_vals = ", ".join(str(x) for x in _LM_LANDMARKS)
+    ctes = [
+        _LINKGRAPH_SQL,
+        """ue AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges))""",
+        "mn AS MATERIALIZED (SELECT node FROM nodes)",
+        f"""sv AS (SELECT CAST(col0 AS BIGINT) AS lm
+               FROM (VALUES {src_vals}))""",
+        f"""d0 AS (SELECT n.node, s.lm,
+                 CAST(CASE WHEN n.node = s.lm THEN 0 ELSE {inf} END
+                      AS BIGINT) AS dist
+               FROM mn n CROSS JOIN sv s)""",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"d{i-1}"
+        ctes.append(
+            f"""c{i} AS (SELECT e.dst AS node, d.lm,
+                 CAST(MIN(d.dist) + 1 AS BIGINT) AS cand
+               FROM ue e JOIN {p} d ON d.node = e.src
+               WHERE d.dist < {inf} GROUP BY e.dst, d.lm)"""
+        )
+        ctes.append(
+            f"""d{i} AS (SELECT d.node, d.lm,
+                 CAST(LEAST(d.dist, COALESCE(c.cand, {inf})) AS BIGINT)
+                   AS dist
+               FROM {p} d LEFT JOIN c{i} c
+                 ON c.node = d.node AND c.lm = d.lm)"""
+        )
+    last = f"d{n_iter}"
+    selects = []
+    for u, v in _LM_PAIRS:
+        selects.append(
+            f"""
+        SELECT CAST({u} AS BIGINT) AS u, CAST({v} AS BIGINT) AS v,
+               (SELECT dist FROM {last} WHERE lm = {u} AND node = {v})
+                 AS exact,
+               (SELECT CAST(COALESCE(MIN(CASE WHEN du.dist < {inf}
+                                               AND dv.dist < {inf}
+                                          THEN du.dist + dv.dist
+                                          ELSE {inf} END), {inf}) AS BIGINT)
+                FROM (SELECT lm, dist FROM {last}
+                      WHERE node = {u} AND lm IN ({lm_vals})) du
+                JOIN (SELECT lm, dist FROM {last}
+                      WHERE node = {v} AND lm IN ({lm_vals})) dv
+                  USING (lm)) AS est,
+               CAST((SELECT CAST(COALESCE(MIN(CASE WHEN du.dist < {inf}
+                                               AND dv.dist < {inf}
+                                          THEN du.dist + dv.dist
+                                          ELSE {inf} END), {inf}) AS BIGINT)
+                FROM (SELECT lm, dist FROM {last}
+                      WHERE node = {u} AND lm IN ({lm_vals})) du
+                JOIN (SELECT lm, dist FROM {last}
+                      WHERE node = {v} AND lm IN ({lm_vals})) dv
+                  USING (lm)) * 1000
+                // GREATEST((SELECT dist FROM {last}
+                             WHERE lm = {u} AND node = {v}), 1) AS BIGINT)
+                 AS stretch_milli"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n        UNION ALL\n".join(selects)
+    )
+
+
+ORACLES_EXTRA.update({"landmark_distances": _landmark_oracle_sql()})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

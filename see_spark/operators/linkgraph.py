@@ -2335,3 +2335,122 @@ def ktruss(
         "b",
         F.coalesce("support", F.lit(0)).cast("long").alias("support"),
     )
+
+
+def multi_source_bfs(
+    nodes: DataFrame,
+    edges: DataFrame,
+    sources: list,
+    n_iter: int = 8,
+    undirected: bool = True,
+) -> DataFrame:
+    """Hop distances from MANY sources in ONE pipeline: state is
+    (node, src, dist) — the source id rides as a key dimension exactly
+    like topic_pagerank's topic, so S sources cost one shuffle per round
+    carrying S× the single-BFS volume instead of S sequential jobs (the
+    batching that makes landmark sketches affordable). Exact BIGINT;
+    ``INF_DIST`` for nodes unreached within ``n_iter`` hops.
+    """
+    node = F.col("node").cast("long")
+    nodes_n = nodes.select(node.alias("node"))
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    if undirected:
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+    src_arr = F.array(*[F.lit(int(s)).cast("long") for s in sources])
+    state = nodes_n.select(
+        "node", F.explode(src_arr).alias("lm")
+    ).withColumn(
+        "dist",
+        F.when(F.col("node") == F.col("lm"), F.lit(0))
+        .otherwise(F.lit(INF_DIST))
+        .cast("long"),
+    )
+    state = state.localCheckpoint(eager=False)
+    base = state.select("node", "lm")
+    for _ in range(int(n_iter)):
+        relaxed = (
+            e.join(
+                state.where(F.col("dist") < INF_DIST).select(
+                    F.col("node").alias("src"), "lm", F.col("dist").alias("__d")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "lm")
+            .agg((F.min("__d") + 1).cast("long").alias("__cand"))
+        )
+        state = (
+            state.join(relaxed, ["node", "lm"], "left")
+            .select(
+                "node",
+                "lm",
+                F.least(F.col("dist"), F.coalesce("__cand", F.lit(INF_DIST)))
+                .cast("long")
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state
+
+
+def landmark_distance_audit(
+    nodes: DataFrame,
+    edges: DataFrame,
+    landmarks: list,
+    pairs: list,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Landmark (2-hop-sketch-lite) distance estimation audit (Das
+    Sarma et al., WSDM 2010 family): est(u,v) = min over landmarks of
+    d(u,L)+d(L,v) upper-bounds the true distance by the triangle
+    inequality; the audit measures the stretch on known pairs. ONE
+    multi-source BFS over landmarks ∪ {pair sources} supplies both the
+    estimates and the exact distances — no per-pair traversals.
+
+    Returns (u, v, exact, est, stretch_milli = est·1000 div max(exact,1))
+    for each requested pair, all exact BIGINT; est ≥ exact always,
+    INF_DIST where unreachable.
+    """
+    us = sorted({int(u) for u, _ in pairs})
+    srcs = sorted(set(int(x) for x in landmarks) | set(us))
+    d = multi_source_bfs(nodes, edges, srcs, n_iter).localCheckpoint(
+        eager=False
+    )
+    lm_set = [int(x) for x in landmarks]
+    out = None
+    for u, v in pairs:
+        exact = d.where(
+            (F.col("lm") == int(u)) & (F.col("node") == int(v))
+        ).select(F.col("dist").alias("exact"))
+        est = (
+            d.where(F.col("lm").isin(lm_set) & F.col("node").isin([int(u), int(v)]))
+            .groupBy("lm")
+            .agg(
+                F.max(F.when(F.col("node") == int(u), F.col("dist"))).alias("du"),
+                F.max(F.when(F.col("node") == int(v), F.col("dist"))).alias("dv"),
+            )
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col("du") < INF_DIST) & (F.col("dv") < INF_DIST),
+                        F.col("du") + F.col("dv"),
+                    ).otherwise(F.lit(INF_DIST))
+                ).alias("est")
+            )
+        )
+        row = exact.crossJoin(est).select(
+            F.lit(int(u)).cast("long").alias("u"),
+            F.lit(int(v)).cast("long").alias("v"),
+            F.col("exact").cast("long").alias("exact"),
+            F.col("est").cast("long").alias("est"),
+            F.expr("est * 1000 div greatest(exact, 1)")
+            .cast("long")
+            .alias("stretch_milli"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
