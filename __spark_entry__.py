@@ -13017,6 +13017,68 @@ def _landmark_oracle_sql(n_iter: int = 8) -> str:
 ORACLES_EXTRA.update({"landmark_distances": _landmark_oracle_sql()})
 
 
+
+
+def _q_pseudo_walks(spark, sf_dir):
+    """Engine addition: deterministic hash-driven graph walks
+    (linkgraph.py:pseudo_random_walks) — 6 steps from every doc_id%50
+    seed over the expander; reproducible sampling, exact oracle."""
+    from see_spark.operators.linkgraph import (
+        pseudo_random_walks,
+        synthetic_edges,
+    )
+
+    docs = _documents(spark, sf_dir)
+    seeds = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").cast("long").alias("walker")
+    )
+    return pseudo_random_walks(synthetic_edges(docs), seeds, n_steps=6)
+
+
+QUERIES_EXTRA.update({"pseudo_walks": _q_pseudo_walks})
+
+
+def _walks_oracle_sql(n_steps: int = 6) -> str:
+    ctes = [
+        _LINKGRAPH_SQL,
+        """rk AS MATERIALIZED (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rank
+          FROM (SELECT DISTINCT src, dst FROM edges))""",
+        """dg AS MATERIALIZED (
+          SELECT src, CAST(MAX(rank) AS BIGINT) AS deg
+          FROM rk GROUP BY src)""",
+        """s0 AS (SELECT CAST(doc_id AS BIGINT) AS walker,
+                      CAST(doc_id AS BIGINT) AS node
+               FROM documents WHERE doc_id % 50 = 0)""",
+    ]
+    for t in range(1, n_steps + 1):
+        p = f"s{t-1}"
+        ctes.append(
+            f"""s{t} AS (
+          SELECT s.walker,
+                 CAST(COALESCE(r.dst, s.node) AS BIGINT) AS node
+          FROM {p} s
+          LEFT JOIN dg ON dg.src = s.node
+          LEFT JOIN rk r
+            ON r.src = s.node
+           AND r.rank = ('0x' || substr(md5('walk:' || s.walker
+                                            || ':{t}'), 1, 15))::BIGINT
+                        % dg.deg + 1)"""
+        )
+    selects = [
+        f"SELECT walker, CAST({t} AS BIGINT) AS step, node FROM s{t}"
+        for t in range(0, n_steps + 1)
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n        " + "\n        UNION ALL ".join(selects)
+    )
+
+
+ORACLES_EXTRA.update({"pseudo_walks": _walks_oracle_sql()})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ROUND_DP = 9
@@ -2453,4 +2453,90 @@ def landmark_distance_audit(
             .alias("stretch_milli"),
         )
         out = row if out is None else out.unionByName(row)
+    return out
+
+
+def pseudo_random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_steps: int = 6,
+) -> DataFrame:
+    """Deterministic hash-driven graph walks — the sampling primitive
+    behind DeepWalk/node2vec-style corpus generation and WalkSAT-style
+    frontier exploration, made reproducible: at step t a walker at node
+    u moves to the neighbor whose per-node rank equals
+    md5_60('walk:<walker>:<t>') mod out_deg(u) — no RNG state, so walks
+    are identical on any cluster size AND expressible in SQL for an
+    exact oracle (the repo's determinism rule applied to sampling).
+    Dead ends (out_deg 0) absorb: the walker stays put.
+
+    Scale shape per step: one join of walker positions against the
+    ranked adjacency on (node, rank) — both sides keyed, no fan-out;
+    the ranked adjacency is built ONCE (one window shuffle keyed by
+    src, per-key width = out-degree).
+
+    Returns the trajectories: (walker, step, node), step 0 = seed.
+    """
+    adj = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = adj.withColumn("rank", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
+    deg = ranked.groupBy("src").agg(F.max("rank").cast("long").alias("deg"))
+    state = seeds.select(
+        F.col("walker").cast("long").alias("walker"),
+        F.col("walker").cast("long").alias("node"),
+    )
+    out = state.select(
+        "walker", F.lit(0).cast("long").alias("step"), "node"
+    )
+    for t in range(1, int(n_steps) + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("walk:"),
+                        F.col("walker").cast("string"),
+                        F.lit(f":{t}"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        picked = (
+            state.join(deg, state["node"] == deg["src"], "left")
+            .select(
+                "walker",
+                "node",
+                F.when(
+                    F.col("deg").isNotNull(),
+                    (h % F.col("deg") + 1).cast("long"),
+                ).alias("__pick"),
+            )
+            .join(
+                ranked.select(
+                    F.col("src").alias("node"),
+                    F.col("rank").alias("__pick"),
+                    F.col("dst").alias("__next"),
+                ),
+                ["node", "__pick"],
+                "left",
+            )
+            .select(
+                "walker",
+                F.coalesce("__next", F.col("node")).cast("long").alias("node"),
+            )
+        )
+        state = picked.localCheckpoint(eager=False)
+        out = out.unionByName(
+            state.select(
+                "walker", F.lit(t).cast("long").alias("step"), "node"
+            )
+        )
     return out
