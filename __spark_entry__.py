@@ -13079,6 +13079,99 @@ def _walks_oracle_sql(n_steps: int = 6) -> str:
 ORACLES_EXTRA.update({"pseudo_walks": _walks_oracle_sql()})
 
 
+
+
+def _q_rich_club(spark, sf_dir):
+    """Engine addition: rich-club coefficient (linkgraph.py:rich_club)
+    over the undirected expander at degree thresholds 1..16 — exact
+    per-level density among high-degree nodes."""
+    from see_spark.operators.linkgraph import rich_club, synthetic_edges
+
+    return rich_club(synthetic_edges(_documents(spark, sf_dir)))
+
+
+def _q_homophily(spark, sf_dir):
+    """Engine addition: language homophily on the link graph
+    (linkgraph.py:homophily_audit) — observed same-lang edge fraction
+    vs the chance expectation from endpoint frequencies."""
+    from see_spark.operators.linkgraph import homophily_audit, synthetic_edges
+
+    docs = _documents(spark, sf_dir)
+    attrs = docs.select(
+        F.col("doc_id").cast("long").alias("node"), F.col("lang").alias("attr")
+    )
+    return homophily_audit(synthetic_edges(docs), attrs)
+
+
+QUERIES_EXTRA.update(
+    {"rich_club": _q_rich_club, "homophily_audit": _q_homophily}
+)
+
+
+def _rich_club_oracle_sql() -> str:
+    selects = []
+    for k in (1, 2, 4, 8, 16):
+        selects.append(f"""
+        SELECT CAST({k} AS BIGINT) AS k,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE deg > {k})
+                 AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM und u
+                 WHERE u.a IN (SELECT node FROM deg WHERE deg > {k})
+                   AND u.b IN (SELECT node FROM deg WHERE deg > {k}))
+                 AS n_edges,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM deg WHERE deg > {k}) > 1
+                 THEN (2 * (SELECT COUNT(*) FROM und u
+                            WHERE u.a IN (SELECT node FROM deg
+                                          WHERE deg > {k})
+                              AND u.b IN (SELECT node FROM deg
+                                          WHERE deg > {k})) * 1000)
+                      // ((SELECT COUNT(*) FROM deg WHERE deg > {k})
+                          * ((SELECT COUNT(*) FROM deg WHERE deg > {k}) - 1))
+                 ELSE 0 END AS BIGINT) AS phi_milli""")
+    return (
+        f"""
+        WITH {_LINKGRAPH_SQL},
+        und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM edges WHERE src <> dst),
+        deg AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY node)"""
+        + "\n        UNION ALL\n".join(selects)
+    )
+
+
+ORACLES_EXTRA.update(
+    {
+        "rich_club": _rich_club_oracle_sql(),
+        "homophily_audit": f"""
+        WITH {_LINKGRAPH_SQL},
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges WHERE src <> dst),
+        at AS (SELECT CAST(doc_id AS BIGINT) AS node, lang FROM documents),
+        j AS MATERIALIZED (
+          SELECT aa.lang AS ca, bb.lang AS cb
+          FROM und JOIN at aa ON aa.node = und.a
+          JOIN at bb ON bb.node = und.b),
+        base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                        CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END)
+                             AS BIGINT) AS same
+                 FROM j),
+        ends AS (SELECT ca AS c FROM j UNION ALL SELECT cb FROM j),
+        freq AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m
+                 FROM ends GROUP BY c),
+        tot AS (SELECT CAST(SUM(m) AS BIGINT) AS t,
+                       CAST(SUM(m * m) AS BIGINT) AS sq FROM freq)
+        SELECT b.n_edges, b.same,
+               CAST(b.same * 1000 // b.n_edges AS BIGINT) AS same_milli,
+               CAST(t.sq * 1000 // (t.t * t.t) AS BIGINT) AS expected_milli
+        FROM base b CROSS JOIN tot t
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

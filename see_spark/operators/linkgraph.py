@@ -2540,3 +2540,106 @@ def pseudo_random_walks(
             )
         )
     return out
+
+
+def rich_club(
+    edges: DataFrame,
+    k_levels: list = (1, 2, 4, 8, 16),
+) -> DataFrame:
+    """Rich-club coefficient (Colizza et al. 2006): for each degree
+    threshold k, the edge density among nodes of degree > k —
+    φ(k) = 2·E_k / (N_k·(N_k−1)). A rising φ(k) means hubs link to each
+    other far more than chance (the "rich club" of portals/link farms);
+    flat φ means hub links spread out. Exact integer milli output.
+
+    One degree aggregate + per-level filtered joins of the edge list
+    against the qualifying-node set (broadcast-sized once k is large —
+    exactly when it matters). Returns (k, n_nodes, n_edges, phi_milli).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for k in k_levels:
+        rich = deg.where(F.col("deg") > int(k)).select("node")
+        n_nodes = rich.count()
+        e_k = (
+            und.join(rich.select(F.col("node").alias("a")), "a")
+            .join(rich.select(F.col("node").alias("b")), "b")
+            .count()
+        )
+        denom = n_nodes * (n_nodes - 1)
+        phi = (2 * e_k * 1000) // denom if denom > 0 else 0
+        row = und.sparkSession.range(1).select(
+            F.lit(int(k)).cast("long").alias("k"),
+            F.lit(int(n_nodes)).cast("long").alias("n_nodes"),
+            F.lit(int(e_k)).cast("long").alias("n_edges"),
+            F.lit(int(phi)).cast("long").alias("phi_milli"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def homophily_audit(
+    edges: DataFrame,
+    attrs: DataFrame,
+    attr_col: str = "attr",
+) -> DataFrame:
+    """Attribute homophily on the link graph (the Newman attribute-
+    mixing numerator, exact): observed fraction of edges joining
+    same-attribute endpoints vs the chance expectation Σ_c p_c² from
+    endpoint attribute frequencies. same_milli > expected_milli means
+    assortative linking (language/topic silos — e.g. pages
+    overwhelmingly link within their language); below means
+    disassortative. All exact integer milli; expectation uses
+    endpoint-occurrence frequencies (each edge contributes both ends —
+    the standard convention).
+
+    Returns ONE row: (n_edges, same, same_milli, expected_milli).
+    """
+    a = attrs.select(
+        F.col("node").cast("long").alias("a"), F.col(attr_col).alias("ca")
+    )
+    b = attrs.select(
+        F.col("node").cast("long").alias("b"), F.col(attr_col).alias("cb")
+    )
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    j = und.join(a, "a").join(b, "b").localCheckpoint(eager=False)
+    base = j.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum((F.col("ca") == F.col("cb")).cast("long"))
+        .cast("long")
+        .alias("same"),
+    )
+    ends = j.select(F.col("ca").alias("c")).unionAll(
+        j.select(F.col("cb").alias("c"))
+    )
+    freq = ends.groupBy("c").agg(F.count("*").cast("long").alias("m"))
+    tot = freq.agg(
+        F.sum("m").cast("long").alias("t"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("sq"),
+    )
+    return base.crossJoin(tot).select(
+        "n_edges",
+        "same",
+        F.expr("same * 1000 div n_edges").cast("long").alias("same_milli"),
+        F.expr("sq * 1000 div (t * t)").cast("long").alias("expected_milli"),
+    )
