@@ -13,12 +13,13 @@ def test_rich_club_detects_hub_clique(spark):
     hub_clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
     stars = [(h, 10 + 5 * h + i) for h in range(4) for i in range(3)]
     e = spark.createDataFrame(hub_clique + stars, ["src", "dst"])
-    got = {r["k"]: r for r in rich_club(e, k_levels=[1, 3]).collect()}
+    got = {r["k"]: r for r in rich_club(e, k_levels=[0, 3]).collect()}
     assert got[3]["n_nodes"] == 4
     assert got[3]["n_edges"] == 6
     assert got[3]["phi_milli"] == 1000
-    # at k=1 leaves (degree 1) drop out, density < 1
-    assert got[1]["phi_milli"] < 1000
+    # at k=0 everyone qualifies: the sparse full graph scores far lower
+    assert got[0]["n_nodes"] == 16
+    assert got[0]["phi_milli"] < 200
 
 
 def test_homophily_bounds(spark):
