@@ -13172,6 +13172,65 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_fagin_ta(spark, sf_dir):
+    """Engine addition: Fagin Threshold-Algorithm depth audit
+    (search.py:fagin_ta_depth, PODS'01) — top-10 by s1+s2 over the
+    skyline score pair (n_chars%97, doc_id%89); exact minimal stopping
+    depth + scan savings."""
+    from see_spark.operators.search import fagin_ta_depth
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("id"),
+        (F.col("n_chars") % 97).cast("long").alias("s1"),
+        (F.col("doc_id") % 89).cast("long").alias("s2"),
+    )
+    return fagin_ta_depth(docs, k=10)
+
+
+QUERIES_EXTRA.update({"fagin_ta": _q_fagin_ta})
+
+
+ORACLES_EXTRA.update(
+    {
+        "fagin_ta": """
+        WITH base AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                             CAST(n_chars % 97 AS BIGINT) AS s1,
+                             CAST(doc_id % 89 AS BIGINT) AS s2
+                      FROM documents),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        kth AS (SELECT CAST(MIN(tot) AS BIGINT) AS kth FROM (
+                  SELECT s1 + s2 AS tot FROM base
+                  ORDER BY tot DESC LIMIT 10)),
+        r1 AS (SELECT s1 AS s1_at,
+                      ROW_NUMBER() OVER (ORDER BY s1 DESC, id ASC) - 1 AS d
+               FROM base),
+        r2 AS (SELECT s2 AS s2_at,
+                      ROW_NUMBER() OVER (ORDER BY s2 DESC, id ASC) - 1 AS d
+               FROM base),
+        tau AS (SELECT r1.d, r1.s1_at + r2.s2_at AS tau
+                FROM r1 JOIN r2 USING (d)),
+        dm AS (SELECT MIN(d) AS dmin FROM tau
+               WHERE tau <= (SELECT kth FROM kth)),
+        dep AS (SELECT CAST(COALESCE((SELECT dmin FROM dm) + 1,
+                                     (SELECT n FROM nn)) AS BIGINT)
+                  AS depth)
+        SELECT CAST(10 AS BIGINT) AS k,
+               (SELECT n FROM nn) AS n,
+               (SELECT kth FROM kth) AS kth_total,
+               (SELECT depth FROM dep) AS depth_needed,
+               CAST(COALESCE((SELECT tau FROM tau
+                              WHERE d = (SELECT depth FROM dep) - 1), -1)
+                    AS BIGINT) AS tau_at_depth,
+               CAST(((SELECT n FROM nn) - (SELECT depth FROM dep)) * 1000
+                    // GREATEST((SELECT n FROM nn), 1) AS BIGINT)
+                 AS scan_saved_milli
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

@@ -1413,3 +1413,83 @@ def search_rocchio(
         )
     )
     return out
+
+
+def fagin_ta_depth(
+    scores: DataFrame,
+    k: int = 10,
+    id_col: str = "id",
+    s1_col: str = "s1",
+    s2_col: str = "s2",
+) -> DataFrame:
+    """Threshold-Algorithm depth audit (Fagin, Lotem & Naor, PODS 2001):
+    for a top-k by s1+s2 over two independently sorted score lists, TA
+    may stop at depth d once the k-th best total seen is ≥ the threshold
+    τ_d = s1@d + s2@d (no unseen object can beat it). This audit
+    computes the exact minimal stopping depth — the number that says how
+    much of each index a rank-join actually touches, the basis for
+    sorted-access cost models in federated/multi-signal ranking.
+
+    Output ONE row: (k, n, kth_total, depth_needed, tau_at_depth,
+    scan_saved_milli). Exact BIGINT (integer scores).
+
+    Scale shape: two rank assignments (``seq.with_dense_sequence`` — the
+    audit's only shuffles), one rank-equi join for τ_d, one
+    TakeOrderedAndProject for the true k-th total, one filtered min.
+    """
+    from ..functions.seq import with_dense_sequence
+
+    base = scores.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(s1_col).cast("long").alias("s1"),
+        F.col(s2_col).cast("long").alias("s2"),
+    ).localCheckpoint(eager=False)
+    n = base.count()
+    kth_row = (
+        base.select((F.col("s1") + F.col("s2")).alias("tot"))
+        .orderBy(F.desc("tot"))
+        .limit(int(k))
+        .agg(F.min("tot").cast("long").alias("kth"))
+        .collect()[0]
+    )
+    kth = int(kth_row["kth"])
+    # with_dense_sequence ranks ASCENDING; we need descending score
+    # order, so rank on the negated score (pinned tie-break by id).
+    r1 = with_dense_sequence(
+        base.select("id", "s1", (-F.col("s1")).alias("__neg")),
+        ["__neg", "id"],
+        out_col="__d",
+    ).select(F.col("__d").alias("d"), F.col("s1").alias("s1_at"))
+    r2 = with_dense_sequence(
+        base.select("id", "s2", (-F.col("s2")).alias("__neg")),
+        ["__neg", "id"],
+        out_col="__d",
+    ).select(F.col("__d").alias("d"), F.col("s2").alias("s2_at"))
+    tau = r1.join(r2, "d").select(
+        "d", (F.col("s1_at") + F.col("s2_at")).alias("tau")
+    )
+    depth_row = (
+        tau.where(F.col("tau") <= F.lit(kth))
+        .agg(F.min("d").cast("long").alias("dmin"))
+        .collect()[0]
+    )
+    # depth is 1-based rows scanned; if τ never crosses, full scan
+    depth = int(depth_row["dmin"]) + 1 if depth_row["dmin"] is not None else n
+    tau_at = (
+        tau.where(F.col("d") == depth - 1).collect()[0]["tau"]
+        if depth <= n
+        else None
+    )
+    spark = scores.sparkSession
+    return spark.range(1).select(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.lit(int(n)).cast("long").alias("n"),
+        F.lit(kth).cast("long").alias("kth_total"),
+        F.lit(int(depth)).cast("long").alias("depth_needed"),
+        F.lit(tau_at if tau_at is not None else -1)
+        .cast("long")
+        .alias("tau_at_depth"),
+        F.lit(((n - depth) * 1000) // max(n, 1)).cast("long").alias(
+            "scan_saved_milli"
+        ),
+    )
