@@ -13231,6 +13231,58 @@ ORACLES_EXTRA.update(
 )
 
 
+
+
+def _q_skyline_layers(spark, sf_dir):
+    """Engine addition: onion peeling / 3-level skylines (skyline.py:
+    skyline_layers) over the same score pair as the skyline gate — the
+    multi-criteria "next-best page" ranking."""
+    from see_spark.operators.skyline import skyline_layers
+
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("n_chars") % 97).cast("long").alias("qx"),
+        (F.col("doc_id") % 89).cast("long").alias("qy"),
+    )
+    return skyline_layers(docs, "qx", "qy", "doc_id", n_layers=3)
+
+
+QUERIES_EXTRA.update({"skyline_layers": _q_skyline_layers})
+
+
+def _skyline_layers_oracle_sql(n_layers: int = 3) -> str:
+    ctes = [
+        """p0 AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                      CAST(n_chars % 97 AS BIGINT) AS x,
+                      CAST(doc_id % 89 AS BIGINT) AS y
+               FROM documents)"""
+    ]
+    for i in range(1, n_layers + 1):
+        p = f"p{i-1}"
+        ctes.append(
+            f"""l{i} AS (SELECT id, x, y FROM {p} a
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM {p} b
+                 WHERE b.x >= a.x AND b.y >= a.y
+                   AND (b.x > a.x OR b.y > a.y)))"""
+        )
+        ctes.append(
+            f"""p{i} AS (SELECT p.id, p.x, p.y FROM {p} p
+               WHERE p.id NOT IN (SELECT id FROM l{i}))"""
+        )
+    selects = [
+        f"SELECT id, x, y, CAST({i} AS BIGINT) AS layer FROM l{i}"
+        for i in range(1, n_layers + 1)
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n        " + "\n        UNION ALL ".join(selects)
+    )
+
+
+ORACLES_EXTRA.update({"skyline_layers": _skyline_layers_oracle_sql()})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 

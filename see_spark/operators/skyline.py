@@ -80,3 +80,42 @@ def skyline2d(
         .select("id")
     )
     return survivors.join(dom, "id", "left_anti").select("id", "x", "y")
+
+
+def skyline_layers(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    n_layers: int = 3,
+    grid: int = 16,
+) -> DataFrame:
+    """Onion peeling / k-level skylines (Chazelle's onion; the data-depth
+    ranking): layer 1 = the Pareto frontier, layer 2 = the frontier of
+    what remains, ... — the multi-criteria answer to "give me the best
+    PAGE of documents, then the next-best page", where any single
+    weighted score would impose an arbitrary trade-off.
+
+    Each layer is one ``skyline2d`` call (grid-pruned, exact) followed
+    by an anti-join removal; ``n_layers`` is small by construction
+    (it's a paging depth). Rows not in the first ``n_layers`` are not
+    returned. Output (id, x, y, layer).
+    """
+    remaining = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).localCheckpoint(eager=False)
+    out = None
+    for layer in range(1, int(n_layers) + 1):
+        sk = skyline2d(remaining, "x", "y", "id", grid=grid).localCheckpoint(
+            eager=False
+        )
+        tagged = sk.select(
+            "id", "x", "y", F.lit(layer).cast("long").alias("layer")
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+        remaining = remaining.join(
+            sk.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=False)
+    return out
