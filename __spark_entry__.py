@@ -13283,6 +13283,57 @@ def _skyline_layers_oracle_sql(n_layers: int = 3) -> str:
 ORACLES_EXTRA.update({"skyline_layers": _skyline_layers_oracle_sql()})
 
 
+
+
+def _q_gains_table(spark, sf_dir):
+    """Engine addition: cumulative-gains / lift table (evaluation.py:
+    gains_table) over the Naive Bayes margin (score_1 - score_0) vs the
+    marker labels — the top-decile capture number a filtering threshold
+    is chosen from."""
+    from see_spark.operators.evaluation import gains_table
+
+    nb = _q_naive_bayes(spark, sf_dir).select(
+        "doc_id", "y", (F.col("score_1") - F.col("score_0")).alias("score")
+    )
+    return gains_table(nb, score_col="score", label_col="y")
+
+
+QUERIES_EXTRA.update({"gains_table": _q_gains_table})
+
+
+ORACLES_EXTRA.update(
+    {
+        "gains_table": f"""
+        WITH nb AS ({ORACLES_EXTRA["naive_bayes"]}),
+        base AS (SELECT doc_id AS id, y,
+                        score_1 - score_0 AS s FROM nb),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(y) AS BIGINT) AS tot FROM base),
+        ranked AS (SELECT y,
+                          ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) - 1
+                            AS r
+                   FROM base),
+        binned AS (SELECT r * 10 // (SELECT n FROM nn) AS bin,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(y) AS BIGINT) AS n_pos
+                   FROM ranked GROUP BY 1)
+        SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+               CAST(SUM(n_pos) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_pos,
+               CAST(SUM(n_pos) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    * 1000 // GREATEST((SELECT tot FROM nn), 1) AS BIGINT)
+                 AS capture_milli,
+               CAST((n_pos * (SELECT n FROM nn) * 1000)
+                    // (n * GREATEST((SELECT tot FROM nn), 1)) AS BIGINT)
+                 AS lift_milli
+        FROM binned
+    """,
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**QUERIES_BATCH1, **QUERIES_BATCH2, **QUERIES_BATCH3}
 
