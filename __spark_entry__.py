@@ -12283,26 +12283,17 @@ QUERIES_EXTRA.update({"edit_join": _q_edit_join})
 
 ORACLES_EXTRA.update(
     {
+        # Ground-truth all-pairs oracle (NOT the q-gram method): the
+        # engine's count-filtered + short-regime candidate generation
+        # must reproduce the exact Levenshtein join for every length,
+        # including fields too short to share any q-gram.
         "edit_join": f"""
         WITH corpus AS ({_DUP_CORPUS_SQL}),
         fields AS (SELECT doc_id AS id, substr(text, 1, 24) AS f
-                   FROM corpus),
-        grams AS (
-          SELECT id, length(f) AS len,
-                 unnest(CASE WHEN length(f) < 2 THEN [f]
-                        ELSE list_transform(range(1, length(f) - 2 + 2),
-                               i -> substr(f, CAST(i AS INT), 2)) END) AS g
-          FROM fields),
-        cands AS (
-          SELECT a.id AS a, b.id AS b
-          FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
-          GROUP BY a.id, b.id, a.len, b.len
-          HAVING COUNT(*) >= GREATEST(a.len, b.len) - 1 - 4),
-        c2 AS (SELECT DISTINCT a, b FROM cands)
-        SELECT c2.a, c2.b,
+                   FROM corpus)
+        SELECT fa.id AS a, fb.id AS b,
                CAST(levenshtein(fa.f, fb.f) AS BIGINT) AS dist
-        FROM c2 JOIN fields fa ON fa.id = c2.a
-        JOIN fields fb ON fb.id = c2.b
+        FROM fields fa JOIN fields fb ON fa.id < fb.id
         WHERE levenshtein(fa.f, fb.f) <= 2
     """,
     }
@@ -13212,7 +13203,7 @@ ORACLES_EXTRA.update(
         tau AS (SELECT r1.d, r1.s1_at + r2.s2_at AS tau
                 FROM r1 JOIN r2 USING (d)),
         dm AS (SELECT MIN(d) AS dmin FROM tau
-               WHERE tau <= (SELECT kth FROM kth)),
+               WHERE tau < (SELECT kth FROM kth)),
         dep AS (SELECT CAST(COALESCE((SELECT dmin FROM dm) + 1,
                                      (SELECT n FROM nn)) AS BIGINT)
                   AS depth)

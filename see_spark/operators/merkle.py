@@ -22,6 +22,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# NULL must render distinguishably: concat_ws SKIPS null arguments, so
+# ('a', NULL, 'b') and ('a', 'b', NULL) would otherwise hash identically
+# and a change that only moves a NULL between columns would go unseen by
+# both the tree and table_diff. \x00 cannot appear in a cast-to-string
+# rendering of any SQL value, so the sentinel is collision-free.
+_NULL_SENTINEL = "\x00N"
+
+
+def _row_render(cols: list):
+    """Deterministic NULL-safe unit-separated rendering of ``cols``."""
+    return F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+            for c in cols
+        ],
+    )
+
 
 def merkle_levels(
     df: DataFrame,
@@ -35,9 +53,7 @@ def merkle_levels(
     from ..functions.seq import with_dense_sequence
 
     f = int(fanout)
-    leaf_hash = F.md5(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in hash_cols])
-    )
+    leaf_hash = F.md5(_row_render(hash_cols))
     ranked = with_dense_sequence(df, order_cols, out_col="__r")
     level = ranked.select(
         F.lit(0).cast("long").alias("level"),
@@ -117,11 +133,7 @@ def table_diff(
     def h(df):
         return df.select(
             *[F.col(c) for c in key_cols],
-            F.md5(
-                F.concat_ws(
-                    "\x1f", *[F.col(c).cast("string") for c in compare_cols]
-                )
-            ).alias("__h"),
+            F.md5(_row_render(compare_cols)).alias("__h"),
         )
 
     a = h(old).withColumnRenamed("__h", "__ha")

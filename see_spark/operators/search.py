@@ -1430,6 +1430,15 @@ def fagin_ta_depth(
     much of each index a rank-join actually touches, the basis for
     sorted-access cost models in federated/multi-signal ranking.
 
+    Tie convention (pinned): the stop condition is STRICT, τ_d < k-th
+    total. An unseen object at depth d has both ranks > d, so its total
+    is ≤ τ_d; strictness guarantees no unseen object can even TIE the
+    k-th total, i.e. the reported depth certifies the top-k INCLUDING
+    all tied members. Textbook TA with the ≥ convention may stop one
+    τ-band shallower when τ_d exactly equals the k-th total — but then a
+    tied top-k member (under the pinned id tie-break) could still be
+    unseen, which is exactly the ambiguity this audit exists to avoid.
+
     Output ONE row: (k, n, kth_total, depth_needed, tau_at_depth,
     scan_saved_milli). Exact BIGINT (integer scores).
 
@@ -1469,7 +1478,7 @@ def fagin_ta_depth(
         "d", (F.col("s1_at") + F.col("s2_at")).alias("tau")
     )
     depth_row = (
-        tau.where(F.col("tau") <= F.lit(kth))
+        tau.where(F.col("tau") < F.lit(kth))
         .agg(F.min("d").cast("long").alias("dmin"))
         .collect()[0]
     )

@@ -45,6 +45,8 @@ def skyline2d(
     lo = pts.agg(
         F.min("x"), F.max("x"), F.min("y"), F.max("y")
     ).collect()[0]
+    if lo[0] is None:  # empty input: the frontier of nothing is nothing
+        return pts
     lox, hix, loy, hiy = (int(v) for v in lo)
     sx = max((hix - lox + 1 + g - 1) // g, 1)
     sy = max((hiy - loy + 1 + g - 1) // g, 1)
@@ -108,6 +110,10 @@ def skyline_layers(
     ).localCheckpoint(eager=False)
     out = None
     for layer in range(1, int(n_layers) + 1):
+        # Peeling can exhaust the input before n_layers (e.g. 2 rows,
+        # 3 layers) — stop rather than skyline an empty frame.
+        if remaining.limit(1).count() == 0:
+            break
         sk = skyline2d(remaining, "x", "y", "id", grid=grid).localCheckpoint(
             eager=False
         )
@@ -118,4 +124,8 @@ def skyline_layers(
         remaining = remaining.join(
             sk.select("id"), "id", "left_anti"
         ).localCheckpoint(eager=False)
+    if out is None:  # empty input: zero layers, stable schema
+        out = remaining.select(
+            "id", "x", "y", F.lit(1).cast("long").alias("layer")
+        ).limit(0)
     return out

@@ -74,10 +74,16 @@ def decayed_counts(
         )
     h = int(halflife_us)
     sb = int(scale_bits)
+    # Clamp age to >= 0: events after now_us (caller passed an earlier
+    # reference point) count at full weight instead of feeding a negative
+    # shift count into shiftright (JVM mod-64 → arbitrary weights).
+    age = (
+        f"greatest({now_us} - unix_micros(cast({ts_col} as timestamp)), 0L)"
+    )
     w = F.expr(
-        f"IF(({now_us} - unix_micros(cast({ts_col} as timestamp))) div {h}"
+        f"IF(({age}) div {h}"
         f" >= {sb}, 0L, shiftright(cast({1 << sb} as bigint),"
-        f" cast(({now_us} - unix_micros(cast({ts_col} as timestamp)))"
+        f" cast(({age})"
         f" div {h} as int)))"
     )
     return (
