@@ -1023,7 +1023,10 @@ QUERIES_BATCH2 = {
     "dedup_minhash_signatures": _q_minhash_signatures,
     "dedup_minhash_lsh": _q_minhash_lsh,
     "dedup_simhash": _q_simhash,
-    "embedding_near_dup": _q_embedding_near_dup,
+    # Gated slot is the LSH-bucketed SCALE path (equi-join on
+    # hyperplane bucket — never all-pairs); the exact all-pairs recall
+    # baseline lives in extras as embedding_near_dup_allpairs.
+    "embedding_near_dup": _q_embedding_near_dup_lsh,
     "knn_bruteforce": _q_knn_bruteforce,
     "knn_lsh_bucketed": _q_knn_lsh,
     "lang_id": _q_lang_id,
@@ -2586,8 +2589,9 @@ def _q_url_filter(spark, sf_dir):
     )
 
 
-# embedding_near_dup_lsh is the bucketed scale path of the gated
-# embedding_near_dup (all-pairs exact baseline).
+# The gated embedding_near_dup slot is the LSH-bucketed scale path;
+# embedding_near_dup_allpairs here is its exact all-pairs recall
+# baseline (quadratic by construction — correctness reference only).
 QUERIES_EXTRA: dict = {
     "url_filter": _q_url_filter,
     "quality_classifier": _q_quality_classifier,
@@ -2614,7 +2618,7 @@ QUERIES_EXTRA: dict = {
     "host_freq_cms": _q_host_freq_cms,
     "postings_tf": _q_postings_tf,
     "search_projection": _q_search_projection,
-    "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+    "embedding_near_dup_allpairs": _q_embedding_near_dup,
     "dedup_simhash_pairs": _q_simhash_pairs,
     "url_seen_cuckoo": _q_url_seen_cuckoo,
     "dedup_clusters": _q_dedup_clusters,
@@ -2774,12 +2778,20 @@ ORACLES_BATCH2 = {
         FROM votes GROUP BY doc_id
     """,
     "embedding_near_dup": _QNORM_SQL.format(qvec=_QVEC_SQL) + """
+        , bucketed AS (
+          SELECT vec_id, v, nrm,
+                 list_sum(list_transform(range(0, 6), j ->
+                   CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+                          i -> v[i] * ((i*(j+7)) % 3 - 1))) > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)) AS bucket
+          FROM nv)
         SELECT * FROM (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                  CAST(list_sum(list_transform(range(1, len(a.v)+1),
                                i -> a.v[i]*b.v[i])) AS DOUBLE)
                    / (a.nrm * b.nrm) AS cosine
-          FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
+          FROM bucketed a JOIN bucketed b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         WHERE cosine >= 0.45
     """,
     "knn_bruteforce": _QNORM_SQL.format(qvec=_QVEC_SQL) + """
@@ -3424,21 +3436,13 @@ ORACLES_EXTRA: dict = {
                CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """,
-    "embedding_near_dup_lsh": _QNORM_SQL.format(qvec=_QVEC_SQL) + """
-        , bucketed AS (
-          SELECT vec_id, v, nrm,
-                 list_sum(list_transform(range(0, 6), j ->
-                   CASE WHEN list_sum(list_transform(range(1, len(v)+1),
-                          i -> v[i] * ((i*(j+7)) % 3 - 1))) > 0
-                        THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)) AS bucket
-          FROM nv)
+    "embedding_near_dup_allpairs": _QNORM_SQL.format(qvec=_QVEC_SQL) + """
         SELECT * FROM (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                  CAST(list_sum(list_transform(range(1, len(a.v)+1),
                                i -> a.v[i]*b.v[i])) AS DOUBLE)
                    / (a.nrm * b.nrm) AS cosine
-          FROM bucketed a JOIN bucketed b
-            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
         WHERE cosine >= 0.45
     """,
     "postings_tf": f"""

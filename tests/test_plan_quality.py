@@ -175,3 +175,29 @@ def test_facet_counts_broadcasts_result_page(spark, entry):
     assert "BroadcastHashJoin" in plan and "BuildRight" in plan
     # the docs side must not hash-exchange before the join
     assert plan.index("BroadcastHashJoin") < plan.index("FileScan")
+
+
+def test_no_gated_query_plans_a_cartesian_or_unbounded_nested_loop(
+    spark, entry
+):
+    """Scale guard over the ENTIRE driver-gated list: no gated query may
+    compile to a CartesianProduct, and BroadcastNestedLoopJoin is allowed
+    only where the broadcast side is a bounded query/dimension set (the
+    exact-kNN baseline's broadcast query scan — the corpus side never
+    shuffles). Anything else joining a table against itself without an
+    equi-key would be quadratic at 100 TB; this pins the r3 verdict fix
+    that moved embedding_near_dup onto the LSH-bucketed equi-join."""
+    # knn_bruteforce: exact-kNN baseline — BNLJ with the ≤5-row query set
+    # broadcast. knn_ivf: centroid-assignment map-side expansion — BNLJ
+    # with the n_centroids-row (constant) centroid dim broadcast; the
+    # corpus side never shuffles for it. Both are O(N·const), documented
+    # in similarity.py. Nothing else gets a pass.
+    bnlj_ok = {"knn_bruteforce", "knn_ivf"}
+    offenders = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, f"quadratic join shapes in gated plans: {offenders}"
