@@ -26,37 +26,164 @@ from urllib.parse import parse_qs, urlparse
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Functional analogue of the reference's search page
+# (apps/db/priv/html/index.html + js/see.js): centered page header, large
+# search input with Search + More buttons, a collapsible "More" panel with
+# an Add-URL field, a dismissible alert box (success on ok, error on
+# filter_mismatch / failure), a result list rendering title-or-url as the
+# link with the URL shown below truncated at 100 chars, a "No results"
+# info alert, Enter-key submits, and #search/<query> hash routing so
+# results are linkable. Self-contained vanilla JS/CSS — this sandbox has
+# no network for CDN assets, and the wire contracts are what matter.
 INDEX_HTML = """<!doctype html>
-<html><head><meta charset="utf-8"><title>see_spark search</title></head>
+<html lang="en"><head><meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>see_spark search</title>
+<style>
+  body { font-family: system-ui, sans-serif; background: #fff; color: #333;
+         margin: 0; }
+  .container { max-width: 860px; margin: 0 auto; padding: 0 15px; }
+  .page-header { text-align: center; border-bottom: 1px solid #eee;
+                 margin: 40px 0 30px; padding-bottom: 9px; }
+  .input-group { display: flex; }
+  .input-group input { flex: 1; font-size: 18px; padding: 10px 16px;
+    border: 1px solid #ccc; border-radius: 6px 0 0 6px; }
+  .input-group button { font-size: 18px; padding: 10px 16px;
+    border: 1px solid #ccc; border-left: none; background: #f5f5f5;
+    cursor: pointer; }
+  .input-group button:last-child { border-radius: 0 6px 6px 0; }
+  .panel { border: 1px solid #ddd; border-radius: 4px; margin-top: 15px; }
+  .panel-heading { background: #f5f5f5; padding: 10px 15px;
+                   border-bottom: 1px solid #ddd; }
+  .panel-body { padding: 15px; }
+  .collapse { display: none; }
+  .collapse.in { display: block; }
+  .alert { padding: 12px 15px; border: 1px solid transparent;
+           border-radius: 4px; margin-top: 15px; position: relative; }
+  .alert-success { color: #3c763d; background: #dff0d8; }
+  .alert-danger  { color: #a94442; background: #f2dede; }
+  .alert-info    { color: #31708f; background: #d9edf7; }
+  .alert .close { position: absolute; right: 10px; top: 8px; border: none;
+                  background: none; font-size: 18px; cursor: pointer; }
+  .list-group { margin-top: 20px; }
+  .result-item { border: 1px solid #ddd; padding: 10px 15px;
+                 margin-bottom: -1px; }
+  .result-item h4 { margin: 0 0 4px; }
+  .result-item span { color: #777; font-size: 13px; }
+</style></head>
 <body>
-<h1>see_spark</h1>
-<form onsubmit="run(); return false">
-  <input id="q" placeholder="search words"> <button>Search</button>
-</form>
-<form onsubmit="add(); return false">
-  <input id="u" placeholder="http://url.to/add"> <button>Add URL</button>
-</form>
-<ul id="results"></ul>
+<div class="container">
+  <div class="page-header"><h1>see_spark search</h1></div>
+  <div id="search-box">
+    <div class="input-group">
+      <input type="text" autofocus placeholder="Search for..." id="search-input">
+      <button type="button" id="search-button">Search</button>
+      <button type="button" id="more-button">More</button>
+    </div>
+  </div>
+  <div id="alert-box"></div>
+  <div class="collapse" id="more-panel">
+    <div class="panel">
+      <div class="panel-heading">More</div>
+      <div class="panel-body">
+        <label for="url">Add URL</label>
+        <div class="input-group">
+          <input type="text" id="url" placeholder="URL...">
+          <button type="button" id="add-url">Add</button>
+        </div>
+      </div>
+    </div>
+  </div>
+  <div id="search-results"></div>
+</div>
 <script>
-async function run() {
-  const q = document.getElementById('q').value;
-  const r = await (await fetch('/search?query=' + encodeURIComponent(q))).json();
-  const ul = document.getElementById('results');
-  ul.innerHTML = '';
-  for (const hit of r.results) {
-    const li = document.createElement('li');
-    const a = document.createElement('a');
-    a.href = hit.url; a.textContent = hit.title || hit.url;
-    li.appendChild(a); ul.appendChild(li);
+"use strict";
+function el(id) { return document.getElementById(id); }
+function showAlert(type, msg) {
+  var box = el('alert-box');
+  var div = document.createElement('div');
+  div.className = 'alert alert-' + (type === 'success' ? 'success' : 'danger');
+  div.textContent = msg;
+  var close = document.createElement('button');
+  close.className = 'close'; close.textContent = '\\u00d7';
+  close.onclick = function() { div.remove(); };
+  div.appendChild(close);
+  box.appendChild(div);
+}
+function renderResults(results, error) {
+  var out = el('search-results');
+  out.innerHTML = '';
+  if (error) {
+    var e = document.createElement('div');
+    e.className = 'alert alert-danger'; e.textContent = error;
+    out.appendChild(e); return;
+  }
+  if (!results.length) {
+    var n = document.createElement('div');
+    n.className = 'alert alert-info'; n.textContent = 'No results';
+    out.appendChild(n); return;
+  }
+  var group = document.createElement('div');
+  group.className = 'list-group';
+  results.forEach(function(hit) {
+    var item = document.createElement('div');
+    item.className = 'result-item';
+    var a = document.createElement('a');
+    a.href = hit.url;
+    var h = document.createElement('h4');
+    h.textContent = hit.title && hit.title.length > 0 ? hit.title : hit.url;
+    a.appendChild(h); item.appendChild(a);
+    var span = document.createElement('span');
+    span.title = hit.url;
+    span.textContent = hit.url.length > 100
+      ? hit.url.substring(0, 100) + '...' : hit.url;
+    item.appendChild(span);
+    group.appendChild(item);
+  });
+  out.appendChild(group);
+}
+function runSearch(query) {
+  fetch('/search?query=' + encodeURIComponent(query))
+    .then(function(r) { return r.json(); })
+    .then(function(resp) { renderResults(resp.results, ''); })
+    .catch(function() { renderResults([], 'Error'); });
+}
+function triggerSearch() {
+  location.hash = 'search/' + encodeURIComponent(el('search-input').value);
+}
+function addURL() {
+  var url = el('url').value;
+  fetch('/add', {method: 'POST',
+      headers: {'Content-Type': 'application/x-www-form-urlencoded'},
+      body: 'url=' + encodeURIComponent(url)})
+    .then(function(r) { return r.json(); })
+    .then(function(resp) {
+      if (resp.result === 'ok') showAlert('success', 'Added: ' + url);
+      else if (resp.result === 'filter_mismatch')
+        showAlert('error', 'Error: ' + url + ' does not match filter');
+      else showAlert('error', 'Unknown error');
+    })
+    .catch(function() { showAlert('error', 'Unknown error'); });
+}
+function route() {
+  var h = decodeURIComponent(location.hash || '');
+  if (h.indexOf('#search/') === 0) {
+    var q = h.slice('#search/'.length);
+    el('search-input').value = q;
+    runSearch(q);
   }
 }
-async function add() {
-  const u = document.getElementById('u').value;
-  const r = await (await fetch('/add', {method: 'POST',
-    headers: {'Content-Type': 'application/x-www-form-urlencoded'},
-    body: 'url=' + encodeURIComponent(u)})).json();
-  alert(r.result);
-}
+el('search-button').onclick = triggerSearch;
+el('search-input').onkeydown = function(e) {
+  if (e.key === 'Enter') triggerSearch();
+};
+el('more-button').onclick = function() {
+  el('more-panel').classList.toggle('in');
+};
+el('add-url').onclick = addURL;
+el('url').onkeydown = function(e) { if (e.key === 'Enter') addURL(); };
+window.onhashchange = route;
+route();
 </script>
 </body></html>
 """

@@ -83,6 +83,34 @@ def test_index_page_served(server_url):
         assert b"/search?query=" in resp.read()
 
 
+def test_index_page_has_reference_ui_surface(server_url):
+    """GET / renders the reference UI's functional surface
+    (apps/db/priv/html/index.html + js/see.js): search box with Search +
+    More buttons, collapsible add-URL panel, alert box, result container,
+    #search/<q> hash routing, title-or-url rendering with 100-char URL
+    truncation, and the three-way add alert handling."""
+    with urllib.request.urlopen(f"{server_url}/", timeout=30) as resp:
+        html = resp.read().decode("utf-8")
+    for el_id in [
+        'id="search-input"', 'id="search-button"', 'id="more-button"',
+        'id="more-panel"', 'id="alert-box"', 'id="search-results"',
+        'id="url"', 'id="add-url"',
+    ]:
+        assert el_id in html, f"missing UI element {el_id}"
+    # wiring: the page drives the same JSON endpoints the API tests pin
+    assert "/search?query=" in html and "'/add'" in html
+    # reference behaviors re-expressed: hash route, truncation, alerts
+    assert "#search/" in html
+    assert "substring(0, 100)" in html
+    assert "No results" in html
+    assert "filter_mismatch" in html and "does not match filter" in html
+    # self-contained: no external asset fetches (sandboxed browsers and
+    # air-gapped deploys render it fully)
+    assert "https://" not in html and "src=" not in html.replace(
+        "<script>", ""
+    )
+
+
 def test_add_url_three_way_contract(server_url):
     # filter mismatch: host outside the fixture domain filter
     status, payload = _post(f"{server_url}/add", {"url": "http://other.org/x"})
