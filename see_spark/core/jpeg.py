@@ -1,0 +1,556 @@
+"""Minimal baseline JPEG codec — stdlib + numpy only.
+
+The third (and largest-coverage) real image decode path for the
+multimodal pipeline: most of a real crawl's media rows are JPEG, and the
+container has no PIL/libjpeg, so the decoder is built from the public
+spec (ITU-T T.81 / ISO 10918-1): marker walk, DQT/DHT/SOF0/SOS/DRI
+parsing, MSB-first Huffman entropy decode with 0xFF00 byte-stuffing and
+RST0-7 restart handling, DC prediction + AC run-length, dequantize,
+inverse zigzag, 8x8 IDCT (exact float basis-matrix form), level shift,
+per-component plane assembly with h/v sampling factors (4:4:4, 4:2:2,
+4:2:0), nearest-neighbor chroma upsampling, and JFIF full-range
+YCbCr->RGB.
+
+Scope — an honest subset of the web's JPEGs: BASELINE sequential DCT
+(SOF0), 8-bit, 1 or 3 components, one interleaved scan. Progressive
+(SOF2), arithmetic coding, hierarchical, 12-bit, and CMYK raise
+ValueError with the reason; at 100 TB those rows route to the
+decode_error column (operators/multimodal.py:image_features), they never
+kill the job — the same contract as the PNG/GIF/WAV codecs.
+
+The matching baseline encoder (Annex K quant + Huffman tables, 4:4:4)
+exists so tests and fixtures can synthesize real JPEGs deterministically
+without any external library, mirroring core/png.py's encoder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Inverse-zigzag: ZIGZAG[i] = block index (row*8+col) of the i-th
+# coefficient in transmission order (T.81 Figure A.6).
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# 8x8 DCT-II basis: A[k, n] = c(k) cos((2n+1) k pi / 16).
+# IDCT(X) = A.T @ X @ A; FDCT(x) = A @ x @ A.T — orthonormal, exact.
+_A = np.zeros((8, 8))
+for _k in range(8):
+    _c = np.sqrt(0.125) if _k == 0 else np.sqrt(0.25)
+    for _n in range(8):
+        _A[_k, _n] = _c * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _A.T @ block @ _A
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _A @ block @ _A.T
+
+
+class _HuffTable:
+    """Canonical Huffman table from a DHT segment's (BITS, HUFFVAL):
+    decode via (length, code)->value dict — bounded 16-step lookup."""
+
+    def __init__(self, counts: list, symbols: bytes):
+        self.lookup = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first entropy-coded segment reader: skips 0xFF00 stuffing,
+    stops at any real marker (leaves it for the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy stream")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            else:
+                # real marker: synthesize 1-bits (spec'd pad) — the MCU
+                # loop stops on its own count before consuming garbage
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def align_and_expect_rst(self, n: int):
+        """Byte-align and consume the RSTn marker (restart interval)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xD0 + (n & 7)
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("missing restart marker")
+
+
+def _extend(v: int, size: int) -> int:
+    """DC/AC magnitude category decode (T.81 F.12)."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG bytes -> uint8 (h, w, ch) array, ch 1 (gray) or 3 (RGB).
+    ValueError for anything outside baseline 8-bit sequential."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    restart_interval = 0
+    frame = None
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # parameterless
+        seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
+        seg = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    vals = list(seg[i:i + 64]); i += 64
+                else:
+                    vals = list(struct.unpack(f">{64}H", seg[i:i + 128]))
+                    i += 128
+                table = np.zeros(64)
+                for j in range(64):
+                    table[ZIGZAG[j]] = vals[j]
+                qt[tq] = table.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1:i + 17])
+                total = sum(counts)
+                symbols = seg[i + 17:i + 17 + total]
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
+                    counts, symbols
+                )
+                i += 17 + total
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline DCT)
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", seg[:6]
+            )
+            if precision != 8:
+                raise ValueError(f"{precision}-bit precision unsupported")
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component JPEG unsupported")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"h": height, "w": width, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive" if marker == 0xC2 else f"SOF{marker & 15}"
+            raise ValueError(f"{kind} JPEG unsupported (baseline only)")
+        elif marker == 0xDA:  # SOS — baseline: one scan, decode and stop
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_tables = {}
+            for si in range(ns):
+                cs, tdta = seg[1 + si * 2], seg[2 + si * 2]
+                scan_tables[cs] = (tdta >> 4, tdta & 15)
+            if ns != len(frame["comps"]):
+                raise ValueError("non-interleaved multi-scan unsupported")
+            return _decode_scan(
+                payload, pos + seglen, frame, scan_tables, qt,
+                huff_dc, huff_ac, restart_interval,
+            )
+        # APPn / COM / others: skip
+        pos += seglen
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
+                 restart_interval):
+    comps = frame["comps"]
+    h_img, w_img = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w_img + mcu_w - 1) // mcu_w
+    mcus_y = (h_img + mcu_h - 1) // mcu_h
+
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
+    ]
+    reader = _BitReader(data, pos)
+    dc_pred = [0] * len(comps)
+    rst_n = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                reader.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) & 7
+                dc_pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = scan_tables[c["id"]]
+                qtab = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64)
+                        s = reader.decode_symbol(huff_dc[td])
+                        diff = _extend(reader.receive(s), s)
+                        dc_pred[ci] += diff
+                        coef[0] = dc_pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(huff_ac[ta])
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coef[ZIGZAG[k]] = _extend(
+                                reader.receive(size), size
+                            )
+                            k += 1
+                        block = _idct2(
+                            coef.reshape(8, 8) * qtab
+                        ) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_count += 1
+
+    out = []
+    for ci, c in enumerate(comps):
+        plane = np.repeat(
+            np.repeat(planes[ci], vmax // c["v"], axis=0),
+            hmax // c["h"], axis=1,
+        )[:h_img, :w_img]
+        out.append(plane)
+    if len(out) == 1:
+        gray = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- encoder (fixtures/tests; Annex K tables, 4:4:4) ------------------------
+
+# T.81 Annex K.1 example quantization tables (spec constants).
+_K_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+_K_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+# Annex K.3 typical Huffman tables: (BITS counts, HUFFVAL symbols).
+_K_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    bytes(range(12)),
+)
+_K_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    bytes(range(12)),
+)
+_K_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+_K_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+
+
+def _encode_table(counts, symbols):
+    """(length, code) per symbol for the encoder side."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.write(1, 1)  # pad with 1-bits (spec)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(writer, coef_zz, dc_pred, dc_codes, ac_codes):
+    diff = int(coef_zz[0]) - dc_pred
+    s = _category(diff)
+    length, code = dc_codes[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size = _category(v)
+        length, code = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        length, code = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return int(coef_zz[0])
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a base table (public libjpeg convention)."""
+    quality = min(max(quality, 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((q * scale + 50) / 100), 1, 255)
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """uint8 (h, w) | (h, w, 1|3) -> baseline JFIF bytes (4:4:4).
+    ``restart_interval`` > 0 emits DRI + RST0-7 markers every that many
+    MCUs (exercises the decoder's restart/resync path)."""
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if ch not in (1, 3):
+        raise ValueError(f"unsupported channel count {ch}")
+    if ch == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qtabs = [_quality_scale(_K_LUMA_Q, quality),
+                 _quality_scale(_K_CHROMA_Q, quality)]
+        comp_q = [0, 1, 1]
+        dc_tabs = [_encode_table(*_K_DC_LUMA), _encode_table(*_K_DC_CHROMA)]
+        ac_tabs = [_encode_table(*_K_AC_LUMA), _encode_table(*_K_AC_CHROMA)]
+        comp_t = [0, 1, 1]
+    else:
+        planes = [px[:, :, 0]]
+        qtabs = [_quality_scale(_K_LUMA_Q, quality)]
+        comp_q = [0]
+        dc_tabs = [_encode_table(*_K_DC_LUMA)]
+        ac_tabs = [_encode_table(*_K_AC_LUMA)]
+        comp_t = [0]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    for ti, q in enumerate(qtabs):
+        zz = bytes(int(q.reshape(-1)[ZIGZAG[i]]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + zz
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci in range(len(planes)):
+        sof += bytes([ci + 1, 0x11, comp_q[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    # DHT segments
+    for tc, tabs in ((0, [_K_DC_LUMA, _K_DC_CHROMA][:len(qtabs)]),
+                     (1, [_K_AC_LUMA, _K_AC_CHROMA][:len(qtabs)])):
+        for th, (counts, symbols) in enumerate(tabs):
+            seg = bytes([(tc << 4) | th]) + bytes(counts) + symbols
+            out += b"\xff\xc4" + struct.pack(">H", len(seg) + 2) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, (comp_t[ci] << 4) | comp_t[ci]])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    writer = _BitWriter()
+    bx_n = (w + 7) // 8
+    by_n = (h + 7) // 8
+    dc_pred = [0] * len(planes)
+    # edge-replicated padding so partial blocks encode cleanly
+    padded = [
+        np.pad(p, ((0, by_n * 8 - h), (0, bx_n * 8 - w)), mode="edge")
+        for p in planes
+    ]
+    mcu_count = 0
+    rst_n = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                dc_pred = [0] * len(planes)
+            mcu_count += 1
+            for ci, plane in enumerate(padded):
+                block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coef = np.round(_fdct2(block) / qtabs[comp_q[ci]])
+                zz = np.array(
+                    [coef.reshape(-1)[ZIGZAG[i]] for i in range(64)]
+                ).astype(int)
+                dc_pred[ci] = _encode_block(
+                    writer, zz, dc_pred[ci],
+                    dc_tabs[comp_t[ci]], ac_tabs[comp_t[ci]],
+                )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

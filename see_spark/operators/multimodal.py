@@ -4,14 +4,15 @@ Media documents flow through the engine as the input_hint prescribes —
 ``kind='media'`` spans carrying a ``media_ref`` — and as standalone media
 tables with a ``binary`` payload column. The Spark-side plumbing (schema,
 partitioning, Arrow batch shape, UDF signatures) is real and tested; the
-actual codec work for formats that need external libraries (JPEG, video
-containers) is STUBBED: it raises NotImplementedError unless
-``fake=True``, in which case a clearly-marked deterministic fake
+actual codec work for formats that need external libraries (video
+containers, progressive JPEG) is STUBBED: it raises NotImplementedError
+unless ``fake=True``, in which case a clearly-marked deterministic fake
 (byte-level stats standing in for pixel stats) exercises the full
-pipeline. TWO paths are honest, stdlib-only REAL decodes: RIFF/WAVE audio
-through the ``wave`` module (``decode_wav`` / ``audio_features``) and
-8-bit non-interlaced PNG through ``core.png`` (``decode_png`` /
-``image_features``).
+pipeline. FOUR paths are honest, stdlib-only REAL decodes: RIFF/WAVE
+audio through the ``wave`` module (``decode_wav`` / ``audio_features``),
+8-bit non-interlaced PNG through ``core.png``, non-interlaced GIF through
+``core.gif``, and baseline sequential JPEG through ``core.jpeg``
+(``decode_jpeg`` / ``image_features``).
 
 Scale notes: payloads stay opaque binary until the last possible stage
 (column pruning keeps them out of every scan that doesn't need bytes);
@@ -94,16 +95,18 @@ def _decode_buffer(payload: bytes, kind: str, fake: bool) -> np.ndarray:
         return _decode_image(payload).reshape(-1)
     raise NotImplementedError(
         f"real {kind} decode requires codec libraries not present in this "
-        "environment (RIFF/WAVE audio, 8-bit non-interlaced PNG, and "
-        "non-interlaced GIF decode natively via stdlib); pass fake=True "
-        "for the deterministic stand-in"
+        "environment (RIFF/WAVE audio, 8-bit non-interlaced PNG, "
+        "non-interlaced GIF, and baseline JPEG decode natively via "
+        "stdlib); pass fake=True for the deterministic stand-in"
     )
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
     """Sniff the container signature and decode through the matching
-    stdlib codec (PNG or GIF). ValueError for anything else — the
-    honest boundary of the sandbox (JPEG needs a DCT/huffman stack)."""
+    stdlib codec (PNG, GIF, or baseline JPEG — core/jpeg.py carries its
+    own DCT/Huffman stack). ValueError for anything else; progressive
+    JPEG raises with the reason and routes to decode_error like any
+    out-of-subset container."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from see_spark.core.png import decode_png
 
@@ -112,7 +115,13 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from see_spark.core.gif import decode_gif
 
         return decode_gif(payload)
-    raise ValueError("unrecognized image container (PNG and GIF supported)")
+    if payload[:2] == b"\xff\xd8":
+        from see_spark.core.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError(
+        "unrecognized image container (PNG, GIF, baseline JPEG supported)"
+    )
 
 
 FEATURES_SCHEMA = T.StructType(

