@@ -15,6 +15,23 @@ the jar (``spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-
 builds a session with the extension + catalog wired and the same suite
 runs for real.
 
+Acquisition attempts (round 4, all failed — hard environmental blocker):
+
+- ``spark-shell --packages org.apache.iceberg:iceberg-spark-runtime-
+  4.0_2.13:1.10.0``: ivy resolution fails with "Host repo1.maven.org not
+  found" and "Host repos.spark-packages.org not found" (DNS does not
+  resolve); no cached artifact under ``~/.ivy2`` or ``~/.m2``.
+- direct ``curl`` of https://repo1.maven.org/maven2/org/apache/iceberg/
+  iceberg-spark-runtime-4.0_2.13/1.10.0/iceberg-spark-runtime-4.0_2.13-
+  1.10.0.jar: exit without HTTP status (no route).
+- ``pip download pyiceberg`` (for a non-JVM write path): "no versions
+  found" — the package index is unreachable too.
+- filesystem sweep: ``find / -name 'iceberg*jar'`` returns nothing.
+
+Nothing vendorable exists in the image, so the real-Iceberg legs of the
+storage contract remain the ``SEE_ICEBERG=1`` opt-in documented in
+``tests/conftest.py`` — runnable unchanged wherever the jar exists.
+
 Mapping of the stand-in's semantics onto Iceberg:
 
 - snapshot ids       -> Iceberg's own snapshot ids (``<t>.snapshots``)
