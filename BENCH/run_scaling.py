@@ -70,7 +70,10 @@ def run_bench(cores: int, frontier_n: int) -> dict:
         env.setdefault("SEE_SPARK_DRIVER_MEM", "8g")
     out = subprocess.run(
         _pin(cores) + [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+        capture_output=True, text=True, env=env, cwd=REPO,
+        # 10x-input campaigns exceed an hour on the pinned N-core leg;
+        # default stays 1h for the standard 2M/500k input
+        timeout=int(os.environ.get("SEE_SCALE_TIMEOUT", "3600")),
     )
     for line in out.stdout.splitlines():
         line = line.strip()

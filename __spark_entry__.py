@@ -11888,10 +11888,17 @@ ORACLES_EXTRA.update(
                         unnest(string_split(text, ' ')) AS word FROM keyed),
         sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz
                   FROM toks GROUP BY id),
-        inter AS (SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS i
-                  FROM prs p JOIN toks ta ON ta.id = p.a
-                  JOIN toks tb ON tb.id = p.b AND tb.word = ta.word
-                  GROUP BY p.a, p.b),
+        -- per-doc token lists + list_intersect: per-pair LINEAR work.
+        -- (The previous toks-join formulation let DuckDB join word-first
+        -- across all docs — quadratic in document frequency, >79 GB of
+        -- temp spill at sf0.1.)
+        tokl AS (SELECT id, list(word) AS words FROM toks GROUP BY id),
+        inter AS (SELECT p.a, p.b,
+                         CAST(len(list_intersect(la.words, lb.words))
+                              AS BIGINT) AS i
+                  FROM prs p
+                  JOIN tokl la ON la.id = p.a
+                  JOIN tokl lb ON lb.id = p.b),
         fields AS (SELECT doc_id, lang, source, n_chars // 50 AS band,
                           md5(text) AS th FROM corpus),
         pairs AS (
@@ -12242,7 +12249,11 @@ QUERIES_EXTRA.update({"merkle_tree": _q_merkle_tree})
 
 ORACLES_EXTRA.update(
     {
-        # unrolled for the 500-doc gate corpus: 500 -> 32 -> 2 -> 1
+        # Unrolled levels, each guarded by "previous level still has >1
+        # node" so the unroll is corpus-size-independent up to 16^6 docs
+        # (the engine stops when one root remains; an unguarded extra
+        # level would re-hash the lone root into a spurious row — the
+        # exact off-by-one the sf0.1 run caught in round 4).
         "merkle_tree": """
         WITH l0 AS (
           SELECT 0 AS level,
@@ -12252,17 +12263,34 @@ ORACLES_EXTRA.update(
           FROM documents),
         l1 AS (SELECT 1 AS level, pos // 16 AS pos,
                       md5(string_agg(node_hash, '' ORDER BY pos)) AS node_hash
-               FROM l0 GROUP BY pos // 16),
+               FROM l0 WHERE (SELECT COUNT(*) FROM l0) > 1
+               GROUP BY pos // 16),
         l2 AS (SELECT 2 AS level, pos // 16 AS pos,
                       md5(string_agg(node_hash, '' ORDER BY pos)) AS node_hash
-               FROM l1 GROUP BY pos // 16),
+               FROM l1 WHERE (SELECT COUNT(*) FROM l1) > 1
+               GROUP BY pos // 16),
         l3 AS (SELECT 3 AS level, pos // 16 AS pos,
                       md5(string_agg(node_hash, '' ORDER BY pos)) AS node_hash
-               FROM l2 GROUP BY pos // 16)
+               FROM l2 WHERE (SELECT COUNT(*) FROM l2) > 1
+               GROUP BY pos // 16),
+        l4 AS (SELECT 4 AS level, pos // 16 AS pos,
+                      md5(string_agg(node_hash, '' ORDER BY pos)) AS node_hash
+               FROM l3 WHERE (SELECT COUNT(*) FROM l3) > 1
+               GROUP BY pos // 16),
+        l5 AS (SELECT 5 AS level, pos // 16 AS pos,
+                      md5(string_agg(node_hash, '' ORDER BY pos)) AS node_hash
+               FROM l4 WHERE (SELECT COUNT(*) FROM l4) > 1
+               GROUP BY pos // 16),
+        l6 AS (SELECT 6 AS level, pos // 16 AS pos,
+                      md5(string_agg(node_hash, '' ORDER BY pos)) AS node_hash
+               FROM l5 WHERE (SELECT COUNT(*) FROM l5) > 1
+               GROUP BY pos // 16)
         SELECT CAST(level AS BIGINT) AS level, CAST(pos AS BIGINT) AS pos,
                node_hash
         FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1
-              UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+              UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+              UNION ALL SELECT * FROM l4 UNION ALL SELECT * FROM l5
+              UNION ALL SELECT * FROM l6)
     """,
     }
 )

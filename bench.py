@@ -13,7 +13,10 @@ Sections:
 - representative analytics queries from __spark_entry__ at the given SF.
 
 Config via env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SEE_BENCH_FRONTIER_N (default 2_000_000).
+SPARK_GRAFT_CPUS (default 32), SEE_BENCH_FRONTIER_N (default 2_000_000),
+SEE_BENCH_CRAWL_N (default min(frontier/4, 500k)), SEE_BENCH_REPS
+(timed reps per throughput leg, default 2), SEE_BENCH_SKIP_QUERIES=1
+(throughput legs only).
 """
 
 from __future__ import annotations
@@ -132,11 +135,22 @@ def run_frontier_leg(spark, frontier, cands, n_frontier: int):
     return batch.count()
 
 
-def bench_frontier_scheduling(spark, n_frontier: int, n_candidates: int, reps: int = 2):
+def _reps() -> int:
+    """Timed reps per throughput leg (best-of). Default 2; the 10x-input
+    scaling campaign sets SEE_BENCH_REPS=1 — at ~2M fetched docs per rep
+    a second rep doubles an already hour-scale pinned 8-core leg, and the
+    JIT/worker warm-up the second rep exists to shed is already covered
+    by the preceding warm-up query + frontier leg."""
+    return max(1, int(os.environ.get("SEE_BENCH_REPS", "2")))
+
+
+def bench_frontier_scheduling(spark, n_frontier: int, n_candidates: int, reps: int = None):
     """URLs scheduled+deduped/sec. Best of ``reps`` runs (this sandbox is a
     shared host with nonzero CPU steal; best-of is the standard
     steady-state estimator there — both reps are full, honest executions
     of the same DAG)."""
+    if reps is None:
+        reps = _reps()
     frontier, cands = setup_frontier_leg(spark, n_frontier, n_candidates)
     runs = [
         _timed(lambda: run_frontier_leg(spark, frontier, cands, n_frontier))
@@ -272,11 +286,11 @@ def bench_crawl_round(spark, n_frontier: int, n_hosts: int | None = None):
         n_hosts = max(2000, n_frontier // 125)
 
     catalogs = [
-        setup_crawl_leg(spark, n_frontier, n_hosts) for _ in range(2)
+        setup_crawl_leg(spark, n_frontier, n_hosts) for _ in range(_reps())
     ]  # fresh catalog per rep
     runs = [
         _timed(lambda c=c: run_crawl_leg(spark, c)) for c in catalogs
-    ]  # best-of-2, see scheduling note
+    ]  # best-of-N, see scheduling note
     sec, metrics = min(runs, key=lambda r: r[0])
     return {
         "sec": round(sec, 3),
@@ -321,7 +335,8 @@ def main():
         "url_seen_anti_join",
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "knn_bruteforce",
+        "knn_bruteforce",   # exact baseline (broadcast query scan)
+        "knn_ivf",          # the bucketed scale path headlines alongside
         "events_sessionize",
         "tpch_pricing_summary",
     ]
