@@ -56,83 +56,96 @@ def _fdct2(block: np.ndarray) -> np.ndarray:
 
 
 class _HuffTable:
-    """Canonical Huffman table from a DHT segment's (BITS, HUFFVAL):
-    decode via (length, code)->value dict — bounded 16-step lookup."""
+    """Canonical Huffman table from a DHT segment's (BITS, HUFFVAL),
+    compiled to a flat 16-bit-peek lookup (the classic fast decoder):
+    ``sym[peek16]``/``length[peek16]`` give the decoded symbol and its
+    code length in one index — no per-bit loop. length 0 marks bit
+    patterns no code owns (corrupt/truncated stream)."""
 
     def __init__(self, counts: list, symbols: bytes):
-        self.lookup = {}
+        self.sym = [0] * 65536
+        self.length = [0] * 65536
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
-                self.lookup[(length, code)] = symbols[k]
+                # every 16-bit word whose top `length` bits equal `code`
+                base = code << (16 - length)
+                for w in range(base, base + (1 << (16 - length))):
+                    self.sym[w] = symbols[k]
+                    self.length[w] = length
                 code += 1
                 k += 1
             code <<= 1
 
 
+def _split_entropy(data: bytes, pos: int) -> list:
+    """Entropy-coded segments from SOS payload start to the next real
+    marker, split at RST0-7 boundaries, 0xFF00 stuffing removed."""
+    chunks = []
+    start = pos
+    i = pos
+    n = len(data)
+    while i < n - 1:
+        if data[i] == 0xFF:
+            m = data[i + 1]
+            if m == 0x00:
+                i += 2
+                continue
+            chunks.append(data[start:i].replace(b"\xff\x00", b"\xff"))
+            if 0xD0 <= m <= 0xD7:
+                i += 2
+                start = i
+                continue
+            return chunks  # real marker (EOI or next segment)
+        i += 1
+    chunks.append(data[start:].replace(b"\xff\x00", b"\xff"))
+    return chunks
+
+
 class _BitReader:
-    """MSB-first entropy-coded segment reader: skips 0xFF00 stuffing,
-    stops at any real marker (leaves it for the caller)."""
+    """MSB-first reader over ONE destuffed entropy chunk. Runs off the
+    end (truncated stream) surface as a bounded 1-bit pad followed by a
+    zero-length Huffman hit -> ValueError."""
 
-    def __init__(self, data: bytes, pos: int):
+    __slots__ = ("data", "n", "pos", "acc", "bits", "padded")
+
+    def __init__(self, data: bytes):
         self.data = data
-        self.pos = pos
-        self.bitbuf = 0
-        self.nbits = 0
+        self.n = len(data)
+        self.pos = 0
+        self.acc = 0
+        self.bits = 0
+        self.padded = 0
 
-    def _fill(self):
-        if self.pos >= len(self.data):
-            raise ValueError("truncated entropy stream")
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
-            if nxt == 0x00:
-                self.pos += 2  # stuffed 0xFF data byte
+    def _need(self, k: int):
+        while self.bits < k:
+            if self.pos < self.n:
+                b = self.data[self.pos]
+                self.pos += 1
             else:
-                # real marker: synthesize 1-bits (spec'd pad) — the MCU
-                # loop stops on its own count before consuming garbage
-                self.bitbuf = (self.bitbuf << 8) | 0xFF
-                self.nbits += 8
-                return
-        else:
-            self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+                if self.padded > 4:
+                    raise ValueError("truncated entropy stream")
+                self.padded += 1
+                b = 0xFF
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFFFF
+            self.bits += 8
 
     def decode_symbol(self, table: _HuffTable) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
+        self._need(16)
+        w = (self.acc >> (self.bits - 16)) & 0xFFFF
+        length = table.length[w]
+        if length == 0:
+            raise ValueError("invalid Huffman code")
+        self.bits -= length
+        return table.sym[w]
 
-    def align_and_expect_rst(self, n: int):
-        """Byte-align and consume the RSTn marker (restart interval)."""
-        self.bitbuf = 0
-        self.nbits = 0
-        if (
-            self.pos + 1 < len(self.data)
-            and self.data[self.pos] == 0xFF
-            and self.data[self.pos + 1] == 0xD0 + (n & 7)
-        ):
-            self.pos += 2
-        else:
-            raise ValueError("missing restart marker")
+    def receive(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._need(k)
+        self.bits -= k
+        return (self.acc >> self.bits) & ((1 << k) - 1)
 
 
 def _extend(v: int, size: int) -> int:
@@ -242,60 +255,72 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
     mcus_x = (w_img + mcu_w - 1) // mcu_w
     mcus_y = (h_img + mcu_h - 1) // mcu_h
 
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
-    ]
-    reader = _BitReader(data, pos)
+    chunks = _split_entropy(data, pos)
+    reader = _BitReader(chunks[0])
+    chunk_i = 0
     dc_pred = [0] * len(comps)
-    rst_n = 0
     mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
+    # entropy loop fills per-component coefficient stacks (transmission
+    # order); dequant + inverse zigzag + IDCT run batched afterwards
+    coefs = [
+        np.zeros((mcus_y * mcus_x * c["h"] * c["v"], 64)) for c in comps
+    ]
+    nblk = [0] * len(comps)
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
             if restart_interval and mcu_count and (
                 mcu_count % restart_interval == 0
             ):
-                reader.align_and_expect_rst(rst_n)
-                rst_n = (rst_n + 1) & 7
+                chunk_i += 1
+                if chunk_i >= len(chunks):
+                    raise ValueError("missing restart marker")
+                reader = _BitReader(chunks[chunk_i])
                 dc_pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 td, ta = scan_tables[c["id"]]
-                qtab = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef = np.zeros(64)
-                        s = reader.decode_symbol(huff_dc[td])
-                        diff = _extend(reader.receive(s), s)
-                        dc_pred[ci] += diff
-                        coef[0] = dc_pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(huff_ac[ta])
-                            r, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            coef[ZIGZAG[k]] = _extend(
-                                reader.receive(size), size
-                            )
-                            k += 1
-                        block = _idct2(
-                            coef.reshape(8, 8) * qtab
-                        ) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+                dc_tab = huff_dc[td]
+                ac_tab = huff_ac[ta]
+                for _blk in range(c["h"] * c["v"]):
+                    coef = coefs[ci][nblk[ci]]
+                    nblk[ci] += 1
+                    s = reader.decode_symbol(dc_tab)
+                    diff = _extend(reader.receive(s), s)
+                    dc_pred[ci] += diff
+                    coef[0] = dc_pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_symbol(ac_tab)
+                        r, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        coef[k] = _extend(reader.receive(size), size)
+                        k += 1
             mcu_count += 1
 
+    # batched back half: one fancy-index inverse zigzag, one dequant
+    # broadcast, one einsum IDCT per component — no per-block Python
+    izz = np.argsort(ZIGZAG)  # natural index -> transmission position
     out = []
     for ci, c in enumerate(comps):
+        qflat = qt[c["tq"]].reshape(-1)
+        blocks = (coefs[ci][:, izz] * qflat).reshape(-1, 8, 8)
+        pix = np.einsum("ki,nkl,lj->nij", _A, blocks, _A) + 128.0
+        # scatter 8x8 blocks into the component plane: MCU raster order,
+        # h*v blocks per MCU in (by, bx) order — pure reshape/transpose
+        ch, cv = c["h"], c["v"]
+        plane = (
+            pix.reshape(mcus_y, mcus_x, cv, ch, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * cv * 8, mcus_x * ch * 8)
+        )
         plane = np.repeat(
-            np.repeat(planes[ci], vmax // c["v"], axis=0),
-            hmax // c["h"], axis=1,
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
         )[:h_img, :w_img]
         out.append(plane)
     if len(out) == 1:
