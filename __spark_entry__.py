@@ -3868,7 +3868,11 @@ ORACLES_EXTRA.update(
           FROM marked GROUP BY url),
         plan AS (
           SELECT url, last_round, n_fetches, n_changes, unchanged_streak,
-                 CAST(least(16, 1 << CAST(least(unchanged_streak, 32) AS INT))
+                 -- BIGINT shift base: a bare 1 is INT32 in DuckDB and
+                 -- 1 << 31 overflows (hit at sf0.1 streaks); the engine
+                 -- shifts a BIGINT (recrawl.py), so mirror that exactly
+                 CAST(least(16, CAST(1 AS BIGINT)
+                        << CAST(least(unchanged_streak, 32) AS INT))
                       AS BIGINT) AS interval
           FROM agg)
         SELECT url, last_round, n_fetches, n_changes, unchanged_streak,
