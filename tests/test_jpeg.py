@@ -137,3 +137,27 @@ def test_decode_media_real_jpeg_path():
     assert np.abs(
         flat.reshape(8, 8, 3).astype(int) - img.astype(int)
     ).max() <= 1
+
+
+def test_single_component_scan_ignores_declared_sampling():
+    """T.81 A.2.2: a one-component scan is non-interleaved and its SOF
+    sampling factors are ignored; some transcoders write 2x2 there."""
+    rng = np.random.default_rng(5)
+    g = (rng.random((24, 40)) * 255).astype(np.uint8)
+    data = bytearray(encode_jpeg(g, quality=95))
+    i = data.find(b"\xff\xc0")
+    hv_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1  # SOF0 comp[0].hv
+    assert data[hv_off] == 0x11
+    data[hv_off] = 0x22
+    assert np.array_equal(
+        decode_jpeg(bytes(data)), decode_jpeg(encode_jpeg(g, quality=95))
+    )
+
+
+def test_huffman_lut_is_cached_across_decodes():
+    from see_spark.core.jpeg import _HuffTable
+
+    counts = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    assert _HuffTable(counts, bytes(range(12))) is _HuffTable(
+        counts, bytes(range(12))
+    )
