@@ -11,12 +11,16 @@ per-component plane assembly with h/v sampling factors (4:4:4, 4:2:2,
 4:2:0), nearest-neighbor chroma upsampling, and JFIF full-range
 YCbCr->RGB.
 
-Scope — an honest subset of the web's JPEGs: BASELINE sequential DCT
-(SOF0), 8-bit, 1 or 3 components, one interleaved scan. Progressive
-(SOF2), arithmetic coding, hierarchical, 12-bit, and CMYK raise
-ValueError with the reason; at 100 TB those rows route to the
+Scope — the overwhelming majority of the web's JPEGs: BASELINE
+sequential DCT (SOF0/1) and PROGRESSIVE (SOF2 — spectral selection +
+successive approximation per T.81 Annex G: DC first/refine, AC first
+with EOB runs, AC refinement with correction bits), 8-bit, 1 or 3
+components. Arithmetic coding, hierarchical, lossless, 12-bit, and CMYK
+raise ValueError with the reason; at 100 TB those rows route to the
 decode_error column (operators/multimodal.py:image_features), they never
-kill the job — the same contract as the PNG/GIF/WAV codecs.
+kill the job — the same contract as the PNG/GIF/WAV codecs. The
+progressive path is cross-validated against OpenJDK ImageIO's
+progressive encoder output (4:2:0 color and grayscale).
 
 The matching baseline encoder (Annex K quant + Huffman tables, 4:4:4)
 exists so tests and fixtures can synthesize real JPEGs deterministically
@@ -74,6 +78,8 @@ class _HuffTable:
         if hit is not None:
             return hit
         self = super().__new__(cls)
+        if sum(counts) > len(symbols):
+            raise ValueError("truncated Huffman table")
         sym = np.zeros(65536, dtype=np.int32)
         ln = np.zeros(65536, dtype=np.int32)
         code = 0
@@ -96,9 +102,10 @@ class _HuffTable:
         return self
 
 
-def _split_entropy(data: bytes, pos: int) -> list:
-    """Entropy-coded segments from SOS payload start to the next real
-    marker, split at RST0-7 boundaries, 0xFF00 stuffing removed."""
+def _split_entropy(data: bytes, pos: int) -> tuple:
+    """(chunks, end): entropy-coded segments from SOS payload start to
+    the next real marker (``end`` = its offset), split at RST0-7
+    boundaries, 0xFF00 stuffing removed."""
     chunks = []
     start = pos
     i = pos
@@ -114,10 +121,10 @@ def _split_entropy(data: bytes, pos: int) -> list:
                 i += 2
                 start = i
                 continue
-            return chunks  # real marker (EOI or next segment)
+            return chunks, i  # real marker (EOI or next segment)
         i += 1
     chunks.append(data[start:].replace(b"\xff\x00", b"\xff"))
-    return chunks
+    return chunks, n
 
 
 class _BitReader:
@@ -176,7 +183,9 @@ def _extend(v: int, size: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes -> uint8 (h, w, ch) array, ch 1 (gray) or 3 (RGB).
-    ValueError for anything outside baseline 8-bit sequential."""
+    Baseline sequential (SOF0/1) and progressive (SOF2: spectral
+    selection + successive approximation, T.81 Annex G) both decode;
+    ValueError for anything else (arithmetic, lossless, 12-bit)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict = {}
@@ -184,6 +193,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict = {}
     restart_interval = 0
     frame = None
+    prog = None
     pos = 2
     n = len(payload)
     while pos + 4 <= n:
@@ -224,7 +234,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + total
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline DCT)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", seg[:6]
             )
@@ -244,27 +254,49 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 # encoders still write 2x2 factors in SOF; honoring them
                 # would desynchronize the entropy stream.
                 comps[0]["h"] = comps[0]["v"] = 1
-            frame = {"h": height, "w": width, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {
+                "h": height, "w": width, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker & 15}"
-            raise ValueError(f"{kind} JPEG unsupported (baseline only)")
-        elif marker == 0xDA:  # SOS — baseline: one scan, decode and stop
+            raise ValueError(
+                f"SOF{marker & 15} JPEG unsupported "
+                "(baseline + progressive only)"
+            )
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []
             for si in range(ns):
                 cs, tdta = seg[1 + si * 2], seg[2 + si * 2]
-                scan_tables[cs] = (tdta >> 4, tdta & 15)
-            if ns != len(frame["comps"]):
-                raise ValueError("non-interleaved multi-scan unsupported")
-            return _decode_scan(
-                payload, pos + seglen, frame, scan_tables, qt,
+                scan_comps.append((cs, tdta >> 4, tdta & 15))
+            if not frame["progressive"]:
+                if ns != len(frame["comps"]):
+                    raise ValueError(
+                        "non-interleaved multi-scan unsupported"
+                    )
+                return _decode_scan(
+                    payload, pos + seglen, frame,
+                    {cs: (td, ta) for cs, td, ta in scan_comps}, qt,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if prog is None:
+                prog = _ProgState(frame)
+            pos = prog.decode_scan(
+                payload, pos + seglen, scan_comps,
+                ss, se, ahal >> 4, ahal & 15,
                 huff_dc, huff_ac, restart_interval,
             )
+            continue  # pos already sits at the next marker
         # APPn / COM / others: skip
         pos += seglen
+    if prog is not None:
+        return prog.reconstruct(qt)
     raise ValueError("no scan data found")
 
 
@@ -278,7 +310,7 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
     mcus_x = (w_img + mcu_w - 1) // mcu_w
     mcus_y = (h_img + mcu_h - 1) // mcu_h
 
-    chunks = _split_entropy(data, pos)
+    chunks, _end = _split_entropy(data, pos)
     reader = _BitReader(chunks[0])
     chunk_i = 0
     dc_pred = [0] * len(comps)
@@ -346,6 +378,12 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
             np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
         )[:h_img, :w_img]
         out.append(plane)
+    return _planes_to_image(out)
+
+
+def _planes_to_image(out: list) -> np.ndarray:
+    """Component planes -> uint8 image: gray passthrough or JFIF
+    full-range YCbCr->RGB."""
     if len(out) == 1:
         gray = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         return gray[:, :, None]
@@ -357,7 +395,213 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-# --- encoder (fixtures/tests; Annex K tables, 4:4:4) ------------------------
+class _ProgState:
+    """Progressive (SOF2) decode state: per-component coefficient grids
+    accumulated across scans (T.81 Annex G / the jdphuff algorithms —
+    DC first/refine, AC first with EOB runs, AC refinement with
+    correction bits), reconstructed once at EOI through the same
+    batched dequant + IDCT back half as the baseline path.
+
+    Coefficients live in TRANSMISSION (zigzag) order per block, exactly
+    like the baseline decoder, so ``reconstruct`` shares its math."""
+
+    def __init__(self, frame):
+        self.frame = frame
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcus_x = (frame["w"] + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcus_y = (frame["h"] + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coefs = []
+        self.true_blocks = []
+        for c in comps:
+            by_pad = self.mcus_y * c["v"]
+            bx_pad = self.mcus_x * c["h"]
+            self.coefs.append(
+                np.zeros((by_pad, bx_pad, 64), dtype=np.int64)
+            )
+            cw = (frame["w"] * c["h"] + self.hmax - 1) // self.hmax
+            chs = (frame["h"] * c["v"] + self.vmax - 1) // self.vmax
+            self.true_blocks.append(
+                ((chs + 7) // 8, (cw + 7) // 8)  # (By_true, Bx_true)
+            )
+        self.eobrun = 0
+
+    def decode_scan(self, data, pos, scan_comps, ss, se, ah, al,
+                    huff_dc, huff_ac, restart_interval):
+        """Decode one scan's entropy data; returns the offset of the
+        marker that follows it."""
+        chunks, end = _split_entropy(data, pos)
+        comps = self.frame["comps"]
+        id_to_ci = {c["id"]: i for i, c in enumerate(comps)}
+        members = [
+            (id_to_ci[cs], td, ta) for cs, td, ta in scan_comps
+        ]
+        reader = _BitReader(chunks[0])
+        chunk_i = 0
+        dc_pred = [0] * len(comps)
+        self.eobrun = 0
+        unit = 0
+
+        def maybe_restart():
+            nonlocal reader, chunk_i, dc_pred
+            if restart_interval and unit and unit % restart_interval == 0:
+                chunk_i += 1
+                if chunk_i >= len(chunks):
+                    raise ValueError("missing restart marker")
+                reader = _BitReader(chunks[chunk_i])
+                dc_pred = [0] * len(comps)
+                self.eobrun = 0
+
+        if len(members) > 1:
+            # interleaved scan: DC only (T.81 G.1: Ss = Se = 0)
+            if ss != 0 or se != 0:
+                raise ValueError(
+                    "interleaved progressive scan must be DC-only"
+                )
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    maybe_restart()
+                    unit += 1
+                    for ci, td, _ta in members:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                block = self.coefs[ci][
+                                    my * c["v"] + by, mx * c["h"] + bx
+                                ]
+                                dc_pred[ci] = self._dc_unit(
+                                    reader, block, huff_dc.get(td),
+                                    dc_pred[ci], ah, al,
+                                )
+        else:
+            ci, td, ta = members[0]
+            by_true, bx_true = self.true_blocks[ci]
+            for by in range(by_true):
+                for bx in range(bx_true):
+                    maybe_restart()
+                    unit += 1
+                    block = self.coefs[ci][by, bx]
+                    if ss == 0:
+                        dc_pred[ci] = self._dc_unit(
+                            reader, block, huff_dc.get(td),
+                            dc_pred[ci], ah, al,
+                        )
+                    elif ah == 0:
+                        self._ac_first(
+                            reader, block, huff_ac[ta], ss, se, al
+                        )
+                    else:
+                        self._ac_refine(
+                            reader, block, huff_ac[ta], ss, se, al
+                        )
+        return end
+
+    def _dc_unit(self, reader, block, dc_tab, pred, ah, al):
+        if ah == 0:  # first DC scan: full diff, scaled by 2^Al
+            s = reader.decode_symbol(dc_tab)
+            pred += _extend(reader.receive(s), s)
+            block[0] = pred << al
+        else:  # refinement: one bit, OR into bit Al
+            if reader.receive(1):
+                block[0] = int(block[0]) | (1 << al)
+        return pred
+
+    def _ac_first(self, reader, block, ac_tab, ss, se, al):
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                block[k] = _extend(reader.receive(s), s) << al
+                k += 1
+            else:
+                if r != 15:
+                    self.eobrun = (1 << r) - 1
+                    if r:
+                        self.eobrun += reader.receive(r)
+                    break
+                k += 16  # ZRL
+
+    def _ac_refine(self, reader, block, ac_tab, ss, se, al):
+        # T.81 G.1.2.3 successive-approximation AC refinement (the
+        # jdphuff decode_mcu_AC_refine control flow): newly-nonzero
+        # coefficients arrive as ±2^Al; every already-nonzero
+        # coefficient crossed on the way reads one correction bit.
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = reader.decode_symbol(ac_tab)
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("bad AC refinement size")
+                    newval = p1 if reader.receive(1) else m1
+                else:
+                    if r != 15:
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += reader.receive(r)
+                        break
+                # advance over r zero-history coefficients, correcting
+                # nonzero ones passed over
+                while k <= se:
+                    cur = int(block[k])
+                    if cur != 0:
+                        if reader.receive(1) and (cur & p1) == 0:
+                            block[k] = cur + (p1 if cur >= 0 else m1)
+                    else:
+                        if r == 0:
+                            if newval:
+                                block[k] = newval
+                            break
+                        r -= 1
+                    k += 1
+                k += 1
+        if self.eobrun > 0:
+            while k <= se:
+                cur = int(block[k])
+                if cur != 0:
+                    if reader.receive(1) and (cur & p1) == 0:
+                        block[k] = cur + (p1 if cur >= 0 else m1)
+                k += 1
+            self.eobrun -= 1
+
+    def reconstruct(self, qt):
+        """All scans consumed: dequant + inverse zigzag + batched IDCT
+        per component, natural grid order, upsample + crop."""
+        frame = self.frame
+        comps = frame["comps"]
+        h_img, w_img = frame["h"], frame["w"]
+        izz = np.argsort(ZIGZAG)
+        out = []
+        for ci, c in enumerate(comps):
+            by_pad, bx_pad, _ = self.coefs[ci].shape
+            qflat = qt[c["tq"]].reshape(-1)
+            flat = self.coefs[ci].reshape(-1, 64).astype(np.float64)
+            blocks = (flat[:, izz] * qflat).reshape(-1, 8, 8)
+            pix = np.einsum("ki,nkl,lj->nij", _A, blocks, _A) + 128.0
+            plane = (
+                pix.reshape(by_pad, bx_pad, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(by_pad * 8, bx_pad * 8)
+            )
+            plane = np.repeat(
+                np.repeat(plane, self.vmax // c["v"], axis=0),
+                self.hmax // c["h"], axis=1,
+            )[:h_img, :w_img]
+            out.append(plane)
+        return _planes_to_image(out)
+
 
 # T.81 Annex K.1 example quantization tables (spec constants).
 _K_LUMA_Q = np.array([

@@ -5,14 +5,14 @@ Media documents flow through the engine as the input_hint prescribes —
 tables with a ``binary`` payload column. The Spark-side plumbing (schema,
 partitioning, Arrow batch shape, UDF signatures) is real and tested; the
 actual codec work for formats that need external libraries (video
-containers, progressive JPEG) is STUBBED: it raises NotImplementedError
+containers) is STUBBED: it raises NotImplementedError
 unless ``fake=True``, in which case a clearly-marked deterministic fake
 (byte-level stats standing in for pixel stats) exercises the full
 pipeline. FOUR paths are honest, stdlib-only REAL decodes: RIFF/WAVE
 audio through the ``wave`` module (``decode_wav`` / ``audio_features``),
 8-bit non-interlaced PNG through ``core.png``, non-interlaced GIF through
-``core.gif``, and baseline sequential JPEG through ``core.jpeg``
-(``decode_jpeg`` / ``image_features``).
+``core.gif``, and JPEG — baseline sequential AND progressive — through
+``core.jpeg`` (``decode_jpeg`` / ``image_features``).
 
 Scale notes: payloads stay opaque binary until the last possible stage
 (column pruning keeps them out of every scan that doesn't need bytes);
@@ -82,10 +82,10 @@ def decode_wav(payload: bytes):
 def _decode_buffer(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     """Byte buffer the feature stats run over. fake=True: the payload
     itself (deterministic stand-in, exercises the full pipeline shape).
-    fake=False: one HONEST branch — RIFF/WAVE audio really decodes through
-    the stdlib ``wave`` module and the stats run over the decoded PCM
-    buffer; image/video decode requires PIL/ffmpeg-class libraries absent
-    from this container and stays stubbed."""
+    fake=False: HONEST branches — RIFF/WAVE audio decodes through the
+    stdlib ``wave`` module, images through the stdlib PNG/GIF/JPEG
+    codecs; video decode requires ffmpeg-class libraries absent from
+    this container and stays stubbed."""
     if fake:
         return np.frombuffer(payload, dtype=np.uint8)
     if kind == "audio" and payload[:4] == b"RIFF":
@@ -96,17 +96,17 @@ def _decode_buffer(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     raise NotImplementedError(
         f"real {kind} decode requires codec libraries not present in this "
         "environment (RIFF/WAVE audio, 8-bit non-interlaced PNG, "
-        "non-interlaced GIF, and baseline JPEG decode natively via "
+        "non-interlaced GIF, and baseline+progressive JPEG decode natively via "
         "stdlib); pass fake=True for the deterministic stand-in"
     )
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
     """Sniff the container signature and decode through the matching
-    stdlib codec (PNG, GIF, or baseline JPEG — core/jpeg.py carries its
-    own DCT/Huffman stack). ValueError for anything else; progressive
-    JPEG raises with the reason and routes to decode_error like any
-    out-of-subset container."""
+    stdlib codec (PNG, GIF, or JPEG — core/jpeg.py carries its own
+    DCT/Huffman stack, baseline and progressive). ValueError for
+    anything else (arithmetic/lossless JPEG, unknown containers),
+    routed to decode_error like any out-of-subset payload."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from see_spark.core.png import decode_png
 
@@ -120,7 +120,7 @@ def _decode_image(payload: bytes) -> np.ndarray:
 
         return decode_jpeg(payload)
     raise ValueError(
-        "unrecognized image container (PNG, GIF, baseline JPEG supported)"
+        "unrecognized image container (PNG, GIF, JPEG supported)"
     )
 
 

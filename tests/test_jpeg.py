@@ -112,12 +112,17 @@ def test_error_paths():
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0rest")  # truncated garbage
-    # progressive: flip SOF0 marker to SOF2 in a real stream
+    # arithmetic coding: flip SOF0 marker to SOF9 in a real stream
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     data = bytearray(encode_jpeg(img))
     i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF9"):
+        decode_jpeg(bytes(data))
+    # SOF2-relabeled baseline stream: its interleaved Ss=0..Se=63 scan
+    # is illegal in progressive mode (interleaved must be DC-only)
     data[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="DC-only"):
         decode_jpeg(bytes(data))
     # truncated entropy stream: cutting mid-scan must raise, not hang
     rng = np.random.default_rng(2)
