@@ -4,15 +4,17 @@ Media documents flow through the engine as the input_hint prescribes —
 ``kind='media'`` spans carrying a ``media_ref`` — and as standalone media
 tables with a ``binary`` payload column. The Spark-side plumbing (schema,
 partitioning, Arrow batch shape, UDF signatures) is real and tested; the
-actual codec work for formats that need external libraries (video
-containers) is STUBBED: it raises NotImplementedError
-unless ``fake=True``, in which case a clearly-marked deterministic fake
+actual codec work for formats that need external libraries (H.264-class
+video codecs) is STUBBED: it raises NotImplementedError unless
+``fake=True``, in which case a clearly-marked deterministic fake
 (byte-level stats standing in for pixel stats) exercises the full
-pipeline. FOUR paths are honest, stdlib-only REAL decodes: RIFF/WAVE
+pipeline. FIVE paths are honest, stdlib-only REAL decodes: RIFF/WAVE
 audio through the ``wave`` module (``decode_wav`` / ``audio_features``),
 8-bit non-interlaced PNG through ``core.png``, non-interlaced GIF through
-``core.gif``, and JPEG — baseline sequential AND progressive — through
-``core.jpeg`` (``decode_jpeg`` / ``image_features``).
+``core.gif``, JPEG — baseline sequential AND progressive — through
+``core.jpeg`` (``decode_jpeg`` / ``image_features``), and MJPEG-in-AVI
+video through ``core.avi`` (``video_features`` /
+``video_frame_sample``).
 
 Scale notes: payloads stay opaque binary until the last possible stage
 (column pruning keeps them out of every scan that doesn't need bytes);
@@ -84,8 +86,9 @@ def _decode_buffer(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     itself (deterministic stand-in, exercises the full pipeline shape).
     fake=False: HONEST branches — RIFF/WAVE audio decodes through the
     stdlib ``wave`` module, images through the stdlib PNG/GIF/JPEG
-    codecs; video decode requires ffmpeg-class libraries absent from
-    this container and stays stubbed."""
+    codecs, MJPEG-AVI video through ``core.avi``; other video codecs
+    require ffmpeg-class libraries absent from this container and stay
+    stubbed."""
     if fake:
         return np.frombuffer(payload, dtype=np.uint8)
     if kind == "audio" and payload[:4] == b"RIFF":
@@ -93,11 +96,17 @@ def _decode_buffer(payload: bytes, kind: str, fake: bool) -> np.ndarray:
         return np.frombuffer(samples.tobytes(), dtype=np.uint8)
     if kind == "image":
         return _decode_image(payload).reshape(-1)
+    if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from see_spark.core.avi import decode_avi
+
+        frames, _meta = decode_avi(payload)
+        return np.concatenate([f.reshape(-1) for f in frames])
     raise NotImplementedError(
         f"real {kind} decode requires codec libraries not present in this "
         "environment (RIFF/WAVE audio, 8-bit non-interlaced PNG, "
-        "non-interlaced GIF, and baseline+progressive JPEG decode natively via "
-        "stdlib); pass fake=True for the deterministic stand-in"
+        "non-interlaced GIF, baseline+progressive JPEG, and MJPEG-AVI "
+        "video decode natively via stdlib); pass fake=True for the "
+        "deterministic stand-in"
     )
 
 
@@ -277,11 +286,109 @@ def image_features(media: DataFrame) -> DataFrame:
     )
 
 
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_mean", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """REAL video feature extraction — MJPEG-in-AVI payloads decode
+    frame-by-frame through ``core.avi`` (RIFF chunk walk + the in-repo
+    JPEG codec); rows with other containers/codecs carry the error
+    instead of killing the job. Same plumbing contract as
+    ``image_features``."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from see_spark.core.avi import decode_avi
+
+        cols = [f.name for f in VIDEO_FEATURES_SCHEMA.fields]
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                try:
+                    frames, meta = decode_avi(bytes(payload or b""))
+                except Exception as exc:
+                    rows.append(
+                        (media_id, None, None, None, None, None,
+                         f"{type(exc).__name__}: {exc}")
+                    )
+                    continue
+                h, w = (frames[0].shape[:2]) if frames else (0, 0)
+                mean = (
+                    float(np.mean([f.astype("float64").mean()
+                                   for f in frames]))
+                    if frames else 0.0
+                )
+                rows.append(
+                    (media_id, int(meta["n_frames"]), float(meta["fps"]),
+                     int(w), int(h), mean, None)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        _run, schema=VIDEO_FEATURES_SCHEMA
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+def video_frame_sample(media: DataFrame, stride: int = 3) -> DataFrame:
+    """REAL frame sampling over MJPEG-AVI payloads: frames 0, stride,
+    2·stride, … decode (others cost only the chunk walk — ``decode_avi``
+    skips undecoded frames) and emit per-frame stats. The decoded-frame
+    complement of the Catalyst-only ``frame_sample`` plan below;
+    non-AVI rows yield no frames (features carry their error rows)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from see_spark.core.avi import decode_avi
+
+        cols = [f.name for f in VIDEO_FRAME_SCHEMA.fields]
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                data = bytes(payload or b"")
+                try:
+                    _frames, meta = decode_avi(data, frame_indices=[])
+                    idx = list(range(0, meta["n_frames"], int(stride)))
+                    frames, _ = decode_avi(data, frame_indices=idx)
+                except Exception:
+                    continue
+                for frame_no, frame in zip(idx, frames):
+                    h, w = frame.shape[:2]
+                    rows.append(
+                        (media_id, int(frame_no), int(w), int(h),
+                         float(frame.astype("float64").mean()))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        _run, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 50, stride: int = 3) -> DataFrame:
     """Deterministic frame-sampling plan for video rows: frame indices
     0, stride, 2*stride ... over a duration proxy (n_bytes/every_n_bytes).
-    Pure Catalyst (sequence+explode) — the real decoder would seek to these
-    indices; the plan/shape is what's exercised here."""
+    Pure Catalyst (sequence+explode) — the real decoder (see
+    ``video_frame_sample``) seeks to these indices; the plan/shape is
+    what's exercised here."""
     frames = F.sequence(
         F.lit(0),
         F.greatest((F.col("n_bytes") / every_n_bytes).cast("int"), F.lit(0)),
