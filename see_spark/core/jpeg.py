@@ -846,3 +846,80 @@ def encode_jpeg(
     out += writer.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# --- EXIF orientation (APP1 TIFF walk; the one metadata field a crawl
+# pipeline cannot ignore — phone photos store rotation here, not in the
+# pixel data) -----------------------------------------------------------------
+
+def exif_orientation(payload: bytes) -> int:
+    """EXIF orientation tag (1-8; 1 = upright, also returned when no
+    EXIF/orientation is present or the segment is malformed — the
+    never-throw default, matching how browsers treat broken EXIF).
+    Parses APP1 'Exif\\x00\\x00' + TIFF header (II/MM byte order) +
+    IFD0 entries, tag 0x0112."""
+    if payload[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n and payload[pos] == 0xFF:
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            break
+        seglen = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        if marker == 0xE1 and payload[pos + 4:pos + 10] == b"Exif\x00\x00":
+            tiff = payload[pos + 10:pos + 2 + seglen]
+            if len(tiff) < 8:
+                return 1
+            if tiff[:2] == b"II":
+                endian = "<"
+            elif tiff[:2] == b"MM":
+                endian = ">"
+            else:
+                return 1
+            try:
+                ifd0 = struct.unpack(endian + "I", tiff[4:8])[0]
+                count = struct.unpack(
+                    endian + "H", tiff[ifd0:ifd0 + 2]
+                )[0]
+                for i in range(count):
+                    e = ifd0 + 2 + 12 * i
+                    tag, typ = struct.unpack(
+                        endian + "HH", tiff[e:e + 4]
+                    )
+                    if tag == 0x0112 and typ == 3:  # SHORT
+                        v = struct.unpack(
+                            endian + "H", tiff[e + 8:e + 10]
+                        )[0]
+                        return v if 1 <= v <= 8 else 1
+            except struct.error:
+                return 1
+            return 1
+        if marker == 0xDA:
+            break  # EXIF precedes scan data by spec
+        pos += 2 + seglen
+    return 1
+
+
+def apply_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Rotate/flip decoded pixels to upright per the EXIF orientation
+    value (TIFF 6.0 / EXIF 2.3 table)."""
+    o = int(orientation)
+    if o == 2:
+        return px[:, ::-1]
+    if o == 3:
+        return px[::-1, ::-1]
+    if o == 4:
+        return px[::-1, :]
+    if o == 5:
+        return np.rot90(px, -1)[:, ::-1]
+    if o == 6:
+        return np.rot90(px, -1)
+    if o == 7:
+        return np.rot90(px, 1)[:, ::-1]
+    if o == 8:
+        return np.rot90(px, 1)
+    return px

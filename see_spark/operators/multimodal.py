@@ -246,6 +246,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_channels", T.IntegerType()),
         T.StructField("pixel_mean", T.DoubleType()),
         T.StructField("pixel_std", T.DoubleType()),
+        T.StructField("orientation", T.IntegerType()),
         T.StructField("decode_error", T.StringType()),
     ]
 )
@@ -254,30 +255,42 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def image_features(media: DataFrame) -> DataFrame:
     """REAL image feature extraction — no fake: every payload decodes
     through a stdlib codec (PNG via ``core.png.decode_png``, GIF via
-    ``core.gif.decode_gif``, sniffed by signature) inside mapInPandas; rows whose container fails to parse (or uses a PNG
-    feature outside the supported subset) carry the error instead of
-    killing the job. Same plumbing contract as ``audio_features``: column
+    ``core.gif.decode_gif``, JPEG via ``core.jpeg.decode_jpeg``, sniffed
+    by signature) inside mapInPandas; rows whose container fails to
+    parse (or uses a feature outside the supported subset) carry the
+    error instead of killing the job. JPEG rows also report the EXIF
+    orientation tag (1 when absent) and ``width``/``height`` are the
+    UPRIGHT display dimensions — swapped for orientations 5-8 — so
+    downstream aspect-ratio filters see what a browser renders, not the
+    sensor layout. Same plumbing contract as ``audio_features``: column
     pruning keeps the payload out of upstream scans, Arrow batch size
     bounds peak memory, one Python worker per task."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from see_spark.core.jpeg import exif_orientation
+
         cols = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
         for batch in batches:
             rows = []
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                data = bytes(payload or b"")
                 try:
-                    px = _decode_image(bytes(payload or b""))
+                    px = _decode_image(data)
                 except Exception as exc:
                     rows.append(
-                        (media_id, None, None, None, None, None,
+                        (media_id, None, None, None, None, None, None,
                          f"{type(exc).__name__}: {exc}")
                     )
                     continue
                 h, w, ch = px.shape
+                orient = exif_orientation(data) if data[:2] == b"\xff\xd8" else 1
+                if orient >= 5:  # 90-degree family: display dims swap
+                    w, h = h, w
                 flat = px.astype("float64")
                 rows.append(
                     (media_id, int(w), int(h), int(ch),
-                     float(flat.mean()), float(flat.std()), None)
+                     float(flat.mean()), float(flat.std()), int(orient),
+                     None)
                 )
             yield pd.DataFrame(rows, columns=cols)
 

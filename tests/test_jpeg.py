@@ -166,3 +166,62 @@ def test_huffman_lut_is_cached_across_decodes():
     assert _HuffTable(counts, bytes(range(12))) is _HuffTable(
         counts, bytes(range(12))
     )
+
+
+def _with_exif(jpeg: bytes, orientation: int, endian: str = "II") -> bytes:
+    import struct
+
+    e = "<" if endian == "II" else ">"
+    ifd = (
+        struct.pack(e + "H", 1)
+        + struct.pack(e + "HHIHH", 0x0112, 3, 1, orientation, 0)
+        + struct.pack(e + "I", 0)
+    )
+    tiff = (
+        (b"II" if endian == "II" else b"MM")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", 8)
+        + ifd
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def test_exif_orientation_parse_and_apply():
+    from see_spark.core.jpeg import apply_orientation, exif_orientation
+
+    img = np.arange(8 * 16 * 3, dtype=np.uint8).reshape(8, 16, 3)
+    base = encode_jpeg(img, quality=95)
+    assert exif_orientation(base) == 1
+    for endian in ("II", "MM"):
+        for o in (2, 3, 6, 8):
+            assert exif_orientation(_with_exif(base, o, endian)) == o
+    # rotations compose back: 6 (90 CW) then 8 (90 CCW) is identity
+    px = decode_jpeg(base)
+    assert np.array_equal(
+        apply_orientation(apply_orientation(px, 6), 8), px
+    )
+    # 90-degree family transposes display dims
+    assert apply_orientation(px, 6).shape[:2] == (16, 8)
+    # malformed EXIF: never throws, defaults upright
+    assert exif_orientation(b"\xff\xd8\xff\xe1\x00\x04ZZ") == 1
+    assert exif_orientation(_with_exif(base, 99)) == 1
+
+
+def test_image_features_reports_exif_orientation(spark):
+    from see_spark.operators.multimodal import image_features
+
+    img = np.full((8, 16, 3), [50, 100, 150], np.uint8)
+    plain = encode_jpeg(img, quality=95)
+    rotated = _with_exif(plain, 6)
+    media = spark.createDataFrame(
+        [("plain", plain), ("rot", rotated)],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_features(media).collect()}
+    assert rows["plain"]["orientation"] == 1
+    assert (rows["plain"]["width"], rows["plain"]["height"]) == (16, 8)
+    assert rows["rot"]["orientation"] == 6
+    # upright display dims: swapped for the 90-degree family
+    assert (rows["rot"]["width"], rows["rot"]["height"]) == (8, 16)
