@@ -43,7 +43,19 @@ def decode_avi(payload: bytes, frame_indices=None):
     (h, w, ch) arrays — every frame, or only ``frame_indices`` (sorted
     unique ints) when given (the frame-sampling path: undecoded frames
     cost only the chunk walk). ``meta`` carries n_frames / fps / fourcc.
-    ValueError for non-AVI RIFF, non-MJPEG fourcc, or corrupt frames."""
+    ValueError for non-AVI RIFF, non-MJPEG fourcc, or corrupt frames —
+    including any low-level unpack/slice error from corrupt chunk
+    headers, re-raised as ValueError so callers can filter on one type
+    (same contract as ``core.jpeg.decode_jpeg``)."""
+    try:
+        return _decode_avi_impl(payload, frame_indices)
+    except ValueError:
+        raise
+    except (struct.error, KeyError, IndexError) as e:
+        raise ValueError(f"corrupt AVI ({type(e).__name__}: {e})") from e
+
+
+def _decode_avi_impl(payload: bytes, frame_indices=None):
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI (missing RIFF/AVI signature)")
     want = None
@@ -51,8 +63,10 @@ def decode_avi(payload: bytes, frame_indices=None):
         want = set(int(i) for i in frame_indices)
 
     fourcc_video = None
+    video_stream = None  # two-ASCII-digit stream id of the vids strl
     rate = scale = None
     movi_runs = []
+    strl_no = 0
     # top-level walk: LIST hdrl (stream headers), LIST movi (frame data)
     for tag, start, size in _chunks(payload, 12, len(payload)):
         if tag != b"LIST":
@@ -63,10 +77,19 @@ def decode_avi(payload: bytes, frame_indices=None):
                 if t2 == b"LIST" and payload[s2:s2 + 4] == b"strl":
                     for t3, s3, z3 in _chunks(payload, s2 + 4, s2 + z2):
                         if t3 == b"strh" and payload[s3:s3 + 4] == b"vids":
+                            if video_stream is not None:
+                                # two video streams: interleaving both
+                                # into one frame sequence would be
+                                # silently wrong — out of scope, raise
+                                raise ValueError(
+                                    "multiple video streams unsupported"
+                                )
                             fourcc_video = payload[s3 + 4:s3 + 8]
+                            video_stream = b"%02d" % strl_no
                             scale, rate = struct.unpack(
                                 "<II", payload[s3 + 20:s3 + 28]
                             )
+                    strl_no += 1
         elif list_type == b"movi":
             movi_runs.append((start + 4, start + size))
 
@@ -84,9 +107,11 @@ def decode_avi(payload: bytes, frame_indices=None):
     n_seen = 0
     for mstart, mend in movi_runs:
         for tag, start, size in _chunks(payload, mstart, mend):
-            # '##dc' compressed / '##db' uncompressed video chunks; skip
-            # audio ('##wb') and index chunks
-            if tag[2:4] not in (b"dc", b"db"):
+            # '##dc' compressed / '##db' uncompressed video chunks OF
+            # THE vids STREAM only (an audio-first file's '01dc' chunks
+            # must not decode as frames); skip audio ('##wb') and index
+            # chunks
+            if tag[2:4] not in (b"dc", b"db") or tag[:2] != video_stream:
                 continue
             if want is None or n_seen in want:
                 frames.append(decode_jpeg(payload[start:start + size]))

@@ -33,6 +33,14 @@ import struct
 
 import numpy as np
 
+# Decode-bomb guard (the same idea — and default bound — as Pillow's
+# Image.MAX_IMAGE_PIXELS): refuse SOF dimensions whose pixel count
+# exceeds this before allocating planes. A corrupt/adversarial 2-byte
+# header can otherwise make one row of a 100-TB media scan allocate
+# ~12 GB inside a Python worker. Module-level so a deployment that
+# really ingests larger stills can raise it deliberately.
+MAX_IMAGE_PIXELS = 89_478_485
+
 # Inverse-zigzag: ZIGZAG[i] = block index (row*8+col) of the i-th
 # coefficient in transmission order (T.81 Figure A.6).
 ZIGZAG = [
@@ -128,9 +136,13 @@ def _split_entropy(data: bytes, pos: int) -> tuple:
 
 
 class _BitReader:
-    """MSB-first reader over ONE destuffed entropy chunk. Runs off the
-    end (truncated stream) surface as a bounded 1-bit pad followed by a
-    zero-length Huffman hit -> ValueError."""
+    """MSB-first reader over ONE destuffed entropy chunk. The 16-bit
+    Huffman peek legitimately reads up to 2 bytes past the end of a
+    valid stream, so running out pads with 0x00 (libjpeg's fill-bit
+    convention) — but the moment a pad bit is actually CONSUMED (not
+    just peeked) the stream is truncated and ValueError is raised:
+    0x00/0xFF pads can both decode as valid canonical Huffman symbols,
+    so silently decoding them would fabricate trailing pixels."""
 
     __slots__ = ("data", "n", "pos", "acc", "bits", "padded")
 
@@ -151,9 +163,15 @@ class _BitReader:
                 if self.padded > 4:
                     raise ValueError("truncated entropy stream")
                 self.padded += 1
-                b = 0xFF
+                b = 0x00
             self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFFFF
             self.bits += 8
+
+    def _check_consumed(self):
+        # loaded bits minus still-buffered bits = consumed bits; eating
+        # into the pad region means the real stream ended mid-symbol
+        if (self.pos + self.padded) * 8 - self.bits > self.n * 8:
+            raise ValueError("truncated entropy stream")
 
     def decode_symbol(self, table: _HuffTable) -> int:
         self._need(16)
@@ -162,6 +180,8 @@ class _BitReader:
         if length == 0:
             raise ValueError("invalid Huffman code")
         self.bits -= length
+        if self.padded:
+            self._check_consumed()
         return table.sym[w]
 
     def receive(self, k: int) -> int:
@@ -169,6 +189,8 @@ class _BitReader:
             return 0
         self._need(k)
         self.bits -= k
+        if self.padded:
+            self._check_consumed()
         return (self.acc >> self.bits) & ((1 << k) - 1)
 
 
@@ -185,7 +207,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes -> uint8 (h, w, ch) array, ch 1 (gray) or 3 (RGB).
     Baseline sequential (SOF0/1) and progressive (SOF2: spectral
     selection + successive approximation, T.81 Annex G) both decode;
-    ValueError for anything else (arithmetic, lossless, 12-bit)."""
+    ValueError for anything else (arithmetic, lossless, 12-bit) AND for
+    any malformed/truncated input — low-level unpack/lookup errors from
+    corrupt segments (truncated DQT, SOS naming an undefined table id,
+    …) are re-raised as ValueError so callers can filter on one type."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except ValueError:
+        raise
+    except (struct.error, KeyError, IndexError) as e:
+        raise ValueError(
+            f"corrupt JPEG ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict = {}
@@ -242,6 +278,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError(f"{precision}-bit precision unsupported")
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component JPEG unsupported")
+            if height == 0 or width == 0:
+                raise ValueError("zero image dimension")
+            if height * width > MAX_IMAGE_PIXELS:
+                # decode-bomb guard (same idea as Pillow's
+                # Image.MAX_IMAGE_PIXELS): a 2-byte flip in a corrupt
+                # SOF can claim 65535x65535 and a naive decoder would
+                # allocate gigabytes inside the executor's Python
+                # worker before any entropy data is even read
+                raise ValueError(
+                    f"image {width}x{height} exceeds MAX_IMAGE_PIXELS "
+                    f"({MAX_IMAGE_PIXELS}) decode-bomb guard"
+                )
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]

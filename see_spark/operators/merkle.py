@@ -28,8 +28,14 @@ from pyspark.sql import functions as F
 # both the tree and table_diff. String columns CAN legitimately contain
 # NUL bytes (raw crawl text), so the sentinel alone is not collision-free
 # — every \x00 in a real value is first escaped to \x00\x01, after which
-# the unescaped sentinel \x00N cannot equal any rendered value. The
-# escape-then-sentinel rendering is injective per column.
+# the unescaped sentinel \x00N cannot equal any rendered value. Values
+# can ALSO contain the \x1f column separator, so after the NUL pass each
+# literal \x1f is escaped to \x00\x02 (the escape lead-in \x00 never
+# survives unescaped, so the rendered value cannot contain a bare \x1f):
+# without this, rows ('a\x1fb','c') and ('a','b\x1fc') would render
+# identically and a change that moves a \x1f across a column boundary
+# would be invisible to the tree. The escape-then-sentinel rendering is
+# injective over the full row, not just per column.
 _NULL_SENTINEL = "\x00N"
 
 
@@ -40,9 +46,13 @@ def _row_render(cols: list):
         *[
             F.coalesce(
                 F.replace(
-                    F.col(c).cast("string"),
-                    F.lit("\x00"),
-                    F.lit("\x00\x01"),
+                    F.replace(
+                        F.col(c).cast("string"),
+                        F.lit("\x00"),
+                        F.lit("\x00\x01"),
+                    ),
+                    F.lit("\x1f"),
+                    F.lit("\x00\x02"),
                 ),
                 F.lit(_NULL_SENTINEL),
             )
