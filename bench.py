@@ -345,11 +345,20 @@ def main():
         "tpch_pricing_summary",
     ]
     query_secs = {}
+    query_all_secs = {}
     for name in headline:
         fn = all_queries[name]
-        # count() forces full execution without driver-side row transfer
-        sec, _ = _timed(lambda: fn(spark, sf_dir).count())
-        query_secs[name] = round(sec, 3)
+        # count() forces full execution without driver-side row transfer.
+        # Best-of _reps() like the throughput legs: a single-run timing
+        # cannot tell one GC pause or co-tenant blip from a real plan
+        # regression (r4's tokenize_postings 1.59->3.21 s scare was
+        # exactly that — the r5 best-of re-measure put it back in line).
+        runs = [
+            _timed(lambda: fn(spark, sf_dir).count())[0]
+            for _ in range(_reps())
+        ]
+        query_secs[name] = round(min(runs), 3)
+        query_all_secs[name] = [round(s, 3) for s in runs]
 
     index = None
     if not skip_queries:
@@ -369,6 +378,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": query_secs,
+        # every rep behind each best-of number, for regression triage
+        "query_all_secs": query_all_secs,
         "sf": sf,
         "cpus": cpus,
         "throughput": {
