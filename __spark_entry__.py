@@ -1143,7 +1143,12 @@ def _q_link_degree_stats(spark, sf_dir):
 def _q_bm25_search(spark, sf_dir):
     """Engine addition: BM25 ranking over the same postings contract as
     tfidf_search (operators/search.py:search_bm25). Score rounded to 6dp
-    (ln is the one non-exact op, same rule as the tfidf oracle)."""
+    (ln is the one non-exact op, same rule as the tfidf oracle). avgdl
+    comes through the materialized corpus_stats path (here built in one
+    shot from the whole corpus = the sum of run_round's per-round
+    deltas), so the gated read path is the production plan: no postings
+    aggregate at query time."""
+    from see_spark.operators.indexer import corpus_stats_increment
     from see_spark.operators.search import search_bm25
 
     docs = _documents(spark, sf_dir)
@@ -1154,6 +1159,7 @@ def _q_bm25_search(spark, sf_dir):
         postings,
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.col("source").alias("title")),
         docs.count(),
+        corpus_stats=corpus_stats_increment(postings),
         round_dp=6,
     )
     return res.select(F.col("url").alias("doc_id"), "title", "score")
@@ -9553,16 +9559,28 @@ def _q_search_bm25f(spark, sf_dir):
         .over(Window.partitionBy("doc_id"))
         .cast("long"),
     )
+    from see_spark.operators.indexer import corpus_stats_increment
+
+    body_postings = _doc_postings(spark, sf_dir)
+    # per-field stats via the materialized corpus_stats path (the whole
+    # corpus as one delta): query time never aggregates either postings
+    # table for avg lengths
+    stats = corpus_stats_increment(body_postings).unionByName(
+        corpus_stats_increment(
+            title_postings, field="title", len_col="title_len"
+        )
+    )
     res = search_bm25f(
         spark,
         " ".join(_SEARCH_WORDS),
-        _doc_postings(spark, sf_dir),
+        body_postings,
         title_postings,
         docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("source").alias("title"),
         ),
         docs.count(),
+        corpus_stats=stats,
     )
     return res.select(F.col("url").alias("doc_id"), "title", "score")
 

@@ -233,8 +233,14 @@ def make_handler(spark, catalog, domain_filter=None, k=100):
                     # no query param -> empty results (see_web.erl:39-40)
                     if query is None:
                         return self._json({"results": []})
+                    # ?rank=bm25 opts into BM25 scoring (avgdl from the
+                    # materialized corpus_stats table); default stays the
+                    # reference's tf-idf wire behavior
+                    rank = qs.get("rank", ["tfidf"])[0]
                     with lock:
-                        results = search_results(spark, catalog, query, k=k)
+                        results = search_results(
+                            spark, catalog, query, k=k, rank=rank
+                        )
                     return self._json({"results": results})
                 self.send_error(404, "Not Found")
             except Exception:  # see_web.erl:24-30

@@ -1109,6 +1109,20 @@ def run_round(
                 F.sum("df").alias("df")
             ),
         )
+        # corpus-length scalars (avgdl for BM25-family ranking): same
+        # append-only delta pattern — the read path sums O(rounds) rows
+        # instead of ever aggregating the postings table per query
+        catalog.commit_delta(
+            "corpus_stats",
+            appended=indexer.corpus_stats_increment(
+                fresh_postings
+            ).unionByName(indexer.title_stats_increment(index_docs)),
+            meta={"round": round_no},
+            compact_agg=lambda df: df.groupBy("field").agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_len").alias("sum_len"),
+            ),
+        )
 
     def _commit_host_quality():
         if not config.reputation_gate:

@@ -66,6 +66,55 @@ def word_stats_increment(fresh_postings: DataFrame) -> DataFrame:
     return fresh_postings.groupBy("word").agg(F.count("*").alias("df"))
 
 
+def corpus_stats_increment(
+    fresh_postings: DataFrame, field: str = "body", len_col: str = "doc_len"
+) -> DataFrame:
+    """Per-round corpus-length delta for the materialized corpus_stats
+    table: one row ``(field, n_docs, sum_len)`` per field per round.
+
+    BM25-family scorers need per-corpus scalars (avgdl, per-field average
+    lengths). Deriving them at query time means a full-postings
+    distinct+avg on the READ path — at 100 TB that is a corpus scan per
+    query. Instead the same append-only delta pattern as ``word_stats``:
+    each round aggregates only ITS fresh postings (every doc indexed
+    exactly once — URL-seen blocks re-enqueue), and the read path sums
+    O(rounds) delta rows:  avg field length = Σ sum_len / Σ n_docs,
+    exactly the postings-wide average. Map-side combinable to one row.
+    """
+    per_doc = (
+        fresh_postings.select("doc_id", len_col)
+        .groupBy("doc_id")
+        .agg(F.first(len_col).alias("__len"))
+    )
+    return per_doc.agg(
+        F.count("*").alias("__n"), F.sum("__len").alias("__s")
+    ).select(
+        F.lit(field).alias("field"),
+        F.col("__n").cast("long").alias("n_docs"),
+        F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("sum_len"),
+    )
+
+
+def title_stats_increment(index_docs: DataFrame) -> DataFrame:
+    """Title-field corpus-length delta, same ``(field, n_docs, sum_len)``
+    shape: token counts of this round's titles via the same Catalyst
+    tokenizer the title-postings serving path uses, counting only docs
+    whose title tokenizes to >= 1 word (exactly the docs that appear in
+    title postings, so Σ/Σ equals the title-postings distinct-doc avg)."""
+    lens = (
+        index_docs.filter(F.col("title").isNotNull())
+        .select(F.size(tokenize_expr(F.col("title"))).alias("__len"))
+        .filter(F.col("__len") > 0)
+    )
+    return lens.agg(
+        F.count("*").alias("__n"), F.sum("__len").alias("__s")
+    ).select(
+        F.lit("title").alias("field"),
+        F.col("__n").cast("long").alias("n_docs"),
+        F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("sum_len"),
+    )
+
+
 def word_stats_reindex_delta(
     old_postings: DataFrame, new_postings: DataFrame
 ) -> DataFrame:

@@ -402,6 +402,23 @@ def search_fielded(
     )
 
 
+def corpus_avg_len(corpus_stats: DataFrame, field: str = "body"):
+    """Scalar average field length from the materialized corpus_stats
+    delta table (``indexer.corpus_stats_increment`` /
+    ``title_stats_increment`` rows: (field, n_docs, sum_len) per round).
+    Sums O(rounds) tiny delta rows — NEVER the postings table; this is
+    the read-path replacement for the per-query postings-wide
+    distinct+avg. Returns None when the field has no docs yet."""
+    row = (
+        corpus_stats.filter(F.col("field") == field)
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_len").alias("s"))
+        .collect()[0]
+    )
+    if not row["n"]:
+        return None
+    return row["s"] / row["n"]
+
+
 def search_bm25(
     spark: SparkSession,
     query: str,
@@ -412,6 +429,7 @@ def search_bm25(
     k1: float = 1.2,
     b: float = 0.75,
     avgdl: float = None,
+    corpus_stats: DataFrame = None,
     round_dp: int = 9,
 ) -> DataFrame:
     """BM25 ranking over the same postings/docs contract as ``search``
@@ -425,10 +443,14 @@ def search_bm25(
     Identical scale shape to ``search``: broadcast query dict, semi-joined
     df aggregate (never the full postings table), one doc_id shuffle,
     TakeOrderedAndProject top-k, post-k-cut title join. ``avgdl`` is a
-    per-corpus scalar; pass the materialized value in production (it is
-    one more word_stats-style aggregate), else it is computed here with a
-    single distinct-doc aggregate. Scores rounded to ``round_dp`` so
-    output is identical across parallelism (double summation order).
+    per-corpus scalar, resolved in priority order: the explicit value,
+    then ``corpus_stats`` (the materialized per-round delta table
+    run_round commits — sums O(rounds) rows, the production path), and
+    only as a last resort a distinct-doc aggregate over ``postings``
+    (acceptable for ad-hoc/oracle use; at corpus scale it is a full
+    postings scan per query, which is why the stats table exists).
+    Scores rounded to ``round_dp`` so output is identical across
+    parallelism (double summation order).
     """
     words = extract_words(query)
     if not words:
@@ -454,6 +476,8 @@ def search_bm25(
         .select("__q.word", "__q.qcount")
     )
     n_distinct = len(counts)
+    if avgdl is None and corpus_stats is not None:
+        avgdl = corpus_avg_len(corpus_stats, "body")
     if avgdl is None:
         avgdl = (
             postings.select("doc_id", "doc_len")
@@ -993,6 +1017,7 @@ def search_bm25f(
     b_title: float = 0.6,
     w_body: float = 1.0,
     w_title: float = 3.0,
+    corpus_stats: DataFrame = None,
     round_dp: int = 6,
 ) -> DataFrame:
     """BM25F (Robertson, Zaragoza & Taylor, CIKM 2004 "Simple BM25
@@ -1016,8 +1041,11 @@ def search_bm25f(
     ``title_postings`` (doc_id, word, term_count, title_len) — field
     lengths ride the postings rows exactly like the body's ``doc_len``
     (precomputed at index time; see indexer.py, reference tf analogue
-    see_rank_tfidf.erl). Per-field average lengths are one distinct-doc
-    aggregate each.
+    see_rank_tfidf.erl). Per-field average lengths come from
+    ``corpus_stats`` when given (the materialized delta table — the
+    production path, O(rounds) rows); the fallback is one distinct-doc
+    aggregate per field over the posting tables (ad-hoc/oracle use only
+    — a per-query corpus scan at scale).
 
     Plan shape: each field semi-joins the broadcast query words, the two
     relations UNION into one (doc_id, word)-grouped combine (the per-pair
@@ -1038,14 +1066,20 @@ def search_bm25f(
     body = body_postings.join(qdf.select("word"), "word", "left_semi")
     title = title_postings.join(qdf.select("word"), "word", "left_semi")
 
-    avg_body = (
-        body_postings.select("doc_id", "doc_len").distinct()
-        .agg(F.avg("doc_len")).collect()[0][0]
-    )
-    avg_title = (
-        title_postings.select("doc_id", "title_len").distinct()
-        .agg(F.avg("title_len")).collect()[0][0]
-    )
+    avg_body = avg_title = None
+    if corpus_stats is not None:
+        avg_body = corpus_avg_len(corpus_stats, "body")
+        avg_title = corpus_avg_len(corpus_stats, "title")
+    if avg_body is None:
+        avg_body = (
+            body_postings.select("doc_id", "doc_len").distinct()
+            .agg(F.avg("doc_len")).collect()[0][0]
+        )
+    if avg_title is None:
+        avg_title = (
+            title_postings.select("doc_id", "title_len").distinct()
+            .agg(F.avg("title_len")).collect()[0][0]
+        )
 
     def _field(rel, len_col, avg_len, b_f, w_f):
         norm = (

@@ -51,6 +51,7 @@ def search_results(
     query: str,
     k: int = 100,
     with_score: bool = False,
+    rank: str = "tfidf",
 ) -> list:
     """Top-k results for a query over the catalog's current snapshot.
 
@@ -59,7 +60,12 @@ def search_results(
     (core/queryparse.py: phrases, -exclusions, title: boosts, ~fuzzy)
     routes to operators/search.search_query, with the title field from
     the crawled titles and phrase positions from the indexed span text —
-    the same kernels the index was built with."""
+    the same kernels the index was built with.
+
+    ``rank="bm25"`` scores plain-word queries with BM25 instead of the
+    reference's tf-idf; avgdl comes from the materialized corpus_stats
+    delta table run_round maintains (read path never aggregates
+    postings for corpus scalars — see indexer.corpus_stats_increment)."""
     postings = catalog.read("postings")
     docs = catalog.read("docs")
     word_stats = (
@@ -69,7 +75,23 @@ def search_results(
     )
     page_count = catalog.read("frontier").count()
     parsed = parse_query(query)
-    if parsed["phrases"] or parsed["title"] or parsed["exclude"] or parsed["fuzzy"]:
+    if rank == "bm25" and not (
+        parsed["phrases"] or parsed["title"] or parsed["exclude"] or parsed["fuzzy"]
+    ):
+        from .operators.search import search_bm25
+
+        corpus_stats = (
+            catalog.read("corpus_stats")
+            if catalog.current_snapshot("corpus_stats") is not None
+            else None
+        )
+        rows = search_bm25(
+            spark, query,
+            postings,
+            docs.select("doc_id", "title"),
+            page_count, k=k, corpus_stats=corpus_stats,
+        ).collect()
+    elif parsed["phrases"] or parsed["title"] or parsed["exclude"] or parsed["fuzzy"]:
         from .functions.udfs import tokens_from_spans
 
         rows = search_query(

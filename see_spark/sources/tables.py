@@ -155,6 +155,19 @@ HOST_QUALITY_SCHEMA = T.StructType(
     ]
 )
 
+# Corpus-length scalars for BM25-family ranking (avgdl, per-field
+# average lengths): append-only (field, n_docs, sum_len) increments per
+# round — the read path sums O(rounds) rows (search.corpus_avg_len), so
+# no query ever aggregates the postings table for corpus stats. Same
+# decomposable-sum compaction idiom as word_stats/host_quality.
+CORPUS_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("sum_len", T.LongType(), False),
+    ]
+)
+
 CANONICAL_ALIASES_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -168,6 +181,7 @@ SCHEMAS = {
     "docs": DOCS_SCHEMA,
     "postings": POSTINGS_SCHEMA,
     "word_stats": WORD_STATS_SCHEMA,
+    "corpus_stats": CORPUS_STATS_SCHEMA,
     "hoststats": HOSTSTATS_SCHEMA,
     "host_quality": HOST_QUALITY_SCHEMA,
     "robots": ROBOTS_SCHEMA,
@@ -214,6 +228,7 @@ def iceberg_ddl(catalog: str = "crawl", db: str = "see") -> dict:
             USING iceberg
             PARTITIONED BY (bucket(512, word))
         """,
+        "corpus_stats": f"CREATE TABLE {q}.corpus_stats (field string, n_docs bigint, sum_len bigint) USING iceberg",
         "hoststats": f"CREATE TABLE {q}.hoststats (host string, last_fetch_round int, fetched_total bigint) USING iceberg",
         "host_quality": f"CREATE TABLE {q}.host_quality (host string, n_docs bigint, sum_q_milli bigint) USING iceberg",
         "robots": f"CREATE TABLE {q}.robots (host string, disallow array<string>, fetched_in_round int) USING iceberg",
