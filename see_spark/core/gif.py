@@ -4,12 +4,14 @@ A second REAL image decode path for the multimodal pipeline (beside
 core/png.py): GIF87a/89a with full LZW decompression implemented from
 the spec (GIF89a specification Appendix F; variable 3..12-bit codes,
 LSB-first packing, Clear/EOI codes, the KwKwK code==next case). Scope
-is an honest subset of real-world GIFs: non-interlaced, first image
+is an honest subset of real-world GIFs: interlaced or not, first image
 frame, global or local color table; extensions (graphic control,
-comment, application) are walked and skipped. Out-of-subset features
-(interlace) raise ValueError with the reason — at 100 TB those rows
-route to the decode_error column, they don't kill the job (same
-contract as decode_png / decode_wav).
+comment, application) are walked and skipped. Interlaced frames store
+rows in the spec's four-pass order (rows 0,8,16..., then 4,12..., then
+2,6,10..., then odd rows — GIF89a §20 appendix E) and are reordered
+after LZW. Out-of-subset features raise ValueError with the reason — at
+100 TB those rows route to the decode_error column, they don't kill the
+job (same contract as decode_png / decode_wav).
 
 ``decode_gif`` returns an (h, w, 3) uint8 RGB array via palette lookup.
 
@@ -104,6 +106,16 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
     raise ValueError("bitstream ended before EOI")
 
 
+def _interlace_order(h: int) -> np.ndarray:
+    """Display-row index of each STORED row under GIF's four-pass
+    interlace (GIF89a appendix E): rows 0,8,16..., then 4,12,20...,
+    then 2,6,10... (step 4), then 1,3,5... (step 2)."""
+    return np.array(
+        [*range(0, h, 8), *range(4, h, 8), *range(2, h, 4), *range(1, h, 2)],
+        dtype=np.int64,
+    )
+
+
 def decode_gif(payload: bytes) -> np.ndarray:
     data = bytes(payload)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -127,8 +139,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("truncated image descriptor")
         _, _, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF not supported")
+        interlaced = bool(ipacked & 0x40)
         local_table, pos = _color_table(data, pos, ipacked)
         table = local_table if local_table is not None else global_table
         if table is None:
@@ -143,19 +154,31 @@ def decode_gif(payload: bytes) -> np.ndarray:
         )
         if int(idx.max(initial=0)) >= table.shape[0]:
             raise ValueError("pixel index beyond color table")
-        return table[idx].reshape(h, w, 3)
+        rows = idx.reshape(h, w)
+        if interlaced:
+            # stored row i is display row order[i]: scatter back
+            display = np.empty_like(rows)
+            display[_interlace_order(h)] = rows
+            rows = display
+        return table[rows.reshape(-1)].reshape(h, w, 3)
     raise ValueError("no image block before trailer")
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
     """(h, w) uint8 index array + (n, 3) palette -> GIF89a bytes.
 
     Literal-code LZW: each pixel is emitted as its own code, with a
     Clear emitted whenever the decoder's next table entry would force a
-    width change, so the stream stays at min_code_size+1 bits/code."""
+    width change, so the stream stays at min_code_size+1 bits/code.
+    ``interlace=True`` stores rows in the four-pass order (and sets the
+    descriptor flag) so interlaced fixtures have exact plain twins."""
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     h, w = idx.shape
+    if interlace:
+        idx = idx[_interlace_order(h)]
     n = pal.shape[0]
     bits = max(2, (n - 1).bit_length())
     if n > 256 or pal.shape[1] != 3:
@@ -195,7 +218,9 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     out += b"GIF89a"
     out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
     out += pal_bytes
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
     out.append(bits)
     for i in range(0, len(stream), 255):
         chunk = stream[i : i + 255]

@@ -73,12 +73,21 @@ def test_extension_blocks_are_skipped():
     )
 
 
-def test_interlaced_rejected():
-    g = bytearray(encode_gif(_rng_indices(4, 4, 4), _rng_palette(4)))
+def test_interlace_flag_reorders_rows():
+    """Setting the interlace bit on a NON-reordered stream must change
+    which display rows the stored rows land on (i.e. the flag is honored,
+    not ignored) — full interlace roundtrips live in test_interlace.py."""
+    idx = _rng_indices(8, 4, 4)
+    plain = decode_gif(encode_gif(idx, _rng_palette(4)))
+    g = bytearray(encode_gif(idx, _rng_palette(4)))
     # image descriptor packed byte: header(6)+LSD(7)+palette(12)+0x2C+8
     g[6 + 7 + 12 + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_gif(bytes(g))
+    flagged = decode_gif(bytes(g))
+    assert flagged.shape == plain.shape
+    assert not np.array_equal(flagged, plain)
+    # stored row 1 is display row 8//... : under 8-row interlace the
+    # second stored row (display row 8 absent at h=8 -> pass 2 row 4)
+    assert np.array_equal(flagged[4], plain[1])
 
 
 @pytest.mark.parametrize(
