@@ -282,27 +282,46 @@ def checkout(
         eligible = eligible.withColumn(
             "__budget", F.lit(int(host_budget)).cast("int")
         )
+    # Slim-key two-phase top-k: both windows shuffle ONLY the ranking
+    # key (host, depth, seq) plus two small ints — never the full row.
+    # Full rows (url/detail strings dominate the bytes) made the
+    # checkout leg shuffle-bandwidth-bound: at 2->8 cores / 10x input it
+    # tracked the host's memory-bandwidth ceiling 1:1 (BENCH
+    # ATTRIBUTION_r4). The surviving keys re-join the full rows post-cut
+    # on `seq` (the frontier's unique row key — with_dense_sequence /
+    # next_seq stamping) as a BROADCAST hash join: the cut is Σ per-host
+    # budgets = the round's fetch batch, which the politeness design
+    # already bounds to what the fetch layer can do in a round.
     salt_buckets = 16
+    slim = eligible.select(
+        "host",
+        "depth",
+        "seq",
+        "__budget",
+        F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int").alias("__salt"),
+    )
     w1 = Window.partitionBy("host", "__salt").orderBy("depth", "seq")
     pre = (
-        eligible.withColumn(
-            "__salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int")
-        )
-        .withColumn("__r1", F.row_number().over(w1))
+        slim.withColumn("__r1", F.row_number().over(w1))
         .filter(F.col("__r1") <= F.col("__budget"))
         .drop("__salt", "__r1")
     )
     w = Window.partitionBy("host").orderBy("depth", "seq")
-    batch = (
+    cut = (
         pre.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= F.col("__budget"))
-        .drop("__rank", "__budget")
+        .select("depth", "seq")
     )
-    return with_dense_sequence(
-        batch.drop("fetch_order"), order_cols=["depth", "seq"],
-        out_col="fetch_order", start=0,
-    ).withColumn("checkout_round", F.lit(round_no).cast("int")).withColumn(
-        "state", F.lit(STATE_PENDING)
+    keys = with_dense_sequence(
+        cut, order_cols=["depth", "seq"], out_col="fetch_order", start=0
+    ).select("seq", "fetch_order")
+    cols = [c for c in eligible.columns if c not in ("__budget", "fetch_order")]
+    return (
+        eligible.select(*cols)
+        .join(F.broadcast(keys), "seq")
+        .select(*cols, "fetch_order")
+        .withColumn("checkout_round", F.lit(round_no).cast("int"))
+        .withColumn("state", F.lit(STATE_PENDING))
     )
 
 
