@@ -7,10 +7,15 @@ driver's order-insensitive value hash: floats must match bit-for-bit, so
 any cross-engine float divergence surfaces here first).
 
 Usage: python scripts/check_correctness.py [sf_dir] [query_name ...]
+       python scripts/check_correctness.py --json OUT.json [sf_dir] [...]
+
+``--json`` writes the per-query results (rows, status) to OUT.json —
+the per-round full-extras artifact (CORRECTNESS_EXTRA_r{N}.json).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -51,8 +56,14 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry
     from see_spark.session import get_spark
@@ -111,6 +122,27 @@ def main():
         print(f"PASS {name} ({len(srows)} rows)")
 
     print(f"\n{len(passes)} pass, {len(weak)} rows-only, {len(failures)} FAIL")
+    if json_out:
+        results = {}
+        for name in passes:
+            results[name] = {"status": "pass"}
+        for name, n in weak:
+            results[name] = {"status": "rows_only", "rows": n}
+        for name, err in failures:
+            results[name] = {"status": "FAIL", "err": err}
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": len(passes),
+                    "n_rows_only": len(weak),
+                    "n_fail": len(failures),
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     sys.exit(1 if failures else 0)
 
 
