@@ -5,17 +5,20 @@ PIL/ffmpeg-class libraries, but PNG is decodable from first principles
 with the standard library — chunk walk, IDAT inflate, per-scanline
 unfilter (the five filters of the PNG spec, RFC 2083 §6), and Adam7
 de-interlacing (RFC 2083 §2.6/§8.2: seven sub-images, each filtered
-independently, scattered on an 8x8 grid). Scope is the common subset a
-synthetic/test corpus needs and an honest subset of the web's PNGs:
-8-bit depth, grayscale / RGB / RGBA, interlace methods 0 and 1. Anything
-else raises ValueError with the reason — at 100 TB scale those rows route
-to a decode_error column, they don't kill the job (same contract as
-audio_features).
+independently, scattered on an 8x8 grid). Scope covers the shapes a real
+web corpus actually serves: all five color types (grayscale, RGB,
+PALETTE — the icon/logo workhorse — gray+alpha, RGBA), bit depths
+1/2/4/8 (sub-byte for grayscale and palette, MSB-first packed per RFC
+2083 §2.3), PLTE lookup, tRNS transparency (palette alpha table AND the
+single transparent color for gray/RGB), interlace methods 0 and 1, in
+any combination. 16-bit samples raise ValueError with the reason — at
+100 TB scale those rows route to a decode_error column, they don't kill
+the job (same contract as audio_features).
 
-The matching encoder exists so tests and fixtures can synthesize real
-PNGs deterministically without any external library; it can emit both
-interlace methods, so interlaced fixtures have byte-identical
-non-interlaced twins.
+The matching encoders exist so tests and fixtures can synthesize real
+PNGs deterministically without any external library (``encode_png`` for
+direct color, ``encode_png_palette`` for indexed, both interlace
+methods), so every exotic fixture has a byte-identical plain twin.
 """
 
 from __future__ import annotations
@@ -26,7 +29,12 @@ import zlib
 import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+# samples per pixel by color type: gray, RGB, palette index, gray+alpha,
+# RGBA (palette pixels are ONE sample — the index; PLTE expands later)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# bit depths each color type admits in this codec's scope (16-bit
+# samples are the one spec depth excluded — raise, never misdecode)
+_VALID_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
 
 # Adam7 pass grid (RFC 2083 §8.2): (x_start, x_step, y_start, y_step).
 # Pass k covers pixels (y_start + i*y_step, x_start + j*x_step); empty
@@ -42,30 +50,77 @@ _ADAM7 = [
 ]
 
 
-def encode_png(pixels: np.ndarray, interlace: int = 0) -> bytes:
-    """uint8 array (h, w) | (h, w, 1|3|4) -> PNG bytes (filter 0 rows).
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _pack_row(row: np.ndarray, depth: int) -> bytes:
+    """1-D sample values -> packed scanline bytes at ``depth`` bits per
+    sample, MSB-first, zero pad bits (RFC 2083 §2.3)."""
+    if depth == 8:
+        return row.tobytes()
+    bits = np.unpackbits(row[:, None], axis=1)[:, 8 - depth:].reshape(-1)
+    return np.packbits(bits).tobytes()
+
+
+def _serialize_rows(arr2d: np.ndarray, depth: int, interlace: int) -> bytes:
+    """Filter-0 scanline stream (plain or Adam7 pass order) over a
+    (h, w) sample plane — shared by all three encoders; multi-channel
+    callers pre-flatten channels into the row axis width."""
+    if interlace == 0:
+        return b"".join(
+            b"\x00" + _pack_row(arr2d[y], depth) for y in range(arr2d.shape[0])
+        )
+    parts = []
+    for x0, xs, y0, ys in _ADAM7:
+        sub = arr2d[y0::ys, x0::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for y in range(sub.shape[0]):
+            parts.append(b"\x00" + _pack_row(sub[y], depth))
+    return b"".join(parts)
+
+
+def encode_png(
+    pixels: np.ndarray, interlace: int = 0, transparent=None
+) -> bytes:
+    """uint8 array (h, w) | (h, w, 1|2|3|4) -> PNG bytes (filter 0 rows,
+    channel counts map to gray / gray+alpha / RGB / RGBA).
     ``interlace=1`` writes Adam7: each pass's sub-image serialized as its
-    own run of filtered scanlines, all passes in one zlib stream."""
+    own run of filtered scanlines, all passes in one zlib stream.
+    ``transparent``: tRNS color key — a gray value (1-channel) or an
+    (r, g, b) triple (3-channel)."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
-    color_type = {1: 0, 3: 2, 4: 6}.get(ch)
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
     if color_type is None:
         raise ValueError(f"unsupported channel count {ch}")
     if interlace not in (0, 1):
         raise ValueError(f"unsupported interlace method {interlace}")
 
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data)) + tag + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
-    if interlace == 0:
-        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    trns_chunk = b""
+    if transparent is not None:
+        if ch == 1:
+            trns_chunk = _chunk(b"tRNS", struct.pack(">H", int(transparent)))
+        elif ch == 3:
+            trns_chunk = _chunk(
+                b"tRNS", struct.pack(">HHH", *[int(v) for v in transparent])
+            )
+        else:
+            raise ValueError("transparent key invalid for alpha color types")
+    if ch == 1:
+        raw = _serialize_rows(px[:, :, 0], 8, interlace)
+    elif interlace == 0:
+        # channels fold into the row axis (pixel-major view)
+        raw = _serialize_rows(px.reshape(h, w * ch), 8, 0)
     else:
+        # Adam7 multi-channel: slice PIXELS per pass, then flatten
         parts = []
         for x0, xs, y0, ys in _ADAM7:
             sub = px[y0::ys, x0::xs]
@@ -76,9 +131,77 @@ def encode_png(pixels: np.ndarray, interlace: int = 0) -> bytes:
         raw = b"".join(parts)
     return (
         _SIGNATURE
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _chunk(b"IHDR", ihdr)
+        + trns_chunk
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns=None,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """(h, w) palette-index array + (n, 3) palette -> indexed PNG
+    (color type 3) at ``depth`` bits per index (1/2/4/8). ``trns``: a
+    sequence of per-entry alpha values (may be shorter than the
+    palette, per spec)."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > 256:
+        raise ValueError("palette must be (<=256, 3)")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad palette depth {depth}")
+    if int(idx.max(initial=0)) >= min(pal.shape[0], 1 << depth):
+        raise ValueError("index beyond palette/depth")
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, interlace)
+    trns_chunk = (
+        _chunk(b"tRNS", bytes(int(a) for a in trns)) if trns is not None else b""
+    )
+    raw = _serialize_rows(idx, depth, interlace)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + trns_chunk
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray(
+    samples: np.ndarray,
+    depth: int,
+    interlace: int = 0,
+    transparent=None,
+) -> bytes:
+    """(h, w) RAW gray sample array (values < 2^depth) -> grayscale PNG
+    at sub-byte ``depth`` (1/2/4) or 8. The decoder upscales sub-byte
+    samples by 255/(2^depth - 1); ``transparent`` is the raw sample
+    value for the tRNS color key."""
+    a = np.asarray(samples, dtype=np.uint8)
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad gray depth {depth}")
+    if int(a.max(initial=0)) >= (1 << depth):
+        raise ValueError("sample beyond depth range")
+    h, w = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, interlace)
+    trns_chunk = (
+        _chunk(b"tRNS", struct.pack(">H", int(transparent)))
+        if transparent is not None
+        else b""
+    )
+    raw = _serialize_rows(a, depth, interlace)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + trns_chunk
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
     )
 
 
@@ -90,12 +213,13 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _unfilter(raw: bytes, offset: int, h: int, w: int, ch: int) -> np.ndarray:
-    """Unfilter ``h`` scanlines of a (sub-)image starting at ``offset``
-    in the inflated stream; returns a (h, w*ch) uint8 array. The filter
-    state (prior scanline) is local to the sub-image — Adam7 passes
-    filter independently (RFC 2083 §8.2)."""
-    stride = w * ch
+def _unfilter(raw: bytes, offset: int, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Unfilter ``h`` scanlines of ``stride`` bytes each starting at
+    ``offset`` in the inflated stream; returns a (h, stride) uint8
+    array. ``bpp`` is the filter's left-neighbor distance in BYTES
+    (max(1, depth*samples//8), RFC 2083 §6.2 — sub-byte pixels filter at
+    one-byte distance). The filter state (prior scanline) is local to
+    the sub-image — Adam7 passes filter independently (§8.2)."""
     if len(raw) - offset < h * (stride + 1):
         raise ValueError("IDAT size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
@@ -114,13 +238,13 @@ def _unfilter(raw: bytes, offset: int, h: int, w: int, ch: int) -> np.ndarray:
             cur = row.copy()
             pv = prev.astype(np.int32)
             for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
+                left = cur[x - bpp] if x >= bpp else 0
                 if f == 1:
                     cur[x] = (row[x] + left) & 0xFF
                 elif f == 3:
                     cur[x] = (row[x] + ((left + pv[x]) >> 1)) & 0xFF
                 else:
-                    ul = pv[x - ch] if x >= ch else 0
+                    ul = pv[x - bpp] if x >= bpp else 0
                     cur[x] = (row[x] + _paeth(int(left), int(pv[x]), int(ul))) & 0xFF
         else:
             raise ValueError(f"unknown filter {f}")
@@ -129,13 +253,78 @@ def _unfilter(raw: bytes, offset: int, h: int, w: int, ch: int) -> np.ndarray:
     return out
 
 
+def _unpack_samples(
+    flt: np.ndarray, w: int, depth: int, spp: int
+) -> np.ndarray:
+    """(h, stride) unfiltered bytes -> (h, w*spp) sample values.
+    Sub-byte depths unpack MSB-first within each byte (RFC 2083 §2.3);
+    per-scanline pad bits past w*depth are discarded."""
+    if depth == 8:
+        return flt[:, : w * spp]
+    bits = np.unpackbits(flt, axis=1)[:, : w * depth]
+    vals = bits.reshape(flt.shape[0], w, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2, dtype=np.int32).astype(np.uint8)
+
+
+def _colorize(
+    samples: np.ndarray, h: int, w: int, color_type: int, depth: int,
+    plte, trns,
+) -> np.ndarray:
+    """(h, w*spp) raw sample values -> final (h, w, out_channels) pixels:
+    PLTE expansion (+ tRNS palette alpha), sub-byte gray upscaling
+    (255/(2^d - 1), exact integer for d in 1/2/4), and the tRNS
+    transparent-color key for gray/RGB."""
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette image missing PLTE")
+        idx = samples.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index beyond PLTE")
+        rgb = plte[idx]
+        if trns is not None:
+            # tRNS for type 3: alpha per palette entry, 255 past its end
+            alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+            alpha[: min(len(trns), plte.shape[0])] = np.frombuffer(
+                trns[: plte.shape[0]], dtype=np.uint8
+            )
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    spp = _CHANNELS[color_type]
+    key_mask = None
+    if trns is not None and color_type in (0, 2):
+        # tRNS single transparent color: 16-bit sample values at file
+        # depth (compare BEFORE gray upscaling)
+        vals = struct.unpack(f">{len(trns) // 2}H", trns)
+        px_raw = samples.reshape(h, w, spp)
+        if color_type == 0:
+            key_mask = px_raw[:, :, 0] == (vals[0] & ((1 << depth) - 1))
+        else:
+            key_mask = (
+                (px_raw[:, :, 0] == (vals[0] & 0xFF))
+                & (px_raw[:, :, 1] == (vals[1] & 0xFF))
+                & (px_raw[:, :, 2] == (vals[2] & 0xFF))
+            )
+    if depth < 8:  # gray upscale (type 0 only — other sub-byte is type 3)
+        samples = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    px = samples.reshape(h, w, spp)
+    if key_mask is not None:
+        alpha = np.where(key_mask, 0, 255).astype(np.uint8)
+        return np.dstack([px, alpha])
+    return px
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array (h, w, channels). Raises ValueError on
-    malformed input or a feature outside the supported subset
-    (non-8-bit depth, palette color, interlace methods beyond 0/1)."""
+    """PNG bytes -> uint8 array (h, w, channels). Output channels: 1
+    (gray), 2 (gray+alpha), 3 (RGB / palette), 4 (RGBA / palette+tRNS /
+    color-keyed gray+RGB). Raises ValueError on malformed input or a
+    feature outside the supported subset (16-bit samples, interlace
+    methods beyond 0/1)."""
     if payload[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat = 8, None, []
+    plte = None
+    trns = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
@@ -149,6 +338,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad CRC in {tag!r}")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = data
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
@@ -157,37 +352,55 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"unsupported bit depth {depth}")
+    spp = _CHANNELS.get(color_type)
+    if spp is None:
+        raise ValueError(f"unsupported color type {color_type}")
+    if depth not in _VALID_DEPTHS[color_type]:
+        raise ValueError(
+            f"unsupported bit depth {depth} for color type {color_type}"
+        )
     if interlace not in (0, 1):
         raise ValueError(f"unsupported interlace method {interlace}")
-    ch = _CHANNELS.get(color_type)
-    if ch is None:
-        raise ValueError(f"unsupported color type {color_type}")
     if w == 0 or h == 0:
         raise ValueError("zero image dimension")
+    if trns is not None:
+        if color_type in (4, 6):
+            raise ValueError("tRNS forbidden for alpha color types")
+        if color_type == 0 and len(trns) != 2:
+            raise ValueError("bad tRNS length for grayscale")
+        if color_type == 2 and len(trns) != 6:
+            raise ValueError("bad tRNS length for RGB")
 
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt IDAT stream ({e})") from e
-    if interlace == 0:
-        if len(raw) != h * (w * ch + 1):
-            raise ValueError("IDAT size mismatch")
-        return _unfilter(raw, 0, h, w, ch).reshape(h, w, ch)
+    bpp = max(1, depth * spp // 8)
 
-    # Adam7: seven independently-filtered sub-images, scattered back
-    # onto the 8x8 pixel grid
-    out = np.empty((h, w, ch), dtype=np.uint8)
-    offset = 0
-    for x0, xs, y0, ys in _ADAM7:
-        pw = (w - x0 + xs - 1) // xs
-        ph = (h - y0 + ys - 1) // ys
-        if pw == 0 or ph == 0:
-            continue
-        sub = _unfilter(raw, offset, ph, pw, ch)
-        offset += ph * (pw * ch + 1)
-        out[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
-    if offset != len(raw):
-        raise ValueError("IDAT size mismatch")
-    return out
+    def _stride(width: int) -> int:
+        return (width * depth * spp + 7) // 8
+
+    if interlace == 0:
+        if len(raw) != h * (_stride(w) + 1):
+            raise ValueError("IDAT size mismatch")
+        flt = _unfilter(raw, 0, h, _stride(w), bpp)
+        samples = _unpack_samples(flt, w, depth, spp)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the 8x8 pixel grid (in the SAMPLE domain; palette/tRNS
+        # expansion happens once, after assembly)
+        samples = np.empty((h, w, spp), dtype=np.uint8)
+        offset = 0
+        for x0, xs, y0, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw == 0 or ph == 0:
+                continue
+            flt = _unfilter(raw, offset, ph, _stride(pw), bpp)
+            offset += ph * (_stride(pw) + 1)
+            sub = _unpack_samples(flt, pw, depth, spp)
+            samples[y0::ys, x0::xs] = sub.reshape(ph, pw, spp)
+        if offset != len(raw):
+            raise ValueError("IDAT size mismatch")
+        samples = samples.reshape(h, w * spp)
+    return _colorize(samples, h, w, color_type, depth, plte, trns)
