@@ -210,3 +210,31 @@ def nfc_udf(text: pd.Series) -> pd.Series:
     return text.map(
         lambda s: unicodedata.normalize("NFC", s) if s is not None else None
     )
+
+
+def word_bucket_values(spark, words) -> list:
+    """Driver-side word -> postings bucket ids
+    (pmod(xxhash64(word), tables.N_POSTINGS_BUCKETS)) for partition
+    pruning via ``SnapshotCatalog.read_parts``. Computed by a
+    one-partition local job so the hash IS Spark's xxhash64 — no Python
+    reimplementation to drift from the value the index writer used.
+    The session is an explicit parameter: callers may run in HTTP
+    handler threads where getActiveSession() is unset (thread-local)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import N_POSTINGS_BUCKETS
+
+    words = sorted(set(words))
+    if not words:
+        return []
+    rows = (
+        spark.createDataFrame([(w,) for w in words], "word string")
+        .coalesce(1)
+        .select(
+            F.pmod(F.xxhash64("word"), F.lit(N_POSTINGS_BUCKETS))
+            .cast("int")
+            .alias("b")
+        )
+        .collect()
+    )
+    return sorted({r["b"] for r in rows})

@@ -1096,8 +1096,14 @@ def run_round(
     def _commit_postings():
         if fresh_postings is None:
             return
+        # physically bucketed by word hash (the parquet mirror of the
+        # Iceberg DDL's bucket(word) partitioning): the search read path
+        # opens only the query words' bucket dirs via read_parts
         catalog.commit_delta(
-            "postings", appended=fresh_postings, meta={"round": round_no}
+            "postings",
+            partition_col="word_bucket",
+            appended=fresh_postings,
+            meta={"round": round_no},
         )
         catalog.commit_delta(
             "word_stats",

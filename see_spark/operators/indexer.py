@@ -31,6 +31,8 @@ def postings_from_docs(text_docs: DataFrame) -> DataFrame:
     equivalent to the ``extract_words`` kernel), so the whole index build
     is JVM-side: no Python workers between the parsed spans and the
     postings shuffle."""
+    from ..sources.tables import N_POSTINGS_BUCKETS
+
     tokens = text_docs.select(
         "doc_id",
         F.explode(tokenize_expr(tokens_from_spans(F.col("spans")))).alias("word"),
@@ -43,7 +45,13 @@ def postings_from_docs(text_docs: DataFrame) -> DataFrame:
         "doc_len", F.sum("term_count").over(w)
     ).withColumn(
         "tf", F.col("term_count") / F.col("doc_len")
-    ).select("word", "doc_id", "term_count", "doc_len", "tf")
+    ).withColumn(
+        # physical index shard: the postings commit partitions on this,
+        # and the search read path prunes to the query words' buckets
+        # (tables.N_POSTINGS_BUCKETS, catalog.read_parts)
+        "word_bucket",
+        F.pmod(F.xxhash64("word"), F.lit(N_POSTINGS_BUCKETS)).cast("int"),
+    ).select("word", "doc_id", "term_count", "doc_len", "tf", "word_bucket")
 
 
 def document_frequencies(postings: DataFrame) -> DataFrame:

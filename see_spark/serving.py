@@ -65,8 +65,30 @@ def search_results(
     ``rank="bm25"`` scores plain-word queries with BM25 instead of the
     reference's tf-idf; avgdl comes from the materialized corpus_stats
     delta table run_round maintains (read path never aggregates
-    postings for corpus scalars — see indexer.corpus_stats_increment)."""
-    postings = catalog.read("postings")
+    postings for corpus scalars — see indexer.corpus_stats_increment).
+
+    Postings I/O: plain-word and bm25 queries open ONLY the query words'
+    bucket directories (run_round commits postings partitioned on
+    word_bucket; ``catalog.read_parts`` prunes driver-side from the
+    manifest) — at corpus scale a 5-word query reads ~5/N_BUCKETS of the
+    index. Grammar queries fall back to the full read: ~fuzzy terms must
+    scan the vocabulary, so their buckets are not knowable up front."""
+    from .core.text import extract_words
+    from .functions.udfs import word_bucket_values
+
+    parsed0 = parse_query(query)
+    grammar = (
+        parsed0["phrases"] or parsed0["title"]
+        or parsed0["exclude"] or parsed0["fuzzy"]
+    )
+    if grammar:
+        postings = catalog.read("postings")
+    else:
+        postings = catalog.read_parts(
+            "postings",
+            "word_bucket",
+            word_bucket_values(spark, extract_words(query)),
+        )
     docs = catalog.read("docs")
     word_stats = (
         catalog.read("word_stats")

@@ -63,6 +63,15 @@ DOCS_SCHEMA = T.StructType(
     ]
 )
 
+# Physical word-hash bucket count for the postings table. Mirrors the
+# production Iceberg `PARTITIONED BY (bucket(512, word))` in the
+# parquet stand-in: postings commit partitioned on word_bucket =
+# pmod(xxhash64(word), N), so the search read path opens ONLY the query
+# words' bucket directories (SnapshotCatalog.read_parts) — at 100 TB a
+# 5-word query reads ~5/N of the index instead of every file. 64 keeps
+# dir counts sane at sandbox scale; production uses the DDL's 512.
+N_POSTINGS_BUCKETS = 64
+
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("word", T.StringType(), False),
@@ -70,6 +79,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("term_count", T.LongType(), False),
         T.StructField("doc_len", T.LongType(), False),
         T.StructField("tf", T.DoubleType(), False),
+        T.StructField("word_bucket", T.IntegerType(), False),
     ]
 )
 
