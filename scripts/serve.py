@@ -91,6 +91,11 @@ INDEX_HTML = """<!doctype html>
           <input type="text" id="url" placeholder="URL...">
           <button type="button" id="add-url">Add</button>
         </div>
+        <label for="rank" style="margin-top:10px;display:block">Ranking</label>
+        <select id="rank">
+          <option value="tfidf" selected>tf-idf (reference parity)</option>
+          <option value="bm25">BM25</option>
+        </select>
       </div>
     </div>
   </div>
@@ -143,7 +148,9 @@ function renderResults(results, error) {
   out.appendChild(group);
 }
 function runSearch(query) {
-  fetch('/search?query=' + encodeURIComponent(query))
+  var rank = el('rank') ? el('rank').value : 'tfidf';
+  fetch('/search?query=' + encodeURIComponent(query)
+        + (rank !== 'tfidf' ? '&rank=' + encodeURIComponent(rank) : ''))
     .then(function(r) { return r.json(); })
     .then(function(resp) { renderResults(resp.results, ''); })
     .catch(function() { renderResults([], 'Error'); });

@@ -1098,11 +1098,15 @@ def run_round(
             return
         # physically bucketed by word hash (the parquet mirror of the
         # Iceberg DDL's bucket(word) partitioning): the search read path
-        # opens only the query words' bucket dirs via read_parts
+        # opens only the query words' bucket dirs via read_parts. The
+        # repartition co-locates each bucket's rows before partitionBy —
+        # without it every write task emits up to one file PER bucket
+        # (tasks x 64 small files per round); with it the round adds
+        # ~one file per bucket.
         catalog.commit_delta(
             "postings",
             partition_col="word_bucket",
-            appended=fresh_postings,
+            appended=fresh_postings.repartition(F.col("word_bucket")),
             meta={"round": round_no},
         )
         catalog.commit_delta(
