@@ -29,6 +29,9 @@ import struct
 
 import numpy as np
 
+# shared decode-bomb bound (defined once, in core.jpeg)
+from .jpeg import MAX_IMAGE_PIXELS
+
 
 def _color_table(data: bytes, pos: int, packed: int):
     """Read a color table if the flag bit is set; returns (table|None, pos)."""
@@ -139,6 +142,14 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("truncated image descriptor")
         _, _, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
+        if w * h > MAX_IMAGE_PIXELS:
+            # decode-bomb guard (shared bound, core.jpeg): LZW's
+            # ~1000:1 expansion plus the (h, w, 3) palette expansion
+            # would otherwise allocate from a corrupt 4-byte descriptor
+            raise ValueError(
+                f"image {w}x{h} exceeds MAX_IMAGE_PIXELS "
+                f"({MAX_IMAGE_PIXELS}) decode-bomb guard"
+            )
         interlaced = bool(ipacked & 0x40)
         local_table, pos = _color_table(data, pos, ipacked)
         table = local_table if local_table is not None else global_table

@@ -28,6 +28,11 @@ import zlib
 
 import numpy as np
 
+# shared decode-bomb bound (defined once, in core.jpeg — Pillow's
+# Image.MAX_IMAGE_PIXELS default): header-claimed pixel counts above it
+# raise before any plane/canvas allocation
+from .jpeg import MAX_IMAGE_PIXELS
+
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # samples per pixel by color type: gray, RGB, palette index, gray+alpha,
 # RGBA (palette pixels are ONE sample — the index; PLTE expands later)
@@ -66,21 +71,28 @@ def _pack_row(row: np.ndarray, depth: int) -> bytes:
     return np.packbits(bits).tobytes()
 
 
-def _serialize_rows(arr2d: np.ndarray, depth: int, interlace: int) -> bytes:
-    """Filter-0 scanline stream (plain or Adam7 pass order) over a
-    (h, w) sample plane — shared by all three encoders; multi-channel
-    callers pre-flatten channels into the row axis width."""
+def _serialize_rows(arr: np.ndarray, depth: int, interlace: int) -> bytes:
+    """Filter-0 scanline stream (plain or Adam7 pass order) — shared by
+    all three encoders. Accepts a (h, w) sample plane or a (h, w, ch)
+    pixel array (depth 8 only for the latter): Adam7 slicing subsamples
+    PIXELS first, then channels fold into the scanline."""
+
+    def rows_of(a: np.ndarray) -> np.ndarray:
+        return a.reshape(a.shape[0], -1) if a.ndim == 3 else a
+
     if interlace == 0:
+        a = rows_of(arr)
         return b"".join(
-            b"\x00" + _pack_row(arr2d[y], depth) for y in range(arr2d.shape[0])
+            b"\x00" + _pack_row(a[y], depth) for y in range(a.shape[0])
         )
     parts = []
     for x0, xs, y0, ys in _ADAM7:
-        sub = arr2d[y0::ys, x0::xs]
+        sub = arr[y0::ys, x0::xs]
         if sub.shape[0] == 0 or sub.shape[1] == 0:
             continue
-        for y in range(sub.shape[0]):
-            parts.append(b"\x00" + _pack_row(sub[y], depth))
+        a = rows_of(sub)
+        for y in range(a.shape[0]):
+            parts.append(b"\x00" + _pack_row(a[y], depth))
     return b"".join(parts)
 
 
@@ -114,21 +126,7 @@ def encode_png(
             )
         else:
             raise ValueError("transparent key invalid for alpha color types")
-    if ch == 1:
-        raw = _serialize_rows(px[:, :, 0], 8, interlace)
-    elif interlace == 0:
-        # channels fold into the row axis (pixel-major view)
-        raw = _serialize_rows(px.reshape(h, w * ch), 8, 0)
-    else:
-        # Adam7 multi-channel: slice PIXELS per pass, then flatten
-        parts = []
-        for x0, xs, y0, ys in _ADAM7:
-            sub = px[y0::ys, x0::xs]
-            if sub.shape[0] == 0 or sub.shape[1] == 0:
-                continue
-            for y in range(sub.shape[0]):
-                parts.append(b"\x00" + sub[y].tobytes())
-        raw = b"".join(parts)
+    raw = _serialize_rows(px[:, :, 0] if ch == 1 else px, 8, interlace)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -363,6 +361,15 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported interlace method {interlace}")
     if w == 0 or h == 0:
         raise ValueError("zero image dimension")
+    if h * w > MAX_IMAGE_PIXELS:
+        # same decode-bomb guard as core.jpeg: the interlaced path
+        # allocates the (h, w, spp) canvas from header dimensions before
+        # any IDAT size check can fire, so a corrupt IHDR must be
+        # rejected here, not at allocation time
+        raise ValueError(
+            f"image {w}x{h} exceeds MAX_IMAGE_PIXELS "
+            f"({MAX_IMAGE_PIXELS}) decode-bomb guard"
+        )
     if trns is not None:
         if color_type in (4, 6):
             raise ValueError("tRNS forbidden for alpha color types")

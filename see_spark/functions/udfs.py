@@ -215,11 +215,15 @@ def nfc_udf(text: pd.Series) -> pd.Series:
 def word_bucket_values(spark, words) -> list:
     """Driver-side word -> postings bucket ids
     (pmod(xxhash64(word), tables.N_POSTINGS_BUCKETS)) for partition
-    pruning via ``SnapshotCatalog.read_parts``. Computed by a
-    one-partition local job so the hash IS Spark's xxhash64 — no Python
+    pruning via ``SnapshotCatalog.read_parts``. Computed by a tiny
+    Spark job so the hash IS Spark's xxhash64 — no Python
     reimplementation to drift from the value the index writer used.
-    The session is an explicit parameter: callers may run in HTTP
-    handler threads where getActiveSession() is unset (thread-local)."""
+    The words ride as LITERALS in an explode(array(...)) over range(1)
+    (the search.py broadcast-query idiom): one codegen-only task, no
+    Python-list parallelize / Python-worker round trips on the serving
+    hot path. The session is an explicit parameter: callers may run in
+    HTTP handler threads where getActiveSession() is unset
+    (thread-local)."""
     from pyspark.sql import functions as F
 
     from ..sources.tables import N_POSTINGS_BUCKETS
@@ -228,8 +232,10 @@ def word_bucket_values(spark, words) -> list:
     if not words:
         return []
     rows = (
-        spark.createDataFrame([(w,) for w in words], "word string")
-        .coalesce(1)
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(w) for w in words])).alias("word")
+        )
         .select(
             F.pmod(F.xxhash64("word"), F.lit(N_POSTINGS_BUCKETS))
             .cast("int")

@@ -75,19 +75,34 @@ def search_results(
     scan the vocabulary, so their buckets are not knowable up front."""
     from .core.text import extract_words
     from .functions.udfs import word_bucket_values
+    from .sources.tables import N_POSTINGS_BUCKETS
 
-    parsed0 = parse_query(query)
+    parsed = parse_query(query)
     grammar = (
-        parsed0["phrases"] or parsed0["title"]
-        or parsed0["exclude"] or parsed0["fuzzy"]
+        parsed["phrases"] or parsed["title"]
+        or parsed["exclude"] or parsed["fuzzy"]
     )
-    if grammar:
+    bm25 = rank == "bm25" and not grammar
+    corpus_stats = (
+        catalog.read("corpus_stats")
+        if bm25 and catalog.current_snapshot("corpus_stats") is not None
+        else None
+    )
+    if grammar or (bm25 and corpus_stats is None):
+        # fuzzy terms must scan the vocabulary; and BM25 WITHOUT a
+        # corpus_stats table falls back to an avgdl aggregate over the
+        # postings relation it is given — over a bucket-pruned relation
+        # that average would be biased to the query words' docs, so the
+        # legacy-catalog case reads the full table
         postings = catalog.read("postings")
     else:
         postings = catalog.read_parts(
             "postings",
             "word_bucket",
             word_bucket_values(spark, extract_words(query)),
+            compute_col=F.pmod(
+                F.xxhash64("word"), F.lit(N_POSTINGS_BUCKETS)
+            ).cast("int"),
         )
     docs = catalog.read("docs")
     word_stats = (
@@ -96,24 +111,16 @@ def search_results(
         else None
     )
     page_count = catalog.read("frontier").count()
-    parsed = parse_query(query)
-    if rank == "bm25" and not (
-        parsed["phrases"] or parsed["title"] or parsed["exclude"] or parsed["fuzzy"]
-    ):
+    if bm25:
         from .operators.search import search_bm25
 
-        corpus_stats = (
-            catalog.read("corpus_stats")
-            if catalog.current_snapshot("corpus_stats") is not None
-            else None
-        )
         rows = search_bm25(
             spark, query,
             postings,
             docs.select("doc_id", "title"),
             page_count, k=k, corpus_stats=corpus_stats,
         ).collect()
-    elif parsed["phrases"] or parsed["title"] or parsed["exclude"] or parsed["fuzzy"]:
+    elif grammar:
         from .functions.udfs import tokens_from_spans
 
         rows = search_query(

@@ -93,7 +93,8 @@ class SnapshotCatalog:
         return self.spark.read.schema(SCHEMAS[table]).parquet(*paths)
 
     def read_parts(
-        self, table: str, part_col: str, values, snapshot: Optional[int] = None
+        self, table: str, part_col: str, values,
+        snapshot: Optional[int] = None, compute_col=None,
     ) -> DataFrame:
         """Partition-pruned read: only the manifest dirs for the given
         ``part_col`` values are opened — the Iceberg partition-pruning
@@ -104,7 +105,11 @@ class SnapshotCatalog:
         Legacy dirs that predate partitioning ('__all__' flat snapshots,
         '__rows__' unpartitioned appends) can hold ANY value, so they are
         always included and a residual ``part_col`` filter keeps the
-        result exact in that mixed case."""
+        result exact in that mixed case. Files written before the
+        partition column existed read it as NULL, which a bare isin()
+        would silently DROP — pass ``compute_col`` (a Column deriving
+        the partition value from the row, e.g. the word-bucket hash) and
+        the residual filter coalesces NULLs through it."""
         from pyspark.sql import functions as F
 
         wanted = {str(v) for v in values}
@@ -121,7 +126,10 @@ class SnapshotCatalog:
             return self.spark.createDataFrame([], SCHEMAS[table])
         df = self.spark.read.schema(SCHEMAS[table]).parquet(*paths)
         if mixed:
-            df = df.filter(F.col(part_col).isin(list(values)))
+            col = F.col(part_col)
+            if compute_col is not None:
+                col = F.coalesce(col, compute_col)
+            df = df.filter(col.isin(list(values)))
         return df
 
     def current_snapshot(self, table: str) -> Optional[int]:

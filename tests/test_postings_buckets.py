@@ -136,3 +136,86 @@ def test_serving_pruned_equals_full_read(spark, crawl_result):
         assert [(r["url"], r["score"]) for r in served] == [
             (r["url"], r["score"]) for r in full
         ]
+
+
+def test_read_parts_compute_col_recovers_preupgrade_files(spark):
+    """Parquet files written before word_bucket existed read the column
+    as NULL; a bare isin() residual filter would drop every such row.
+    With compute_col the filter coalesces through the hash and the
+    legacy rows are found."""
+    import os
+
+    catalog = SnapshotCatalog(tempfile.mkdtemp(prefix="buckets_legacy_"), spark)
+    catalog.commit_delta("postings", appended=_postings_df(spark, ROWS),
+                         meta={"round": 0})
+    # overwrite the appended dir with a FIVE-column layout (pre-upgrade
+    # file shape: no word_bucket in the data files)
+    rel = catalog.parts("postings")["__rows__"][0]
+    path = os.path.join(catalog.root, "postings", rel)
+    spark.createDataFrame(
+        ROWS,
+        "word string, doc_id string, term_count long, doc_len long, tf double",
+    ).write.mode("overwrite").parquet(path)
+    assert catalog.read("postings").filter(
+        F.col("word_bucket").isNull()).count() == len(ROWS)
+
+    buckets = word_bucket_values(spark, ["alpha"])
+    compute = F.pmod(F.xxhash64("word"), F.lit(N_POSTINGS_BUCKETS)).cast("int")
+    with_compute = catalog.read_parts(
+        "postings", "word_bucket", buckets, compute_col=compute
+    )
+    assert {r["word"] for r in with_compute.collect()} >= {"alpha"}
+    # and the recovered set is exactly the rows whose computed bucket matches
+    want = {r["word"] for r in
+            catalog.read("postings").withColumn("__b", compute)
+            .filter(F.col("__b").isin(buckets)).collect()}
+    assert {r["word"] for r in with_compute.collect()} == want
+
+
+def test_serving_bm25_on_catalog_without_corpus_stats_is_unbiased(spark):
+    """Review regression: a legacy catalog with no corpus_stats table
+    must compute the BM25 avgdl fallback over the FULL postings
+    relation, not a bucket-pruned one (which would average only the
+    query words' docs). Pinned by score equality with a direct
+    full-postings search_bm25."""
+    from see_spark.operators.search import search_bm25
+    from see_spark.serving import search_results
+    from see_spark.sources.tables import (
+        STATE_VISITED,
+    )
+
+    catalog = SnapshotCatalog(tempfile.mkdtemp(prefix="bm25_legacy_"), spark)
+    rows = [
+        ("alpha", "u1", 2, 10, 0.2), ("beta", "u1", 8, 10, 0.8),
+        ("alpha", "u2", 1, 2, 0.5), ("gamma", "u2", 1, 2, 0.5),
+        ("delta", "u3", 30, 30, 1.0),
+    ]
+    catalog.commit_delta(
+        "postings", appended=_postings_df(spark, rows), meta={"round": 0}
+    )
+    docs = spark.createDataFrame(
+        [("u1", "one", None, 0), ("u2", "two", None, 0), ("u3", "three", None, 0)],
+        "doc_id string, title string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, fetched_in_round int",
+    )
+    catalog.commit("docs", docs)
+    frontier = spark.createDataFrame(
+        [(f"u{i}", i, "h", 0, i, STATE_VISITED, None, 0, 0, i, 0)
+         for i in (1, 2, 3)],
+        "url string, url_hash long, host string, depth int, seq long, "
+        "state string, detail string, discovered_in_round int, "
+        "fetched_in_round int, fetch_order long, checkout_round int",
+    )
+    catalog.commit("frontier", frontier)
+    assert catalog.current_snapshot("corpus_stats") is None
+
+    served = search_results(
+        spark, catalog, "alpha", k=10, with_score=True, rank="bm25"
+    )
+    want = search_bm25(
+        spark, "alpha", catalog.read("postings"),
+        docs.select("doc_id", "title"), 3,
+    ).collect()
+    assert [(r["url"], r["score"]) for r in served] == [
+        (r["url"], r["score"]) for r in want
+    ]
+    assert len(served) == 2  # u1 and u2 both contain alpha
