@@ -7,11 +7,13 @@ unfilter (the five filters of the PNG spec, RFC 2083 §6), and Adam7
 de-interlacing (RFC 2083 §2.6/§8.2: seven sub-images, each filtered
 independently, scattered on an 8x8 grid). Scope covers the shapes a real
 web corpus actually serves: all five color types (grayscale, RGB,
-PALETTE — the icon/logo workhorse — gray+alpha, RGBA), bit depths
-1/2/4/8 (sub-byte for grayscale and palette, MSB-first packed per RFC
-2083 §2.3), PLTE lookup, tRNS transparency (palette alpha table AND the
-single transparent color for gray/RGB), interlace methods 0 and 1, in
-any combination. 16-bit samples raise ValueError with the reason — at
+PALETTE — the icon/logo workhorse — gray+alpha, RGBA), every legal bit
+depth (sub-byte 1/2/4 MSB-first packed per RFC 2083 §2.3; 16-bit
+big-endian samples downconverted by high byte, the browser/Pillow
+display convention, with tRNS keys compared at full 16-bit precision),
+PLTE lookup, tRNS transparency (palette alpha table AND the single
+transparent color for gray/RGB), interlace methods 0 and 1, in any
+combination. Malformed input raises ValueError with the reason — at
 100 TB scale those rows route to a decode_error column, they don't kill
 the job (same contract as audio_features).
 
@@ -39,7 +41,13 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # bit depths each color type admits in this codec's scope (16-bit
 # samples are the one spec depth excluded — raise, never misdecode)
-_VALID_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
+_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 
 # Adam7 pass grid (RFC 2083 §8.2): (x_start, x_step, y_start, y_step).
 # Pass k covers pixels (y_start + i*y_step, x_start + j*x_step); empty
@@ -64,9 +72,12 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
 
 def _pack_row(row: np.ndarray, depth: int) -> bytes:
     """1-D sample values -> packed scanline bytes at ``depth`` bits per
-    sample, MSB-first, zero pad bits (RFC 2083 §2.3)."""
+    sample, MSB-first, zero pad bits (RFC 2083 §2.3); depth 16 takes
+    uint16 samples and writes big-endian pairs."""
     if depth == 8:
         return row.tobytes()
+    if depth == 16:
+        return row.astype(">u2").tobytes()
     bits = np.unpackbits(row[:, None], axis=1)[:, 8 - depth:].reshape(-1)
     return np.packbits(bits).tobytes()
 
@@ -127,6 +138,40 @@ def encode_png(
         else:
             raise ValueError("transparent key invalid for alpha color types")
     raw = _serialize_rows(px[:, :, 0] if ch == 1 else px, 8, interlace)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + trns_chunk
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_16(
+    pixels: np.ndarray, interlace: int = 0, transparent=None
+) -> bytes:
+    """uint16 array (h, w) | (h, w, 1|2|3|4) -> 16-bit PNG (filter 0,
+    big-endian samples). ``transparent``: raw 16-bit gray value or
+    (r, g, b) triple for the tRNS color key."""
+    px = np.asarray(pixels, dtype=np.uint16)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, interlace)
+    trns_chunk = b""
+    if transparent is not None:
+        if ch == 1:
+            trns_chunk = _chunk(b"tRNS", struct.pack(">H", int(transparent)))
+        elif ch == 3:
+            trns_chunk = _chunk(
+                b"tRNS", struct.pack(">HHH", *[int(v) for v in transparent])
+            )
+        else:
+            raise ValueError("transparent key invalid for alpha color types")
+    raw = _serialize_rows(px[:, :, 0] if ch == 1 else px, 16, interlace)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -256,9 +301,15 @@ def _unpack_samples(
 ) -> np.ndarray:
     """(h, stride) unfiltered bytes -> (h, w*spp) sample values.
     Sub-byte depths unpack MSB-first within each byte (RFC 2083 §2.3);
-    per-scanline pad bits past w*depth are discarded."""
+    per-scanline pad bits past w*depth are discarded. Depth 16 returns
+    uint16 (big-endian pairs joined); all others uint8."""
     if depth == 8:
         return flt[:, : w * spp]
+    if depth == 16:
+        pairs = flt[:, : w * spp * 2].reshape(flt.shape[0], w * spp, 2)
+        return (
+            pairs[:, :, 0].astype(np.uint16) << 8
+        ) | pairs[:, :, 1].astype(np.uint16)
     bits = np.unpackbits(flt, axis=1)[:, : w * depth]
     vals = bits.reshape(flt.shape[0], w, depth).astype(np.uint8)
     weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
@@ -271,8 +322,11 @@ def _colorize(
 ) -> np.ndarray:
     """(h, w*spp) raw sample values -> final (h, w, out_channels) pixels:
     PLTE expansion (+ tRNS palette alpha), sub-byte gray upscaling
-    (255/(2^d - 1), exact integer for d in 1/2/4), and the tRNS
-    transparent-color key for gray/RGB."""
+    (255/(2^d - 1), exact integer for d in 1/2/4), the tRNS
+    transparent-color key for gray/RGB (compared at the file's full
+    sample precision), and 16-bit high-byte downconversion (the
+    browser/Pillow display convention — the pipeline's pixel contract
+    is uint8)."""
     if color_type == 3:
         if plte is None:
             raise ValueError("palette image missing PLTE")
@@ -292,19 +346,23 @@ def _colorize(
     key_mask = None
     if trns is not None and color_type in (0, 2):
         # tRNS single transparent color: 16-bit sample values at file
-        # depth (compare BEFORE gray upscaling)
+        # depth (compare at RAW precision, before any up/downscaling —
+        # at depth 16 two values sharing a high byte must not alias)
         vals = struct.unpack(f">{len(trns) // 2}H", trns)
+        mask_bits = (1 << depth) - 1 if depth <= 8 else 0xFFFF
         px_raw = samples.reshape(h, w, spp)
         if color_type == 0:
-            key_mask = px_raw[:, :, 0] == (vals[0] & ((1 << depth) - 1))
+            key_mask = px_raw[:, :, 0] == (vals[0] & mask_bits)
         else:
             key_mask = (
-                (px_raw[:, :, 0] == (vals[0] & 0xFF))
-                & (px_raw[:, :, 1] == (vals[1] & 0xFF))
-                & (px_raw[:, :, 2] == (vals[2] & 0xFF))
+                (px_raw[:, :, 0] == (vals[0] & mask_bits))
+                & (px_raw[:, :, 1] == (vals[1] & mask_bits))
+                & (px_raw[:, :, 2] == (vals[2] & mask_bits))
             )
     if depth < 8:  # gray upscale (type 0 only — other sub-byte is type 3)
         samples = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    elif depth == 16:  # high byte, the standard 16->8 display conversion
+        samples = (samples >> 8).astype(np.uint8)
     px = samples.reshape(h, w, spp)
     if key_mask is not None:
         alpha = np.where(key_mask, 0, 255).astype(np.uint8)
@@ -395,8 +453,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     else:
         # Adam7: seven independently-filtered sub-images, scattered back
         # onto the 8x8 pixel grid (in the SAMPLE domain; palette/tRNS
-        # expansion happens once, after assembly)
-        samples = np.empty((h, w, spp), dtype=np.uint8)
+        # expansion happens once, after assembly; 16-bit samples keep
+        # full precision until _colorize downconverts)
+        samples = np.empty(
+            (h, w, spp), dtype=np.uint16 if depth == 16 else np.uint8
+        )
         offset = 0
         for x0, xs, y0, ys in _ADAM7:
             pw = (w - x0 + xs - 1) // xs

@@ -103,9 +103,9 @@ def _decode_buffer(payload: bytes, kind: str, fake: bool) -> np.ndarray:
         return np.concatenate([f.reshape(-1) for f in frames])
     raise NotImplementedError(
         f"real {kind} decode requires codec libraries not present in this "
-        "environment (RIFF/WAVE audio, PNG incl. palette/sub-byte-depth/"
-        "gray+alpha/tRNS/Adam7, GIF incl. interlace, baseline+progressive "
-        "JPEG, and MJPEG-AVI "
+        "environment (RIFF/WAVE audio, PNG at every legal depth/color "
+        "type incl. palette/16-bit/tRNS/Adam7, GIF incl. interlace, "
+        "baseline+progressive JPEG, and MJPEG-AVI "
         "video decode natively via stdlib); pass fake=True for the "
         "deterministic stand-in"
     )

@@ -147,10 +147,39 @@ def test_index_beyond_palette_raises():
         decode_png(spliced)
 
 
-def test_16bit_still_rejected():
+@pytest.mark.parametrize("interlace", [0, 1])
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_16bit_decodes_to_high_bytes(ch, interlace):
+    """Depth-16 samples decode with the standard high-byte 16->8 display
+    conversion, across all four direct color types and both interlace
+    methods."""
+    from see_spark.core.png import encode_png_16
+
+    rng = np.random.default_rng(ch * 5 + interlace)
+    img = rng.integers(0, 65536, (11, 7, ch), dtype=np.uint16)
+    out = decode_png(encode_png_16(img, interlace=interlace))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, (img >> 8).astype(np.uint8))
+
+
+def test_16bit_trns_compares_full_precision():
+    """Two 16-bit colors sharing high bytes must not alias in the tRNS
+    transparent-color key (compared at raw precision, not post-convert)."""
+    from see_spark.core.png import encode_png_16
+
+    img = np.zeros((2, 2, 3), dtype=np.uint16)
+    img[0, 0] = [0x1234, 1, 2]
+    img[0, 1] = [0x1299, 1, 2]  # same high bytes, different low byte
+    out = decode_png(encode_png_16(img, transparent=(0x1234, 1, 2)))
+    assert out.shape == (2, 2, 4)
+    assert out[0, 0, 3] == 0 and out[0, 1, 3] == 255
+
+
+def test_16bit_palette_still_rejected():
+    # depth 16 is illegal for palette color (RFC 2083 table in §4.1.1)
     import struct, zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     def chunk(tag, data):
         return (
             struct.pack(">I", len(data)) + tag + data
@@ -158,6 +187,7 @@ def test_16bit_still_rejected():
         )
     payload = (
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", b"\x00" * 3)
         + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError, match="bit depth"):
