@@ -14,8 +14,11 @@ YCbCr->RGB.
 Scope — the overwhelming majority of the web's JPEGs: BASELINE
 sequential DCT (SOF0/1) and PROGRESSIVE (SOF2 — spectral selection +
 successive approximation per T.81 Annex G: DC first/refine, AC first
-with EOB runs, AC refinement with correction bits), 8-bit, 1 or 3
-components. Arithmetic coding, hierarchical, lossless, 12-bit, and CMYK
+with EOB runs, AC refinement with correction bits), 8-bit, 1, 3, or 4
+components — 4-component print-workflow streams (Adobe CMYK / YCCK)
+decode via the APP14 ColorTransform byte and the libjpeg-consumer
+display composite (see _planes_to_image). Arithmetic coding,
+hierarchical, lossless, 12-bit, and 4-component streams WITHOUT APP14
 raise ValueError with the reason; at 100 TB those rows route to the
 decode_error column (operators/multimodal.py:image_features), they never
 kill the job — the same contract as the PNG/GIF/WAV codecs. The
@@ -230,6 +233,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     restart_interval = 0
     frame = None
     prog = None
+    adobe_transform = None  # APP14 ColorTransform (0 CMYK/RGB, 1 YCbCr, 2 YCCK)
     pos = 2
     n = len(payload)
     while pos + 4 <= n:
@@ -276,7 +280,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             )
             if precision != 8:
                 raise ValueError(f"{precision}-bit precision unsupported")
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise ValueError(f"{ncomp}-component JPEG unsupported")
             if height == 0 or width == 0:
                 raise ValueError("zero image dimension")
@@ -320,6 +324,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tdta = seg[1 + si * 2], seg[2 + si * 2]
                 scan_comps.append((cs, tdta >> 4, tdta & 15))
+            frame["adobe"] = adobe_transform
             if not frame["progressive"]:
                 if ns != len(frame["comps"]):
                     raise ValueError(
@@ -341,6 +346,11 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 huff_dc, huff_ac, restart_interval,
             )
             continue  # pos already sits at the next marker
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14: 'Adobe' + version(2) + flags0(2) + flags1(2) +
+            # ColorTransform(1) — the byte that declares CMYK vs YCCK
+            # (and RGB-vs-YCbCr for 3-component streams)
+            adobe_transform = seg[11]
         # APPn / COM / others: skip
         pos += seglen
     if prog is not None:
@@ -426,21 +436,55 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
             np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
         )[:h_img, :w_img]
         out.append(plane)
-    return _planes_to_image(out)
+    return _planes_to_image(out, frame.get("adobe"))
 
 
-def _planes_to_image(out: list) -> np.ndarray:
-    """Component planes -> uint8 image: gray passthrough or JFIF
-    full-range YCbCr->RGB."""
+def _ycc_to_rgb(y, cb, cr):
+    cb = cb - 128.0
+    cr = cr - 128.0
+    return (
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    )
+
+
+def _planes_to_image(out: list, adobe=None) -> np.ndarray:
+    """Component planes -> uint8 image. 1 plane: gray passthrough.
+    3 planes: JFIF full-range YCbCr->RGB — except Adobe APP14
+    transform 0, which declares the planes are already RGB. 4 planes
+    (print-workflow JPEGs; requires APP14 — without it the CMYK
+    polarity is a guess, so those raise): Adobe stores INVERTED CMYK
+    (255-C, ...); transform 2 (YCCK) first maps planes 0-2 through the
+    YCbCr matrix back to the inverted CMY, then both transforms
+    composite R = S_c*S_k/255 per channel — the libjpeg-consumer
+    convention browsers/ImageMagick use for display."""
     if len(out) == 1:
         gray = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         return gray[:, :, None]
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    if len(out) == 3:
+        if adobe == 0:  # Adobe transform 0 on 3 comps = plain RGB
+            rgb = np.stack(out, axis=2)
+        else:
+            rgb = np.stack(_ycc_to_rgb(out[0], out[1], out[2]), axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    if len(out) == 4:
+        if adobe is None:
+            raise ValueError(
+                "4-component JPEG without Adobe APP14 unsupported "
+                "(CMYK polarity undeclared)"
+            )
+        if adobe == 2:  # YCCK: planes 0-2 are YCbCr of the inverted CMY
+            sc, sm, sy = _ycc_to_rgb(out[0], out[1], out[2])
+        else:  # transform 0: stored (inverted) CMYK planes directly
+            sc, sm, sy = out[0], out[1], out[2]
+        sk = np.clip(out[3], 0.0, 255.0)
+        rgb = np.stack(
+            [np.clip(p, 0.0, 255.0) * sk / 255.0 for p in (sc, sm, sy)],
+            axis=2,
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise ValueError(f"{len(out)}-component image unsupported")
 
 
 class _ProgState:
@@ -648,7 +692,7 @@ class _ProgState:
                 self.hmax // c["h"], axis=1,
             )[:h_img, :w_img]
             out.append(plane)
-        return _planes_to_image(out)
+        return _planes_to_image(out, self.frame.get("adobe"))
 
 
 # T.81 Annex K.1 example quantization tables (spec constants).
@@ -800,18 +844,49 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0,
+    adobe_transform: int = None,
 ) -> bytes:
     """uint8 (h, w) | (h, w, 1|3) -> baseline JFIF bytes (4:4:4).
     ``restart_interval`` > 0 emits DRI + RST0-7 markers every that many
-    MCUs (exercises the decoder's restart/resync path)."""
+    MCUs (exercises the decoder's restart/resync path).
+
+    (h, w, 4) input writes a print-workflow Adobe stream: the channels
+    are the STORED (inverted-CMYK) sample planes, ``adobe_transform``
+    must be 0 (CMYK planes as-is) or 2 (YCCK: planes 0-2 pass through
+    the forward YCbCr matrix), and an APP14 segment declares it —
+    fixture support for the decoder's 4-component path."""
     px = np.asarray(pixels, dtype=np.float64)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
-    if ch not in (1, 3):
+    if ch not in (1, 3, 4):
         raise ValueError(f"unsupported channel count {ch}")
-    if ch == 3:
+    if ch == 4:
+        if adobe_transform not in (0, 2):
+            raise ValueError("4-channel encode needs adobe_transform 0 or 2")
+        stored = [px[:, :, i] for i in range(4)]
+        if adobe_transform == 2:
+            c, m, y2 = stored[0], stored[1], stored[2]
+            stored[0:3] = [
+                0.299 * c + 0.587 * m + 0.114 * y2,
+                -0.168736 * c - 0.331264 * m + 0.5 * y2 + 128.0,
+                0.5 * c - 0.418688 * m - 0.081312 * y2 + 128.0,
+            ]
+            comp_q = [0, 1, 1, 0]
+            qtabs = [_quality_scale(_K_LUMA_Q, quality),
+                     _quality_scale(_K_CHROMA_Q, quality)]
+            dc_tabs = [_encode_table(*_K_DC_LUMA), _encode_table(*_K_DC_CHROMA)]
+            ac_tabs = [_encode_table(*_K_AC_LUMA), _encode_table(*_K_AC_CHROMA)]
+            comp_t = [0, 1, 1, 0]
+        else:
+            comp_q = [0, 0, 0, 0]
+            qtabs = [_quality_scale(_K_LUMA_Q, quality)]
+            dc_tabs = [_encode_table(*_K_DC_LUMA)]
+            ac_tabs = [_encode_table(*_K_AC_LUMA)]
+            comp_t = [0, 0, 0, 0]
+        planes = stored
+    elif ch == 3:
         r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
@@ -833,9 +908,17 @@ def encode_jpeg(
         comp_t = [0]
 
     out = bytearray(b"\xff\xd8")  # SOI
-    # JFIF APP0
-    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    if ch == 4:
+        # Adobe APP14 declaring the color transform (no JFIF APP0 —
+        # JFIF is defined for 1/3-component YCbCr streams only)
+        app14 = b"Adobe" + struct.pack(
+            ">HHHB", 100, 0, 0, adobe_transform
+        )
+        out += b"\xff\xee" + struct.pack(">H", len(app14) + 2) + app14
+    else:
+        # JFIF APP0
+        app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
     for ti, q in enumerate(qtabs):
         zz = bytes(int(q.reshape(-1)[ZIGZAG[i]]) for i in range(64))
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + zz

@@ -105,7 +105,7 @@ def _decode_buffer(payload: bytes, kind: str, fake: bool) -> np.ndarray:
         f"real {kind} decode requires codec libraries not present in this "
         "environment (RIFF/WAVE audio, PNG at every legal depth/color "
         "type incl. palette/16-bit/tRNS/Adam7, GIF incl. interlace, "
-        "baseline+progressive JPEG, and MJPEG-AVI "
+        "baseline+progressive JPEG incl. Adobe CMYK/YCCK, and MJPEG-AVI "
         "video decode natively via stdlib); pass fake=True for the "
         "deterministic stand-in"
     )
