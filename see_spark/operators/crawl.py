@@ -1111,11 +1111,16 @@ def run_round(
         )
         catalog.commit_delta(
             "word_stats",
-            appended=indexer.word_stats_increment(fresh_postings),
+            partition_col="word_bucket",
+            appended=indexer.word_stats_increment(
+                fresh_postings
+            ).repartition(F.col("word_bucket")),
             meta={"round": round_no},
             # sum is decomposable: folding increments at compaction keeps
             # the table O(vocabulary) without changing the summed read
-            compact_agg=lambda df: df.groupBy("word").agg(
+            # (word_bucket is functional on word, so grouping by both
+            # preserves it through the fold)
+            compact_agg=lambda df: df.groupBy("word", "word_bucket").agg(
                 F.sum("df").alias("df")
             ),
         )

@@ -70,8 +70,18 @@ def word_stats_increment(fresh_postings: DataFrame) -> DataFrame:
     increment — df(word) = Σ increments, the reference's stored
     posting-set size (see_db_storage_ets.erl:117-123) kept as an
     append-only delta instead of a read-modify-write of the vocabulary.
-    Map-side combinable: one narrow shuffle on word per round."""
-    return fresh_postings.groupBy("word").agg(F.count("*").alias("df"))
+    Map-side combinable: one narrow shuffle on word per round. Rows
+    carry the same word_bucket as postings so the table commits
+    physically bucketed and query reads prune to the query words'
+    buckets."""
+    from ..sources.tables import N_POSTINGS_BUCKETS
+
+    return fresh_postings.groupBy("word").agg(
+        F.count("*").alias("df")
+    ).withColumn(
+        "word_bucket",
+        F.pmod(F.xxhash64("word"), F.lit(N_POSTINGS_BUCKETS)).cast("int"),
+    )
 
 
 def corpus_stats_increment(
@@ -139,6 +149,8 @@ def word_stats_reindex_delta(
     exact posting-set size whether a doc was indexed once or re-indexed
     many times. Two map-side-combinable word aggregates + one word-keyed
     outer join; rows only for words whose df actually moved."""
+    from ..sources.tables import N_POSTINGS_BUCKETS
+
     oldc = old_postings.groupBy("word").agg(F.count("*").alias("__old"))
     newc = new_postings.groupBy("word").agg(F.count("*").alias("__new"))
     return (
@@ -150,6 +162,10 @@ def word_stats_reindex_delta(
             ).cast("long").alias("df"),
         )
         .filter(F.col("df") != 0)
+        .withColumn(
+            "word_bucket",
+            F.pmod(F.xxhash64("word"), F.lit(N_POSTINGS_BUCKETS)).cast("int"),
+        )
     )
 
 

@@ -88,28 +88,35 @@ def search_results(
         if bm25 and catalog.current_snapshot("corpus_stats") is not None
         else None
     )
-    if grammar or (bm25 and corpus_stats is None):
+    bucket_hash = F.pmod(
+        F.xxhash64("word"), F.lit(N_POSTINGS_BUCKETS)
+    ).cast("int")
+    pruned = not (grammar or (bm25 and corpus_stats is None))
+    if pruned:
+        buckets = word_bucket_values(spark, extract_words(query))
+        postings = catalog.read_parts(
+            "postings", "word_bucket", buckets, compute_col=bucket_hash
+        )
+    else:
         # fuzzy terms must scan the vocabulary; and BM25 WITHOUT a
         # corpus_stats table falls back to an avgdl aggregate over the
         # postings relation it is given — over a bucket-pruned relation
         # that average would be biased to the query words' docs, so the
         # legacy-catalog case reads the full table
         postings = catalog.read("postings")
-    else:
-        postings = catalog.read_parts(
-            "postings",
-            "word_bucket",
-            word_bucket_values(spark, extract_words(query)),
-            compute_col=F.pmod(
-                F.xxhash64("word"), F.lit(N_POSTINGS_BUCKETS)
-            ).cast("int"),
-        )
     docs = catalog.read("docs")
-    word_stats = (
-        catalog.read("word_stats")
-        if catalog.current_snapshot("word_stats") is not None
-        else None
-    )
+    word_stats = None
+    if catalog.current_snapshot("word_stats") is not None:
+        # the df semi-join cannot prune files by itself, so the
+        # vocabulary table takes the same bucket-dir pruning as postings
+        # whenever the query's words are known up front
+        word_stats = (
+            catalog.read_parts(
+                "word_stats", "word_bucket", buckets, compute_col=bucket_hash
+            )
+            if pruned
+            else catalog.read("word_stats")
+        )
     page_count = catalog.read("frontier").count()
     if bm25:
         from .operators.search import search_bm25

@@ -96,10 +96,15 @@ HOSTSTATS_SCHEMA = T.StructType(
 # append-only per-round increments: df(word) = sum(df) over the word's rows.
 # Reading aggregates AFTER a semi-join to the (broadcast, few-row) query
 # words, so a search never aggregates the table — O(query words) rows flow.
+# Physically bucketed on the same word hash as postings (the semi-join
+# cannot prune FILES, so without the bucket partitioning every query
+# still scans the whole vocabulary table; with it the serving read opens
+# only the query words' bucket dirs — O(vocab/64) bytes per query).
 WORD_STATS_SCHEMA = T.StructType(
     [
         T.StructField("word", T.StringType(), False),
         T.StructField("df", T.LongType(), False),
+        T.StructField("word_bucket", T.IntegerType(), False),
     ]
 )
 

@@ -219,3 +219,34 @@ def test_serving_bm25_on_catalog_without_corpus_stats_is_unbiased(spark):
         (r["url"], r["score"]) for r in want
     ]
     assert len(served) == 2  # u1 and u2 both contain alpha
+
+
+def test_run_round_commits_bucketed_word_stats(crawl_result):
+    """word_stats commits bucketed like postings: manifest keyed by
+    bucket ids, stored bucket = word hash, summed-df reads identical
+    between a pruned single-word read and the full table."""
+    catalog, _metrics, _oracle = crawl_result
+    parts = catalog.parts("word_stats")
+    keys = set(parts) - {"__all__", "__rows__"}
+    assert keys and all(
+        k.isdigit() and 0 <= int(k) < N_POSTINGS_BUCKETS for k in keys
+    )
+    spark = catalog.spark
+    full = catalog.read("word_stats")
+    assert full.filter(
+        F.col("word_bucket")
+        != F.pmod(F.xxhash64("word"), F.lit(N_POSTINGS_BUCKETS)).cast("int")
+    ).count() == 0
+    word = full.select("word").first()["word"]
+    buckets = word_bucket_values(spark, [word])
+    pruned = catalog.read_parts("word_stats", "word_bucket", buckets)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    df_pruned = (
+        pruned.filter(F.col("word") == word)
+        .agg(F.sum("df").alias("df")).collect()[0]["df"]
+    )
+    df_full = (
+        full.filter(F.col("word") == word)
+        .agg(F.sum("df").alias("df")).collect()[0]["df"]
+    )
+    assert df_pruned == df_full and df_full is not None
