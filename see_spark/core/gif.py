@@ -4,9 +4,12 @@ A second REAL image decode path for the multimodal pipeline (beside
 core/png.py): GIF87a/89a with full LZW decompression implemented from
 the spec (GIF89a specification Appendix F; variable 3..12-bit codes,
 LSB-first packing, Clear/EOI codes, the KwKwK code==next case). Scope
-is an honest subset of real-world GIFs: interlaced or not, first image
-frame, global or local color table; extensions (graphic control,
-comment, application) are walked and skipped. Interlaced frames store
+covers real-world GIFs: interlaced or not, global or local color
+tables, and ANIMATION — ``decode_gif`` keeps the image-path first-frame
+contract (extensions walked and skipped), while ``decode_gif_frames``
+composites every frame per the GIF89a §23 graphic-control model
+(sub-rect deltas, transparent-index holes, disposal keep / restore-
+background / restore-previous) for the video path. Interlaced frames store
 rows in the spec's four-pass order (rows 0,8,16..., then 4,12..., then
 2,6,10..., then odd rows — GIF89a §20 appendix E) and are reordered
 after LZW. Out-of-subset features raise ValueError with the reason — at
@@ -238,4 +241,208 @@ def encode_gif(
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes, frame_indices=None):
+    """ALL frames of a (possibly animated) GIF -> (frames, meta) — the
+    video-path sibling of ``decode_gif`` (which keeps its first-frame
+    image contract). Animated GIFs are delta-encoded: each image block
+    draws a sub-rectangle onto the logical-screen canvas, graphic
+    control extensions (GIF89a §23) declare per-frame transparency,
+    delay, and disposal. Compositing follows the browser model:
+    disposal 0/1 keep the canvas, 2 restores the frame's rectangle to
+    the background color, 3 restores the pre-frame pixels. Every frame
+    must be decoded+composited to keep canvas state (delta encoding —
+    unlike MJPEG there is no skip-cheaply path), but only the frames in
+    ``frame_indices`` are COPIED out. Frames return as full-canvas
+    (H, W, 3) RGB; ``meta`` carries n_frames / fps (100/mean delay) /
+    canvas size. ValueError for malformed input (same contract as every
+    codec here)."""
+    data = bytes(payload)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    if len(data) < 13:
+        raise ValueError("truncated screen descriptor")
+    W, H = struct.unpack("<HH", data[6:10])
+    if W * H > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"canvas {W}x{H} exceeds MAX_IMAGE_PIXELS "
+            f"({MAX_IMAGE_PIXELS}) decode-bomb guard"
+        )
+    if W == 0 or H == 0:
+        raise ValueError("zero canvas dimension")
+    packed = data[10]
+    bg_index = data[11]
+    global_table, pos = _color_table(data, 13, packed)
+    if global_table is not None and bg_index < global_table.shape[0]:
+        bg_rgb = global_table[bg_index]
+    else:
+        bg_rgb = np.zeros(3, np.uint8)
+    canvas = np.empty((H, W, 3), np.uint8)
+    canvas[:] = bg_rgb
+    want = set(int(i) for i in frame_indices) if frame_indices is not None else None
+
+    frames = []
+    delays = []
+    gce_transparent = None
+    gce_disposal = 0
+    gce_delay = 0
+    n_seen = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            body, pos = _sub_blocks(data, pos)
+            if label == 0xF9 and len(body) >= 4:  # graphic control
+                flags = body[0]
+                gce_disposal = (flags >> 2) & 0x07
+                gce_delay = body[1] | (body[2] << 8)
+                gce_transparent = body[3] if flags & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated image descriptor")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos:pos + 9])
+        pos += 9
+        if left + w > W or top + h > H:
+            raise ValueError("image block exceeds logical screen")
+        local_table, pos = _color_table(data, pos, ipacked)
+        table = local_table if local_table is not None else global_table
+        if table is None:
+            raise ValueError("no color table")
+        min_code_size = data[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"bad LZW min code size {min_code_size}")
+        compressed, pos = _sub_blocks(data, pos)
+        idx = np.frombuffer(
+            _lzw_decode(min_code_size, compressed, w * h), dtype=np.uint8
+        ).reshape(h, w)
+        if ipacked & 0x40:  # interlaced frame
+            display = np.empty_like(idx)
+            display[_interlace_order(h)] = idx
+            idx = display
+        region = canvas[top:top + h, left:left + w]
+        saved = region.copy() if gce_disposal == 3 else None
+        if gce_transparent is not None:
+            mask = idx != gce_transparent
+            opaque = idx[mask]
+            if opaque.size and int(opaque.max()) >= table.shape[0]:
+                raise ValueError("pixel index beyond color table")
+            region[mask] = table[opaque]
+        else:
+            if int(idx.max(initial=0)) >= table.shape[0]:
+                raise ValueError("pixel index beyond color table")
+            region[:] = table[idx]
+        if want is None or n_seen in want:
+            frames.append(canvas.copy())
+        delays.append(gce_delay)
+        if gce_disposal == 2:
+            canvas[top:top + h, left:left + w] = bg_rgb
+        elif gce_disposal == 3:
+            canvas[top:top + h, left:left + w] = saved
+        gce_transparent = None
+        gce_disposal = 0
+        gce_delay = 0
+        n_seen += 1
+    if n_seen == 0:
+        raise ValueError("no image block before trailer")
+    mean_delay = sum(delays) / len(delays)
+    fps = (100.0 / mean_delay) if mean_delay > 0 else 0.0
+    return frames, {
+        "n_frames": n_seen,
+        "fps": fps,
+        "width": int(W),
+        "height": int(H),
+    }
+
+
+def encode_gif_animated(
+    frames,
+    palette: np.ndarray,
+    delays_cs=None,
+    disposals=None,
+    transparent: int = None,
+    offsets=None,
+    canvas=None,
+    bg_index: int = 0,
+) -> bytes:
+    """Animated-GIF muxer for fixtures: each entry of ``frames`` is an
+    (h_i, w_i) index array drawn at ``offsets[i]`` (default (0, 0)) on a
+    ``canvas`` = (H, W) logical screen (default: frame 0's size), with a
+    per-frame graphic control extension carrying delay (centiseconds),
+    disposal method, and the shared ``transparent`` index. Same
+    literal-code LZW as ``encode_gif`` (each pixel its own code, Clear
+    before any width change)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    pal = np.asarray(palette, dtype=np.uint8)
+    if not frames:
+        raise ValueError("no frames")
+    n = pal.shape[0]
+    if n > 256 or pal.shape[1] != 3:
+        raise ValueError("palette must be (<=256, 3)")
+    bits = max(2, (n - 1).bit_length())
+    full = 1 << bits
+    pal_bytes = np.vstack([pal, np.zeros((full - n, 3), np.uint8)]).tobytes()
+    H, W = canvas if canvas is not None else frames[0].shape
+    offsets = offsets or [(0, 0)] * len(frames)
+    delays_cs = delays_cs or [10] * len(frames)
+    disposals = disposals or [0] * len(frames)
+
+    def lzw_literal(values) -> bytes:
+        clear = 1 << bits
+        eoi = clear + 1
+        width = bits + 1
+        codes = [clear]
+        next_code = eoi + 1
+        for px in values:
+            if next_code + 1 == (1 << width):
+                codes.append(clear)
+                next_code = eoi + 1
+            codes.append(int(px))
+            next_code += 1
+        codes.append(eoi)
+        acc = nbits = 0
+        stream = bytearray()
+        for code in codes:
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            stream.append(acc & 0xFF)
+        return bytes(stream)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack(
+        "<HHBBB", W, H, 0x80 | ((bits - 1) & 0x07), bg_index, 0
+    )
+    out += pal_bytes
+    for f, (left, top), delay, disp in zip(frames, offsets, delays_cs, disposals):
+        h, w = f.shape
+        if left + w > W or top + h > H:
+            raise ValueError("frame exceeds canvas")
+        flags = ((disp & 0x07) << 2) | (0x01 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + bytes(
+            [flags, delay & 0xFF, (delay >> 8) & 0xFF,
+             transparent if transparent is not None else 0]
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out.append(bits)
+        stream = lzw_literal(f.reshape(-1).tolist())
+        for i in range(0, len(stream), 255):
+            chunk = stream[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

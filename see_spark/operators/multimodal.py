@@ -96,10 +96,11 @@ def _decode_buffer(payload: bytes, kind: str, fake: bool) -> np.ndarray:
         return np.frombuffer(samples.tobytes(), dtype=np.uint8)
     if kind == "image":
         return _decode_image(payload).reshape(-1)
-    if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        from see_spark.core.avi import decode_avi
-
-        frames, _meta = decode_avi(payload)
+    if kind == "video" and (
+        (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ")
+        or payload[:6] in (b"GIF87a", b"GIF89a")
+    ):
+        frames, _meta = _decode_video(payload)
         return np.concatenate([f.reshape(-1) for f in frames])
     raise NotImplementedError(
         f"real {kind} decode requires codec libraries not present in this "
@@ -108,6 +109,27 @@ def _decode_buffer(payload: bytes, kind: str, fake: bool) -> np.ndarray:
         "baseline+progressive JPEG incl. Adobe CMYK/YCCK, and MJPEG-AVI "
         "video decode natively via stdlib); pass fake=True for the "
         "deterministic stand-in"
+    )
+
+
+def _decode_video(payload: bytes, frame_indices=None):
+    """Sniff the container signature and decode frames: MJPEG-in-AVI via
+    ``core.avi`` (selective decode — unsampled frames cost only the
+    chunk walk) or animated GIF via ``core.gif.decode_gif_frames``
+    (every frame composites — delta encoding — but only the sampled
+    ones are copied out). Both return (frames, meta) with the same
+    n_frames/fps keys. ValueError for anything else, routed to
+    decode_error like every out-of-subset payload."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from see_spark.core.avi import decode_avi
+
+        return decode_avi(payload, frame_indices)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from see_spark.core.gif import decode_gif_frames
+
+        return decode_gif_frames(payload, frame_indices)
+    raise ValueError(
+        "unrecognized video container (MJPEG-AVI and animated GIF supported)"
     )
 
 
@@ -316,19 +338,18 @@ VIDEO_FEATURES_SCHEMA = T.StructType(
 def video_features(media: DataFrame) -> DataFrame:
     """REAL video feature extraction — MJPEG-in-AVI payloads decode
     frame-by-frame through ``core.avi`` (RIFF chunk walk + the in-repo
-    JPEG codec); rows with other containers/codecs carry the error
-    instead of killing the job. Same plumbing contract as
-    ``image_features``."""
+    JPEG codec) and animated GIFs through ``core.gif.decode_gif_frames``
+    (canvas compositing with GCE transparency/disposal); rows with other
+    containers/codecs carry the error instead of killing the job. Same
+    plumbing contract as ``image_features``."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from see_spark.core.avi import decode_avi
-
         cols = [f.name for f in VIDEO_FEATURES_SCHEMA.fields]
         for batch in batches:
             rows = []
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
                 try:
-                    frames, meta = decode_avi(bytes(payload or b""))
+                    frames, meta = _decode_video(bytes(payload or b""))
                 except Exception as exc:
                     rows.append(
                         (media_id, None, None, None, None, None,
@@ -364,24 +385,24 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 
 
 def video_frame_sample(media: DataFrame, stride: int = 3) -> DataFrame:
-    """REAL frame sampling over MJPEG-AVI payloads: frames 0, stride,
-    2·stride, … decode (others cost only the chunk walk — ``decode_avi``
-    skips undecoded frames) and emit per-frame stats. The decoded-frame
+    """REAL frame sampling over MJPEG-AVI and animated-GIF payloads:
+    frames 0, stride, 2·stride, … are emitted with per-frame stats (AVI
+    skips undecoded frames at chunk-walk cost; GIF must composite every
+    frame but copies out only the sampled ones). The decoded-frame
     complement of the Catalyst-only ``frame_sample`` plan below;
-    non-AVI rows yield no frames (features carry their error rows)."""
+    unsupported containers yield no frames (features carry their error
+    rows)."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from see_spark.core.avi import decode_avi
-
         cols = [f.name for f in VIDEO_FRAME_SCHEMA.fields]
         for batch in batches:
             rows = []
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
                 data = bytes(payload or b"")
                 try:
-                    _frames, meta = decode_avi(data, frame_indices=[])
+                    _frames, meta = _decode_video(data, frame_indices=[])
                     idx = list(range(0, meta["n_frames"], int(stride)))
-                    frames, _ = decode_avi(data, frame_indices=idx)
+                    frames, _ = _decode_video(data, frame_indices=idx)
                 except Exception:
                     continue
                 for frame_no, frame in zip(idx, frames):
